@@ -1,0 +1,405 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch analytical query pack over the driver's TPC-H-ish star schema.
+  *
+  * Design rules (these are what make the pack hold up at 100 TB):
+  *  - All money arithmetic is done in DECIMAL so partial aggregation is
+  *    exact and order-independent — the same plan gives bit-identical
+  *    results on 32 partitions or 32,000, and matches the DuckDB oracle
+  *    without any tolerance.
+  *  - Dimension tables (region/nation) are broadcast unconditionally;
+  *    fact-fact joins shuffle on their join keys and rely on AQE for
+  *    skew handling.
+  *  - Filters are expressed on raw columns (not wrapped in casts) so they
+  *    push down to the parquet scan.
+  *  - Top-k queries carry a total order (unique tie-break key) so the
+  *    result set is deterministic under any parallelism.
+  */
+object Queries {
+
+  /** exact decimal money: sum(cast(c as decimal(12,2))) cast back to double. */
+  private def dsum(c: String, alias: String) =
+    sum(col(c).cast("decimal(12,2)")).cast("double").as(alias)
+
+  // ---------------------------------------------------------------- q1_agg
+  /** TPC-H Q1-style pricing summary. Single shuffle on the 2 flag columns;
+    * partial aggregation does virtually all the work map-side. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        sum(expr("cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(4,2))"))
+          .cast("double").as("sum_disc_price"),
+        sum(expr("cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(4,2)) * cast(1 + l_tax as decimal(4,2))"))
+          .cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q6_filter
+  /** TPC-H Q6-style selective scan-agg: every predicate pushes to parquet. */
+  def q6Filter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1995-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(expr("cast(l_extendedprice as decimal(12,2)) * cast(l_discount as decimal(4,2))"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q6FilterSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q3_topk
+  /** TPC-H Q3-style: fact-fact shuffle join + top-k with a unique
+    * tie-break (o_orderkey) so the answer set is deterministic. */
+  def q3TopK(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(expr("cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(4,2))"))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3TopKSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q5_join
+  /** TPC-H Q5-style 6-way join. region/nation broadcast; customer/orders/
+    * lineitem/supplier shuffle on their keys. */
+  def q5Join(s: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+                 col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(expr("cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(4,2))"))
+        .cast("double").as("revenue"))
+  }
+
+  val q5JoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q_semi_anti
+  /** Left-semi + left-anti in one result: per market segment, how many
+    * customers have ≥1 order vs none. Semi/anti avoid materializing the
+    * join — at scale this is one shuffle of keys only. */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ordKeys = Tables.orders(s, dir).select("o_custkey")
+    val withO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val noO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withO.join(noO, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
+  val qSemiAntiSql: String =
+    """WITH w AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n_with_orders FROM customer
+      |  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY c_mktsegment),
+      |wo AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n_without_orders FROM customer
+      |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY c_mktsegment)
+      |SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+      |  COALESCE(n_with_orders, 0) AS n_with_orders,
+      |  COALESCE(n_without_orders, 0) AS n_without_orders
+      |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q_rollup
+  /** ROLLUP over (returnflag, linestatus); NULL grouping columns become
+    * 'ALL' so the oracle compare is null-safe. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum("l_extendedprice", "sum_price"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_price"), col("n_rows"))
+
+  val qRollupSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------- q_cube
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(dsum("o_totalprice", "sum_total"), count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("sum_total"), col("n_orders"))
+
+  val qCubeSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------- q_window_rank
+  /** SQL window function: top-2 orders per customer by totalprice.
+    * row_number (not rank) + unique key tie-break keeps it deterministic. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("rn").cast("long").as("rn"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t WHERE rn <= 2""".stripMargin
+
+  // ---------------------------------------------------------------- q_window_running
+  /** Running sum per customer over order dates — the batch analogue of the
+    * reference's per-key running-state computation (alphabet votes). */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "running_total")
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- q_distinct
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"))
+
+  val qDistinctSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q_setops
+  /** UNION / INTERSECT / EXCEPT — the reference's `merge` is UNION ALL;
+    * the others come free with Spark. Tagged rows make one comparable
+    * result set. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.orders(s, dir).select(col("o_custkey").as("custkey")).distinct()
+    val machinery = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey").as("custkey"))
+    val both = machinery.intersect(buyers).withColumn("tag", lit("machinery_buyer"))
+    val onlySeg = machinery.except(buyers).withColumn("tag", lit("machinery_no_orders"))
+    both.unionByName(onlySeg)
+      .groupBy("tag").agg(count(lit(1)).as("n"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+      |machinery AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+      |tagged AS (
+      |  SELECT custkey, 'machinery_buyer' AS tag FROM (SELECT * FROM machinery INTERSECT SELECT * FROM buyers)
+      |  UNION ALL
+      |  SELECT custkey, 'machinery_no_orders' AS tag FROM (SELECT * FROM machinery EXCEPT SELECT * FROM buyers))
+      |SELECT tag, COUNT(*) AS n FROM tagged GROUP BY tag""".stripMargin
+
+  // ---------------------------------------------------------------- q_events_tumbling
+  /** Batch tumbling event-time window over the events stream table —
+    * the batch twin of the streaming range-window operator (SURVEY §2.3
+    * #19). window() start aligns with date_trunc('hour'). */
+  def qEventsTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  val qEventsTumblingSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q_events_sessionize
+  /** Batch sessionization per user: a new session starts after a >30 min
+    * gap. lag + conditional cumulative sum — the batch analogue of the
+    * reference's ephemeral windows. */
+  def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(sess))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+  }
+
+  val qEventsSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q_strings_dates
+  /** String + date function exercise: monthly order stats with string ops
+    * on priority. */
+  def qStringsDates(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("prio_initial"),
+        col("o_totalprice"))
+      .groupBy("yr", "mon", "prio_initial")
+      .agg(count(lit(1)).as("n"), dsum("o_totalprice", "sum_total"))
+
+  val qStringsDatesSql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+      |  UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS prio_initial,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q_merge_union
+  /** The reference's `merge` combinator (SURVEY §2.1 #7) in batch form:
+    * two differently-shaped inputs mapped to a common schema, UNION ALL,
+    * then keyed aggregation downstream of the merge. */
+  def qMergeUnion(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"), lit("order").as("kind"),
+      col("o_totalprice").as("amount"))
+    val b = Tables.customer(s, dir).select(
+      col("c_custkey").as("custkey"), lit("balance").as("kind"),
+      col("c_acctbal").as("amount"))
+    a.unionByName(b)
+      .groupBy("custkey", "kind")
+      .agg(count(lit(1)).as("n"), dsum("amount", "sum_amount"))
+  }
+
+  val qMergeUnionSql: String =
+    """WITH merged AS (
+      |  SELECT o_custkey AS custkey, 'order' AS kind, o_totalprice AS amount FROM orders
+      |  UNION ALL
+      |  SELECT c_custkey AS custkey, 'balance' AS kind, c_acctbal AS amount FROM customer)
+      |SELECT custkey, kind, COUNT(*) AS n,
+      |  CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE) AS sum_amount
+      |FROM merged GROUP BY custkey, kind""".stripMargin
+
+  /** name → (query builder, oracle SQL) */
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q1_agg" -> ((q1Agg _, Some(q1AggSql))),
+    "q6_filter" -> ((q6Filter _, Some(q6FilterSql))),
+    "q3_topk" -> ((q3TopK _, Some(q3TopKSql))),
+    "q5_join" -> ((q5Join _, Some(q5JoinSql))),
+    "q_semi_anti" -> ((qSemiAnti _, Some(qSemiAntiSql))),
+    "q_rollup" -> ((qRollup _, Some(qRollupSql))),
+    "q_cube" -> ((qCube _, Some(qCubeSql))),
+    "q_window_rank" -> ((qWindowRank _, Some(qWindowRankSql))),
+    "q_window_running" -> ((qWindowRunning _, Some(qWindowRunningSql))),
+    "q_distinct" -> ((qDistinct _, Some(qDistinctSql))),
+    "q_setops" -> ((qSetOps _, Some(qSetOpsSql))),
+    "q_events_tumbling" -> ((qEventsTumbling _, Some(qEventsTumblingSql))),
+    "q_events_sessionize" -> ((qEventsSessionize _, Some(qEventsSessionizeSql))),
+    "q_strings_dates" -> ((qStringsDates _, Some(qStringsDatesSql))),
+    "q_merge_union" -> ((qMergeUnion _, Some(qMergeUnionSql))))
+}

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs
+the matching oracle SQL from oracle_sql.json in DuckDB with views named
+after the parquet tables in <sfDir>, then compares: columns sorted by
+name, rows sorted, values compared exactly (floats bit-compared, with a
+1e-9-relative fallback report so near-misses are distinguishable from
+hard mismatches).
+"""
+import sys, os, json, glob, math
+import duckdb
+
+def canon(v):
+    if v is None:
+        return ("none",)
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, (int,)):
+        return ("i", int(v))
+    return ("s", str(v))
+
+def rows_of(rel_rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rel_rows:
+        out.append(tuple(canon(r[i]) for i in order))
+    out.sort(key=lambda t: json.dumps(t, default=str))
+    return [tuple(x[1] if len(x) > 1 else None for x in t) for t in out], \
+           [colnames[i] for i in order]
+
+def close(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b:
+            return True, False
+        if math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9):
+            return False, True
+        return False, False
+    return (a == b), False
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_near = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [c[0] for c in con.description]
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(got)} rows "
+                  f"{'OK' if len(got) > 0 else 'EMPTY!'}")
+            continue
+        exp = con.execute(oracle[name]).fetchall()
+        exp_cols = [c[0] for c in con.description]
+        g_rows, g_names = rows_of(got, got_cols)
+        e_rows, e_names = rows_of(exp, exp_cols)
+        status, detail = "PASS", ""
+        if g_names != e_names:
+            status, detail = "FAIL", f"cols {g_names} != {e_names}"
+        elif len(g_rows) != len(e_rows):
+            status, detail = "FAIL", f"rowcount {len(g_rows)} != {len(e_rows)}"
+        else:
+            near = 0
+            for i, (gr, er) in enumerate(zip(g_rows, e_rows)):
+                for gv, ev in zip(gr, er):
+                    eq, nr = close(gv, ev)
+                    if nr:
+                        near += 1
+                    elif not eq:
+                        status, detail = "FAIL", f"row {i}: {gr} != {er}"
+                        break
+                if status == "FAIL":
+                    break
+            if status == "PASS" and near:
+                status, detail = "NEAR", f"{near} float near-misses (not bit-equal)"
+        if status == "PASS":
+            n_pass += 1
+        elif status == "NEAR":
+            n_near += 1
+        else:
+            n_fail += 1
+        print(f"[{status}] {name} ({len(g_rows)} rows) {detail}")
+    print(f"\n{n_pass} pass, {n_near} near, {n_fail} fail")
+    sys.exit(1 if n_fail or n_near else 0)
+
+if __name__ == "__main__":
+    main()
