@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registries: Seq[Map[String, ((SparkSession, String) => DataFrame, Option[String])]] =
-    Seq(operators.Queries.all)
+    Seq(operators.Queries.all, operators.TextAnalysis.all, operators.Dedup.all,
+      operators.Similarity.all, operators.Multimodal.all)
 
   private lazy val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     registries.reduce(_ ++ _)

@@ -1,0 +1,59 @@
+package graft.functions
+
+/** Paired Spark-SQL / DuckDB-SQL expression fragments that are guaranteed
+  * to produce bit-identical results in both engines.
+  *
+  * This is what lets approximate-dedup operators (MinHash, SimHash,
+  * hyperplane LSH) have an *exact* DuckDB oracle: both engines derive all
+  * pseudo-randomness from md5 (standard everywhere) instead of from
+  * engine-private hash functions or float RNGs.
+  *
+  * The portable hash is H(s, seed) = int64(first 12 hex chars of
+  * md5(seed || ':' || s)) — a uniform 48-bit value. The production-scale
+  * path should use [[fastHashSpark]] (xxhash64, codegen'd, no hex/string
+  * detour); the md5 path exists for oracle-verifiable correctness and as
+  * the deterministic cross-engine contract.
+  */
+object Portable {
+
+  /** Spark SQL fragment: 48-bit portable hash of string expression `s`. */
+  def sparkHash(s: String, seed: String): String =
+    s"cast(conv(substr(md5(concat('$seed', ':', $s)), 1, 12), 16, 10) as bigint)"
+
+  /** DuckDB fragment computing the identical value. (list_transform's
+    * lambda gets no index here; strpos is 1-based in both engines.) */
+  def duckHash(s: String, seed: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(substr(md5('$seed' || ':' || ($s)), 1, 12), ''), " +
+      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, b) -> a * 16 + b)"
+
+  /** Same 48-bit hash computed on the JVM — used to pre-materialize
+    * data-independent randomness (e.g. LSH hyperplanes) as literals so
+    * the hot path never touches md5. */
+  def jvmHash(s: String, seed: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 12)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Production-scale hash (no oracle twin): xxhash64 with seed column —
+    * stays inside whole-stage codegen. */
+  def fastHashSpark(s: String, seed: String): String =
+    s"xxhash64('$seed', $s)"
+
+  /** Shared tokenization: split on single space (the synthetic corpus is
+    * space-separated). Both fragments yield identical string arrays. */
+  def sparkTokens(text: String): String = s"split($text, ' ')"
+  def duckTokens(text: String): String = s"string_split($text, ' ')"
+
+  /** Word n-gram shingles (1-based slice in both engines), distinct. */
+  def sparkShingles(text: String, n: Int): String =
+    // sequence(1, 0) in Spark yields a DESCENDING [1, 0] — guard short docs
+    s"(case when size(${sparkTokens(text)}) < $n then array() " +
+      s"else array_distinct(transform(sequence(1, size(${sparkTokens(text)}) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice(${sparkTokens(text)}, i, $n)))) end)"
+  def duckShingles(text: String, n: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(len(${duckTokens(text)}) - ${n - 2}, 1)), " +
+      s"i -> array_to_string(list_slice(${duckTokens(text)}, i, i + ${n - 1}), ' ')))"
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** Multimodal-column plumbing: image/audio/video content as opaque
+  * `binary` columns with typed metadata.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * deterministic stub ([[decodeStub]]) — but everything Spark-side is
+  * real: binary columns, metadata schema, batch-shaped per-partition
+  * processing (`mapPartitions` over a typed Dataset — the Scala
+  * equivalent of `mapInPandas`: one iterator per partition, so per-batch
+  * setup like model/codec init happens once per partition, not per row),
+  * frame sampling, and fingerprinting.
+  *
+  * The `documents` table stands in for a media table: its UTF-8 bytes are
+  * the "blob". At 100 TB the blobs dominate storage — every operator here
+  * is a narrow map (no shuffle), and projections never carry the blob
+  * past the point it's needed (metadata queries prune it at the scan).
+  */
+object Multimodal {
+
+  /** A decoded media record: what a real pipeline would carry. */
+  case class MediaFeature(
+      docId: Long, mediaType: String, nBytes: Long,
+      width: Int, height: Int, nFrames: Int, fingerprint: Long)
+
+  /** Deterministic stand-in for a real decoder (libjpeg/ffmpeg/...):
+    * derives plausible metadata purely from the bytes. Runs once per
+    * partition-iterator — the real-codec integration point. */
+  def decodeStub(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), expr("cast(text as binary)").as("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init (codec handles, model weights) would go here
+        it.map { case (id, source, blob) =>
+          val h = Portable.jvmHash(java.util.Arrays.hashCode(blob).toString, "mm")
+          val mediaType = source match {
+            case "src0" => "image"; case "src1" => "audio"
+            case "src2" => "video"; case _ => "text"
+          }
+          MediaFeature(id, mediaType, blob.length.toLong,
+            width = 64 + (h & 0xff).toInt, height = 64 + ((h >> 8) & 0xff).toInt,
+            nFrames = 1 + ((h >> 16) & 0x0f).toInt, fingerprint = h)
+        }
+      }
+  }
+
+  // ------------------------------------------------------------ m_media_meta
+  /** Metadata extraction over the opaque blob — byte length, sha256
+    * content hash, media type from source, plus stubbed "decoded"
+    * dimensions derived from the portable hash (SQL-expressible, so the
+    * oracle can check the full row including the stub). */
+  def mMediaMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr("case source when 'src0' then 'image' when 'src1' then 'audio' " +
+        "when 'src2' then 'video' else 'text' end").as("media_type"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      sha2(col("text").cast("binary"), 256).as("content_hash"),
+      expr(s"64 + (${Portable.sparkHash("text", "mmw")} & 255)").cast("long").as("fake_width"),
+      expr(s"64 + (shiftright(${Portable.sparkHash("text", "mmw")}, 8) & 255)")
+        .cast("long").as("fake_height"))
+
+  val mMediaMetaSql: String =
+    s"""SELECT doc_id,
+       |  CASE source WHEN 'src0' THEN 'image' WHEN 'src1' THEN 'audio'
+       |    WHEN 'src2' THEN 'video' ELSE 'text' END AS media_type,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  sha256(text) AS content_hash,
+       |  CAST(64 + (${Portable.duckHash("text", "mmw")} & 255) AS BIGINT) AS fake_width,
+       |  CAST(64 + ((${Portable.duckHash("text", "mmw")} >> 8) & 255) AS BIGINT) AS fake_height
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ m_frame_sample
+  /** Frame sampling: the blob is cut into fixed 32-byte "frames"; every
+    * 4th frame is sampled and fingerprinted — the plumbing shape of video
+    * frame extraction (explode + per-frame feature), with the decoder
+    * stubbed by the portable hash. */
+  def mFrameSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(length(text) / 32.0) as int) - 1), " +
+            "i -> substring(text, i * 32 + 1, 32))"))
+          .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(Portable.sparkHash("frame", "frame")).as("frame_hash"))
+
+  val mFrameSampleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS frame_idx,
+       |    text
+       |  FROM documents)
+       |SELECT doc_id, frame_idx,
+       |  ${Portable.duckHash("substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32)", "frame")} AS frame_hash
+       |FROM f WHERE frame_idx % 4 = 0""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m_media_meta" -> ((mMediaMeta _, Some(mMediaMetaSql))),
+    "m_frame_sample" -> ((mFrameSample _, Some(mFrameSampleSql))))
+}

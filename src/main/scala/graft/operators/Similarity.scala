@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline, sign-random-projection
+  * (hyperplane) LSH as the scale path, and cosine near-duplicate pairs.
+  *
+  * Determinism: all float math is double-precision sequential folds
+  * (identical order in Spark's `aggregate` and DuckDB's `list_reduce`),
+  * and LSH hyperplanes are ±1 vectors derived from the portable md5 hash
+  * at plan-build time — embedded as literals on both sides, so the
+  * oracle is bit-exact with no RNG anywhere.
+  *
+  * Scale notes: brute force is O(n·q) — fine for a bounded query set
+  * (broadcast the queries, scan the corpus once); for all-pairs at 100 TB
+  * use the LSH variant, whose shuffle key is the bucket id. An IVF
+  * variant would k-means the corpus; hyperplane LSH gives the same
+  * bucketing benefit without a training pass, so it's the v1 scale path.
+  */
+object Similarity {
+
+  val Planes = 6      // LSH: one sign bit per plane → 2^6 buckets (sized for
+                      // the test corpus; at 100 TB raise toward log2(n/1000))
+  val Dim = 64
+  val TopK = 5
+  val NumQueries = 20 // queries = vec_id < NumQueries
+
+  /** ±1 hyperplane weights, derived from the portable hash (bit 0 of
+    * H("p,d", "plane")). Computed on the JVM and embedded as literals. */
+  lazy val planes: Array[Array[Double]] =
+    Array.tabulate(Planes, Dim)((p, d) =>
+      if ((Portable.jvmHash(s"$p,$d", "plane") & 1L) == 1L) 1.0 else -1.0)
+
+  /** Sequential-fold dot product of two double-array SQL expressions. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a, (p, i) -> p * ($b)[i])), (x, y) -> x + y)"
+
+  /** embeddings with double-cast vector + its norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("vd"))
+      .withColumn("nrm", expr(s"sqrt(${dot("vd", "vd")})"))
+
+  private val duckVecs: String =
+    s"""v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+       |    sqrt(${duckDot("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  // ------------------------------------------------------------ s_ann_brute
+  /** Exact top-k cosine for a bounded query set. The query side is tiny →
+    * broadcast; the corpus is scanned exactly once, no shuffle of vectors. */
+  def sAnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, dir)
+    val q = broadcast(v.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("vd").as("qd"), col("nrm").as("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(v.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id").as("neighbor_id"), col("vd"), col("nrm")))
+      .withColumn("cosine", expr(s"${dot("qd", "vd")} / (qn * nrm)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  val sAnnBruteSql: String =
+    s"""WITH $duckVecs,
+       |q AS (SELECT vec_id AS query_id, vd AS qd, nrm AS qn FROM v WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${duckDot("q.qd", "c.vd")} / (q.qn * c.nrm) AS cosine
+       |  FROM q, v c WHERE c.vec_id >= $NumQueries),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  // ------------------------------------------------------------ s_ann_lsh
+  /** Hyperplane-LSH ANN: bucket = 16 sign bits of plane dot products;
+    * candidates share the query's bucket; exact cosine re-rank within the
+    * bucket. At scale: bucket id is the shuffle/cluster key, candidate
+    * set per query is ~n/2^16. */
+  def sAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, dir)
+    val bucket = (0 until Planes).map { p =>
+      val lit = planes(p).mkString("array(", ", ", ")")
+      s"(case when ${dot("vd", lit)} >= 0 then ${1L << p} else 0 end)"
+    }.mkString(" + ")
+    val vb = v.withColumn("bucket", expr(bucket))
+    val q = broadcast(vb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("vd").as("qd"),
+        col("nrm").as("qn"), col("bucket").as("qbucket")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(vb.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id").as("neighbor_id"), col("vd"), col("nrm"), col("bucket")),
+        col("qbucket") === col("bucket"))
+      .withColumn("cosine", expr(s"${dot("qd", "vd")} / (qn * nrm)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  val sAnnLshSql: String = {
+    val bucket = (0 until Planes).map { p =>
+      val lit = planes(p).mkString("[", ", ", "]")
+      s"(CASE WHEN ${duckDot("vd", lit)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $duckVecs,
+       |vb AS (SELECT vec_id, vd, nrm, $bucket AS bucket FROM v),
+       |q AS (SELECT vec_id AS query_id, vd AS qd, nrm AS qn, bucket AS qbucket
+       |      FROM vb WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${duckDot("q.qd", "c.vd")} / (q.qn * c.nrm) AS cosine
+       |  FROM q JOIN vb c ON q.qbucket = c.bucket AND c.vec_id >= $NumQueries),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $TopK""".stripMargin
+  }
+
+  // ------------------------------------------------------------ s_cosine_dups
+  /** Embedding-cosine near-duplicate pairs (all-pairs ≥ threshold).
+    * Exact all-pairs is O(n²) — acceptable as the verification baseline;
+    * the LSH bucketing above is the 100 TB shape for the same output. */
+  def sCosineDups(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", expr(s"${dot("a.vd", "b.vd")} / (a.nrm * b.nrm)"))
+      .filter(col("cosine") >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+  }
+
+  val sCosineDupsSql: String =
+    s"""WITH $duckVecs
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${duckDot("a.vd", "b.vd")} / (a.nrm * b.nrm) AS cosine
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE ${duckDot("a.vd", "b.vd")} / (a.nrm * b.nrm) >= 0.35""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "s_ann_brute" -> ((sAnnBrute _, Some(sAnnBruteSql))),
+    "s_ann_lsh" -> ((sAnnLsh _, Some(sAnnLshSql))),
+    "s_cosine_dups" -> ((sCosineDups _, Some(sCosineDupsSql))))
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** Text-analysis operators over the `documents` table — the per-document
+  * scoring pass of a training-data pipeline (language ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * All of these are narrow, per-row transformations: no shuffle at all
+  * except the final aggregate where one exists. At 100 TB they are pure
+  * map-side scans and scale linearly; every expression stays inside
+  * whole-stage codegen (no UDFs).
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+
+  /** Language marker profiles for the n-gram/marker-word heuristic
+    * language ID. Scores are marker-token counts; argmax with a fixed
+    * tie-break order (en > es > de > fr > unknown). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "est", "les"))
+
+  // ------------------------------------------------------------ t_token_count
+  /** Whitespace token count + a BPE-ish regex token count (letter runs,
+    * digit runs, single punctuation — a cheap proxy for subword count). */
+  def tTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr(s"size(${Portable.sparkTokens("text")})").cast("long").as("n_ws_tokens"),
+      expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+
+  val tTokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${Portable.duckTokens("text")}) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_actual
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ t_quality
+  /** Quality signals: char/token counts, stopword ratio, punctuation
+    * ratio, mean token length, and a composite score. All ratios are
+    * exact-int divisions done identically in both engines. */
+  def tQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = Portable.sparkTokens("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      expr(s"size($toks)").cast("long").as("n_tokens"),
+      expr(s"cast(size(filter($toks, t -> t IN (${sqlList(stopwords)}))) as double)" +
+        s" / size($toks)").as("stopword_ratio"),
+      expr("cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) as double)" +
+        " / length(text)").as("punct_ratio"),
+      expr(s"cast(length(text) as double) / size($toks)").as("avg_token_len"))
+      .withColumn("quality_score",
+        expr("least(cast(n_tokens as double) / 100, 1.0) * 0.5" +
+          " + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2"))
+  }
+
+  val tQualitySql: String = {
+    val toks = Portable.duckTokens("text")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_actual,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter($toks, t -> t IN (${sqlList(stopwords)}))) AS DOUBLE)
+       |      / len($toks) AS stopword_ratio,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS punct_ratio,
+       |    CAST(length(text) AS DOUBLE) / len($toks) AS avg_token_len
+       |  FROM documents)
+       |SELECT *, least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5
+       |  + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2 AS quality_score
+       |FROM q""".stripMargin
+  }
+
+  // ------------------------------------------------------------ t_langid
+  /** Marker-word language ID with deterministic argmax. Emits predicted
+    * language + the labeled lang column for downstream agreement checks. */
+  def tLangid(s: SparkSession, dir: String): DataFrame = {
+    val toks = Portable.sparkTokens("lower(text)")
+    val scored = langMarkers.foldLeft(Tables.documents(s, dir)) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          expr(s"cast(size(filter($toks, t -> t IN (${sqlList(markers)}))) as bigint)"))
+    }
+    val best = langMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+    val pick = langMarkers.foldRight("'unknown'") { case ((l, _), els) =>
+      s"if(score_$l = best AND best > 0, '$l', $els)"
+    }
+    scored.withColumn("best", expr(best))
+      .withColumn("pred_lang", expr(pick))
+      .select((Seq("doc_id", "lang", "pred_lang") ++
+        langMarkers.map { case (l, _) => s"score_$l" }).map(col): _*)
+  }
+
+  val tLangidSql: String = {
+    val toks = Portable.duckTokens("lower(text)")
+    val scoreCols = langMarkers.map { case (l, m) =>
+      s"CAST(len(list_filter($toks, t -> t IN (${sqlList(m)}))) AS BIGINT) AS score_$l"
+    }.mkString(",\n    ")
+    val best = langMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+    val pick = langMarkers.foldRight("'unknown'") { case ((l, _), els) =>
+      s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $els END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM documents),
+       |b AS (SELECT *, $best AS best FROM scored)
+       |SELECT doc_id, lang, $pick AS pred_lang,
+       |  ${langMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")}
+       |FROM b""".stripMargin
+  }
+
+  // ------------------------------------------------------------ t_fingerprint
+  /** Document fingerprinting: md5 of whitespace-normalized lowercase text
+    * plus the 48-bit portable hash of the same (the int form is what
+    * dedup partitions on at scale — an 8-byte shuffle key, not a 32-byte
+    * hex string). */
+  def tFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr(s"md5($norm)").as("fp_md5"),
+      expr(Portable.sparkHash(norm, "fp")).as("fp_int"))
+  }
+
+  val tFingerprintSql: String = {
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    s"""SELECT doc_id, md5($norm) AS fp_md5,
+       |  ${Portable.duckHash(norm, "fp")} AS fp_int
+       |FROM documents""".stripMargin
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_token_count" -> ((tTokenCount _, Some(tTokenCountSql))),
+    "t_quality" -> ((tQuality _, Some(tQualitySql))),
+    "t_langid" -> ((tLangid _, Some(tLangidSql))),
+    "t_fingerprint" -> ((tFingerprint _, Some(tFingerprintSql))))
+}
