@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build SparkSessions so Verify, Bench and the test suites
+  * agree on session-wide semantics. Nothing here mutates a session after
+  * construction — all confs are fixed at build time (the events table's
+  * TIMESTAMP(NANOS) handling used to be set lazily at plan-build time,
+  * which is racy; see ADVICE r1).
+  */
+object Sessions {
+
+  /** Confs every graft session needs, applied to a builder. */
+  def tune(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS); Spark has no ns timestamp
+      // type, so read the raw int64 (reference keeps u64 ns event time:
+      // lib/wallaroo/core/source/source_handler.pony:28)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** local[n] session for Verify/Bench/tests; n from SPARK_GRAFT_CPUS. */
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = tune(SparkSession.builder().appName(appName).master(s"local[$cpus]"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

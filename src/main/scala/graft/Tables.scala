@@ -37,14 +37,17 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * has no native type for. We read it as a raw nanosecond Long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) — mirroring the reference's
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set once at SparkSession
+    * construction — see [[Sessions.tune]]) — mirroring the reference's
     * u64-ns event time (source_handler.pony:28) — keep it as `ts_ns` for
     * ns-exact window arithmetic, and derive a µs `ts` TimestampType
     * column for Spark's built-in event-time operators. Integer `div`
     * (not `/`) so the 1.7e18-scale ns value never round-trips through a
     * 53-bit double. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events reads TIMESTAMP(NANOS) parquet: build the session with " +
+        "graft.Sessions (sets spark.sql.legacy.parquet.nanosAsLong=true)")
     load(s, d, "events")
       .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
       .withColumn("ts",

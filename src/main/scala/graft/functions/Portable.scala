@@ -9,10 +9,11 @@ package graft.functions
   * engine-private hash functions or float RNGs.
   *
   * The portable hash is H(s, seed) = int64(first 12 hex chars of
-  * md5(seed || ':' || s)) — a uniform 48-bit value. The production-scale
-  * path should use [[fastHashSpark]] (xxhash64, codegen'd, no hex/string
-  * detour); the md5 path exists for oracle-verifiable correctness and as
-  * the deterministic cross-engine contract.
+  * md5(seed || ':' || s)) — a uniform 48-bit value. A production
+  * deployment would swap in `xxhash64(seed, s)` (codegen'd, no
+  * hex/string detour) — same topology, no oracle twin; the md5 path
+  * exists for oracle-verifiable correctness and as the deterministic
+  * cross-engine contract.
   */
 object Portable {
 
@@ -36,11 +37,6 @@ object Portable {
       .map(b => f"$b%02x").mkString.substring(0, 12)
     java.lang.Long.parseLong(hex, 16)
   }
-
-  /** Production-scale hash (no oracle twin): xxhash64 with seed column —
-    * stays inside whole-stage codegen. */
-  def fastHashSpark(s: String, seed: String): String =
-    s"xxhash64('$seed', $s)"
 
   /** Shared tokenization: split on single space (the synthetic corpus is
     * space-separated). Both fragments yield identical string arrays. */

@@ -26,11 +26,13 @@ object Multimodal {
   /** A decoded media record: what a real pipeline would carry. */
   case class MediaFeature(
       docId: Long, mediaType: String, nBytes: Long,
-      width: Int, height: Int, nFrames: Int, fingerprint: Long)
+      width: Long, height: Long, nFrames: Long, fingerprint: Long)
 
   /** Deterministic stand-in for a real decoder (libjpeg/ffmpeg/...):
     * derives plausible metadata purely from the bytes. Runs once per
-    * partition-iterator — the real-codec integration point. */
+    * partition-iterator — the real-codec integration point. The
+    * fingerprint is the portable md5-derived hash of the decoded UTF-8
+    * payload, so the whole record is oracle-checkable ([[mDecode]]). */
   def decodeStub(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -39,16 +41,41 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition init (codec handles, model weights) would go here
         it.map { case (id, source, blob) =>
-          val h = Portable.jvmHash(java.util.Arrays.hashCode(blob).toString, "mm")
+          val h = Portable.jvmHash(new String(blob, "UTF-8"), "mm")
           val mediaType = source match {
             case "src0" => "image"; case "src1" => "audio"
             case "src2" => "video"; case _ => "text"
           }
           MediaFeature(id, mediaType, blob.length.toLong,
-            width = 64 + (h & 0xff).toInt, height = 64 + ((h >> 8) & 0xff).toInt,
-            nFrames = 1 + ((h >> 16) & 0x0f).toInt, fingerprint = h)
+            width = 64 + (h & 0xff), height = 64 + ((h >> 8) & 0xff),
+            nFrames = 1 + ((h >> 16) & 0x0f), fingerprint = h)
         }
       }
+  }
+
+  // ------------------------------------------------------------ m_decode
+  /** The mapPartitions decode path (the `local_collect`/per-partition
+    * imperative form, SURVEY §2.1 #6), registered with a full oracle:
+    * every stubbed field is a pure function of the payload via the
+    * portable hash, so DuckDB reproduces the "decoder" bit-for-bit. */
+  def mDecode(s: SparkSession, dir: String): DataFrame =
+    decodeStub(s, dir).toDF()
+      .select(col("docId").as("doc_id"), col("mediaType").as("media_type"),
+        col("nBytes").as("n_bytes"), col("width"), col("height"),
+        col("nFrames").as("n_frames"), col("fingerprint"))
+
+  val mDecodeSql: String = {
+    val h = Portable.duckHash("text", "mm")
+    s"""WITH d AS (SELECT doc_id, source, text, $h AS h FROM documents)
+       |SELECT doc_id,
+       |  CASE source WHEN 'src0' THEN 'image' WHEN 'src1' THEN 'audio'
+       |    WHEN 'src2' THEN 'video' ELSE 'text' END AS media_type,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  64 + (h & 255) AS width,
+       |  64 + ((h >> 8) & 255) AS height,
+       |  1 + ((h >> 16) & 15) AS n_frames,
+       |  h AS fingerprint
+       |FROM d""".stripMargin
   }
 
   // ------------------------------------------------------------ m_media_meta
@@ -85,9 +112,13 @@ object Multimodal {
   def mFrameSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
+        // empty doc guard: sequence(0, -1) in Spark yields a DESCENDING
+        // [0, -1] (same gotcha as Portable.sparkShingles) and would emit a
+        // spurious frame_idx=0 row that DuckDB's range(0, 0) does not
         posexplode(expr(
-          "transform(sequence(0, cast(ceil(length(text) / 32.0) as int) - 1), " +
-            "i -> substring(text, i * 32 + 1, 32))"))
+          "case when length(text) = 0 then array() else " +
+            "transform(sequence(0, cast(ceil(length(text) / 32.0) as int) - 1), " +
+            "i -> substring(text, i * 32 + 1, 32)) end"))
           .as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % 4 === 0)
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
@@ -105,5 +136,6 @@ object Multimodal {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "m_media_meta" -> ((mMediaMeta _, Some(mMediaMetaSql))),
-    "m_frame_sample" -> ((mFrameSample _, Some(mFrameSampleSql))))
+    "m_frame_sample" -> ((mFrameSample _, Some(mFrameSampleSql))),
+    "m_decode" -> ((mDecode _, Some(mDecodeSql))))
 }

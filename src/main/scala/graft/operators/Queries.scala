@@ -307,36 +307,43 @@ object Queries {
   // ---------------------------------------------------------------- q_events_sessionize
   /** Batch sessionization per user: a new session starts after a >30 min
     * gap. lag + conditional cumulative sum — the batch analogue of the
-    * reference's ephemeral windows. */
+    * reference's ephemeral windows.
+    *
+    * Gap arithmetic and session bounds are in integer MICROSECONDS on both
+    * engines (unix_micros here, epoch_us in the oracle): the events parquet
+    * column is TIMESTAMP(NANOS), which Spark reads at µs and DuckDB at ns,
+    * so comparing raw timestamps (or fractional epoch seconds vs floored
+    * whole seconds) diverges. Integer µs is exact in both. */
   def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val sess = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    val sess = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-             col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+        when(col("prev_us").isNull ||
+             col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(sess))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        min(col("ts_us")).as("session_start_us"), max(col("ts_us")).as("session_end_us"))
   }
 
   val qEventsSessionizeSql: String =
     """WITH g AS (
-      |  SELECT user_id, event_id, ts,
-      |    CASE WHEN LAG(ts) OVER w IS NULL
-      |           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
       |s AS (
-      |  SELECT user_id, ts,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |  SELECT user_id, ts_us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
-      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
   // ---------------------------------------------------------------- q_strings_dates
