@@ -1,0 +1,263 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The pipeline DSL — `source → to → key_by → to(windows/state) → merge →
+  * to_sink` (lib/wallaroo/application.pony:40-263), re-expressed over
+  * Spark Datasets.
+  *
+  * Design (Spark-first, not a port of the reference's engine):
+  *  - A `Pipeline[T]` is an immutable wrapper around `Dataset[(T, Long)]`
+  *    (payload, event-time ns). The logical DAG the reference builds by
+  *    hand (`Dag[LogicalStage]`) is simply Catalyst's LogicalPlan here.
+  *  - Stateless stages are `flatMap` — pipelined, codegen'd, never a
+  *    shuffle. `key_by` marks the key extractor; the shuffle happens once
+  *    at the next stateful stage via `groupByKey` (hash partitioning =
+  *    the reference's two-level consistent hashing, core/routing/).
+  *  - Stateful stages host the unit-tested [[StateWrapper]] machines:
+  *      * streaming: `flatMapGroupsWithState` with EventTimeTimeout —
+  *        Spark's state store persists the wrapper (the reference's
+  *        checkpointed `_state_map`, runner.pony:320), the query watermark
+  *        drives triggers, timers re-arm per watermark advance.
+  *      * batch: `flatMapGroups` replaying each key's records in event-time
+  *        order with watermark = max event ts seen, then a final
+  *        TimeoutWatermark flush — the deterministic "perfectly ordered
+  *        stream" replay used by the oracle-checked queries.
+  *  - `local_key_by` (application.pony:241-248) exists for worker-local
+  *    pre-aggregation; Spark's partial aggregation does this automatically
+  *    inside every shuffle agg, so it is an explicit no-op alias here.
+  *
+  * Scale notes: one stateful stage per streaming query (Spark restriction
+  * on chained `flatMapGroupsWithState`); state per key is O(panes) for
+  * range windows and O(1) for count/ephemeral/global; the shuffle carries
+  * (key, payload, ts) only. Skewed keys shard like any Spark shuffle (AQE);
+  * the per-key state model is identical to the reference's.
+  */
+object Graft {
+  def source[T: Encoder](name: String, config: SourceConfig[T])(
+      implicit spark: SparkSession): Pipeline[T] =
+    new Pipeline[T](spark, config.load(spark), None, name)
+
+  def rangeWindows(rangeNs: Long): RangeWindowsBuilder = new RangeWindowsBuilder(rangeNs)
+  def countWindows(count: Int): CountWindowsBuilder = new CountWindowsBuilder(count)
+  def ephemeralWindows(triggerRangeNs: Long, postTriggerRangeNs: Long): EphemeralWindowsBuilder =
+    new EphemeralWindowsBuilder(triggerRangeNs, postTriggerRangeNs)
+}
+
+final class Pipeline[T] private[pipeline] (
+    val spark: SparkSession,
+    private[pipeline] val stamped: Dataset[(T, Long)],
+    private[pipeline] val keyFn: Option[T => String],
+    val name: String)(implicit enc: Encoder[T]) {
+
+  private def tup[U](implicit e: Encoder[U]): Encoder[(U, Long)] =
+    Encoders.tuple(e, Encoders.scalaLong)
+
+  def isStreaming: Boolean = stamped.isStreaming
+
+  // ------------------------------------------------------------ stateless
+  /** Append a stateless computation (application.pony:149-170 `to`;
+    * computations.pony:38-46). One operator covers map / filter / flatMap /
+    * timestamped flatMap via the [[ComputationResult]] shape; outputs keep
+    * the input's event ts unless Timestamped (output_processor.pony:90-128). */
+  def to[U: Encoder](comp: StatelessComputation[T, U]): Pipeline[U] = {
+    val out = stamped.flatMap { case (t, ts) =>
+      comp(t) match {
+        case ComputationResult.Discard         => Iterator.empty
+        case ComputationResult.One(o)          => Iterator.single((o, ts))
+        case ComputationResult.Many(os)        => os.iterator.map((_, ts))
+        case ComputationResult.Timestamped(os) => os.iterator
+      }
+    }(tup[U])
+    new Pipeline[U](spark, out, None, name)
+  }
+
+  def map[U: Encoder](f: T => U): Pipeline[U] =
+    to(new StatelessComputation[T, U] {
+      override val name = "map"
+      def apply(in: T): ComputationResult[U] = ComputationResult.One(f(in))
+    })
+
+  def flatMapSeq[U: Encoder](f: T => Seq[U]): Pipeline[U] =
+    to(new StatelessComputation[T, U] {
+      override val name = "flatMap"
+      def apply(in: T): ComputationResult[U] = ComputationResult.Many(f(in))
+    })
+
+  def filter(p: T => Boolean): Pipeline[T] =
+    to(new StatelessComputation[T, T] {
+      override val name = "filter"
+      def apply(in: T): ComputationResult[T] =
+        if (p(in)) ComputationResult.One(in) else ComputationResult.Discard
+    })
+
+  // ------------------------------------------------------------ routing
+  /** Partition the stream by key (application.pony:221-239). Lazy: the
+    * shuffle happens at the next stateful stage's groupByKey. */
+  def keyBy(extractor: T => String): Pipeline[T] =
+    new Pipeline[T](spark, stamped, Some(extractor), name)
+
+  /** Worker-local pre-aggregation routing (application.pony:241-248).
+    * Spark performs map-side partial aggregation inside every shuffle
+    * aggregate, so this is an alias of [[keyBy]] kept for API fidelity. */
+  def localKeyBy(extractor: T => String): Pipeline[T] = keyBy(extractor)
+
+  /** Route everything to one key — a global serialization point
+    * (application.pony:250-253, key.pony:21-23). */
+  def collectAll(): Pipeline[T] = keyBy(_ => s"collect-key-$name")
+
+  def localCollect(): Pipeline[T] = collectAll()
+
+  // ------------------------------------------------------------ stateful
+  /** Per-key stateful computation (computations.pony:48-109). */
+  def to[U: Encoder, S](comp: StateComputation[T, U, S]): Pipeline[U] =
+    to(new StateComputationInitializer(comp))
+
+  /** An Aggregation used directly as a stage = global window: running
+    * aggregate emitting per message (windows.pony:160-238). */
+  def toGlobalWindow[U: Encoder](agg: Aggregation[T, U, _]): Pipeline[U] =
+    to(new GlobalWindowStateInitializer(
+      agg.asInstanceOf[Aggregation[T, U, Any]]))
+
+  /** A windowed stage built by `Graft.rangeWindows/countWindows/
+    * ephemeralWindows(...).over(agg)`, or any custom [[StateInitializer]]. */
+  def to[U: Encoder](init: StateInitializer[T, U]): Pipeline[U] = {
+    val kf = keyFn.getOrElse(throw new IllegalArgumentException(
+      s"${init.name}: key_by is required before a stateful stage"))
+    val out = if (stamped.isStreaming) streamingStateful(kf, init) else batchStateful(kf, init)
+    new Pipeline[U](spark, out, None, name)
+  }
+
+  private def streamingStateful[U: Encoder](
+      kf: T => String, init: StateInitializer[T, U]): Dataset[(U, Long)] = {
+    implicit val e: Encoder[T] = enc
+    val rowEnc = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong, Encoders.TIMESTAMP)
+    val keyed = stamped
+      .map { case (t, ts) =>
+        (kf(t), t, ts, new java.sql.Timestamp(ts / 1000000L))
+      }(rowEnc)
+      .withWatermark("_4", "0 seconds") // delay lives inside the state machine
+    val stateEnc: Encoder[KeyState[T, U]] =
+      Encoders.javaSerialization(classOf[KeyState[T, U]])
+    val armTimer = init.timeoutIntervalNs > 0
+
+    keyed
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[KeyState[T, U], (U, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, T, Long, java.sql.Timestamp)],
+         state: GroupState[KeyState[T, U]]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmNs = if (wmMs <= 0) 0L else wmMs * 1000000L
+          var ks = state.getOption.getOrElse(KeyState[T, U](init.stateWrapper(key), 0L))
+          val outs = Vector.newBuilder[(U, Long)]
+          var retain = true
+          if (state.hasTimedOut) {
+            val (os, ow, r) = ks.wrapper.onTimeout(wmNs, ks.outputWm)
+            outs ++= os
+            ks.outputWm = math.max(ks.outputWm, ow)
+            retain = r
+          } else {
+            // Within a micro-batch, replay this key's rows in event-time
+            // order (stable for ties) against the batch-start watermark.
+            rows.toArray.sortBy(_._3).foreach { r =>
+              if (!retain) { // state was dropped mid-batch: fresh wrapper
+                ks = KeyState[T, U](init.stateWrapper(key), ks.outputWm)
+                retain = true
+              }
+              val (os, ow, ret) = ks.wrapper(r._2, r._3, wmNs)
+              outs ++= os
+              ks.outputWm = math.max(ks.outputWm, ow)
+              retain = ret
+            }
+          }
+          if (!retain) state.remove()
+          else {
+            state.update(ks)
+            // Re-arm so the next watermark advance re-triggers this key
+            // (the reference's per-step timer, runner.pony:465-501).
+            if (armTimer) state.setTimeoutTimestamp(math.max(wmMs, 0L) + 1)
+          }
+          outs.result().iterator
+      }(stateEnc, tup[U])
+  }
+
+  private def batchStateful[U: Encoder](
+      kf: T => String, init: StateInitializer[T, U]): Dataset[(U, Long)] = {
+    stamped
+      .groupByKey(p => kf(p._1))(Encoders.STRING)
+      .flatMapGroups { (key: String, rows: Iterator[(T, Long)]) =>
+        var ks = KeyState[T, U](init.stateWrapper(key), 0L)
+        val outs = Vector.newBuilder[(U, Long)]
+        var wm = 0L
+        var live = true
+        rows.toArray.sortBy(_._2).foreach { case (t, ts) =>
+          if (!live) { ks = KeyState[T, U](init.stateWrapper(key), ks.outputWm); live = true }
+          wm = math.max(wm, ts)
+          val (os, ow, retain) = ks.wrapper(t, ts, wm)
+          outs ++= os
+          ks.outputWm = math.max(ks.outputWm, ow)
+          live = retain
+        }
+        if (live) outs ++= ks.wrapper.flush(TimeoutWatermark.value, ks.outputWm)._1
+        outs.result().iterator
+      }(tup[U])
+  }
+
+  // ------------------------------------------------------------ merge/sink
+  /** Union with another pipeline of the same element type
+    * (application.pony:118-147). The reference's `Pipeline[(A|B)]` type
+    * union has no Scala analogue — map both sides onto a sealed trait
+    * first (the market-spread pattern), then merge. */
+  def merge(other: Pipeline[T]): Pipeline[T] =
+    new Pipeline[T](spark, stamped.union(other.stamped), None, name)
+
+  /** Terminate in a sink (application.pony:172-219). Batch pipelines write
+    * immediately; streaming pipelines start a query. */
+  def toSink(sink: SinkConfig[T],
+      checkpointLocation: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): SinkHandle =
+    if (stamped.isStreaming)
+      new SinkHandle(Some(sink.writeStream(stamped, name, checkpointLocation, trigger)))
+    else { sink.writeBatch(stamped); new SinkHandle(None) }
+
+  /** Fan out to several sinks (application.pony:193-219). Streaming: one
+    * query, each micro-batch persisted once then written to every sink. */
+  def toSinks(sinks: Seq[SinkConfig[T]],
+      checkpointLocation: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): SinkHandle = {
+    require(sinks.nonEmpty, "You must specify at least one sink when using toSinks()")
+    if (stamped.isStreaming) {
+      val q = SinkConfig.streamWriter(stamped, name, checkpointLocation, trigger)
+        .foreachBatch { (batch: Dataset[(T, Long)], _: Long) =>
+          batch.persist()
+          try sinks.foreach(_.writeBatch(batch))
+          finally { batch.unpersist(); () }
+        }
+        .start()
+      new SinkHandle(Some(q))
+    } else { sinks.foreach(_.writeBatch(stamped)); new SinkHandle(None) }
+  }
+
+  /** The stamped stream — for embedding a pipeline's result into plain
+    * Dataset/SQL code (the analytical surface). */
+  def dataset: Dataset[(T, Long)] = stamped
+  /** Payload only. */
+  def values: Dataset[T] = stamped.map(_._1)(enc)
+}
+
+/** Holds a key's state wrapper plus the step's running output watermark
+  * (the reference tracks it in StageWatermarks; count-window flushes stamp
+  * their output with it — windows.pony:478-499). Top-level so Java
+  * serialization of streaming state captures no outer references. */
+private[pipeline] final case class KeyState[T, U](
+    wrapper: StateWrapper[T, U], var outputWm: Long) extends Serializable
+
+/** Handle returned by toSink(s): a StreamingQuery for streaming pipelines,
+  * already-completed for batch. */
+final class SinkHandle(val query: Option[StreamingQuery]) {
+  def processAllAvailable(): Unit = query.foreach(_.processAllAvailable())
+  def stop(): Unit = query.foreach(_.stop())
+  def awaitTermination(): Unit = query.foreach(_.awaitTermination())
+}

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import java.io.{BufferedOutputStream, DataOutputStream}
+import java.net.Socket
+
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Sink configurations (core/sink/ in the reference). A sink consumes the
+  * stamped stream `Dataset[(T, eventTsNs)]`.
+  *
+  * Effectively-once: the reference's connector sink runs 2-phase commit
+  * against checkpoint barriers (core/sink/connector_sink/connector_sink.pony
+  * :128-135, 1293-1356). The Spark equivalent is `foreachBatch` keyed by
+  * `batchId` over a checkpointed query: on restart the same batchId is
+  * re-delivered with the same data, so an idempotent (overwrite-by-batchId)
+  * or transactional writer yields exactly-once output —
+  * [[IdempotentParquetSink]] is that writer.
+  */
+trait SinkConfig[T] extends Serializable {
+  def writeBatch(ds: Dataset[(T, Long)]): Unit
+  def writeStream(ds: Dataset[(T, Long)], name: String,
+      checkpointLocation: Option[String], trigger: Trigger): StreamingQuery
+}
+
+private[pipeline] object SinkConfig {
+  def streamWriter[A](ds: Dataset[A], name: String,
+      checkpoint: Option[String], trigger: Trigger) = {
+    val w = ds.writeStream.queryName(name).trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+  }
+}
+
+/** In-memory sink (tests; the analogue of the reference integration
+  * harness's sink actors). Streaming: the `memory` sink, queryable as a
+  * temp view. Batch: registers the result as a temp view of the same name. */
+final case class MemorySink[T](viewName: String) extends SinkConfig[T] {
+  def writeBatch(ds: Dataset[(T, Long)]): Unit =
+    ds.createOrReplaceTempView(viewName)
+  def writeStream(ds: Dataset[(T, Long)], name: String,
+      checkpoint: Option[String], trigger: Trigger): StreamingQuery =
+    SinkConfig.streamWriter(ds, viewName, checkpoint, trigger)
+      .format("memory").outputMode("append").start()
+}
+
+/** Parquet sink (file connector). */
+final case class ParquetSink[T](path: String) extends SinkConfig[T] {
+  def writeBatch(ds: Dataset[(T, Long)]): Unit =
+    ds.write.mode("overwrite").parquet(path)
+  def writeStream(ds: Dataset[(T, Long)], name: String,
+      checkpoint: Option[String], trigger: Trigger): StreamingQuery =
+    SinkConfig.streamWriter(ds, name, checkpoint, trigger)
+      .format("parquet").option("path", path).outputMode("append").start()
+}
+
+/** /dev/null (core/sink/empty_sink.pony) — Spark's `noop` format. Used by
+  * the throughput bench: rows are fully evaluated, nothing is written. */
+final case class EmptySink[T]() extends SinkConfig[T] {
+  def writeBatch(ds: Dataset[(T, Long)]): Unit =
+    ds.write.format("noop").mode("overwrite").save()
+  def writeStream(ds: Dataset[(T, Long)], name: String,
+      checkpoint: Option[String], trigger: Trigger): StreamingQuery =
+    SinkConfig.streamWriter(ds, name, checkpoint, trigger)
+      .format("noop").outputMode("append").start()
+}
+
+/** Escape hatch: user-supplied per-micro-batch writer. The writer MUST be
+  * idempotent in `batchId` to get effectively-once (see trait doc). */
+final case class ForeachBatchSink[T](writer: (Dataset[(T, Long)], Long) => Unit)
+    extends SinkConfig[T] {
+  def writeBatch(ds: Dataset[(T, Long)]): Unit = writer(ds, 0L)
+  def writeStream(ds: Dataset[(T, Long)], name: String,
+      checkpoint: Option[String], trigger: Trigger): StreamingQuery =
+    SinkConfig.streamWriter(ds, name, checkpoint, trigger)
+      .foreachBatch(writer).start()
+}
+
+/** The 2PC-equivalent connector sink: each micro-batch lands in its own
+  * `batch_id=N` partition directory with overwrite — a restart that replays
+  * batch N overwrites the identical directory instead of duplicating rows
+  * (phase-2 commit = the checkpoint's batch commit log). */
+final case class IdempotentParquetSink[T](path: String) extends SinkConfig[T] {
+  private def writeOne(ds: Dataset[(T, Long)], batchId: Long): Unit =
+    ds.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  def writeBatch(ds: Dataset[(T, Long)]): Unit = writeOne(ds, 0L)
+  def writeStream(ds: Dataset[(T, Long)], name: String,
+      checkpoint: Option[String], trigger: Trigger): StreamingQuery =
+    SinkConfig.streamWriter(ds, name, checkpoint, trigger)
+      .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeOne(d, id)).start()
+}
+
+/** Kafka sink (core/sink/kafka_sink/kafka_sink.pony — at-least-once
+  * produce; Spark's Kafka sink has the same contract). */
+final case class KafkaSinkConfig[T](
+    bootstrapServers: String, topic: String, encode: T => Array[Byte])
+    extends SinkConfig[T] {
+  private def toKafkaDf(ds: Dataset[(T, Long)]): DataFrame = {
+    val enc = encode
+    import org.apache.spark.sql.Encoders
+    ds.map(p => enc(p._1))(Encoders.BINARY).toDF("value")
+  }
+  def writeBatch(ds: Dataset[(T, Long)]): Unit =
+    toKafkaDf(ds).write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic).save()
+  def writeStream(ds: Dataset[(T, Long)], name: String,
+      checkpoint: Option[String], trigger: Trigger): StreamingQuery =
+    SinkConfig.streamWriter(toKafkaDf(ds), name, checkpoint, trigger)
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic).outputMode("append").start()
+}
+
+/** Length-framed TCP sink (core/sink/tcp_sink/tcp_sink.pony): 4-byte
+  * big-endian length header then payload — the framing giles/receiver
+  * expects. Each executor partition opens its own connection. */
+final case class TcpSink[T](host: String, port: Int, encode: T => Array[Byte])
+    extends SinkConfig[T] {
+  private def foreach: ForeachWriter[(T, Long)] = new ForeachWriter[(T, Long)] {
+    @transient private var out: DataOutputStream = _
+    def open(partitionId: Long, epochId: Long): Boolean = {
+      out = new DataOutputStream(new BufferedOutputStream(
+        new Socket(host, port).getOutputStream))
+      true
+    }
+    def process(value: (T, Long)): Unit = {
+      val payload = encode(value._1)
+      out.writeInt(payload.length)
+      out.write(payload)
+    }
+    def close(errorOrNull: Throwable): Unit = if (out != null) out.close()
+  }
+  def writeBatch(ds: Dataset[(T, Long)]): Unit = {
+    val fw = foreach
+    ds.foreachPartition { (it: Iterator[(T, Long)]) =>
+      if (fw.open(0, 0)) { it.foreach(fw.process); fw.close(null) }
+    }
+  }
+  def writeStream(ds: Dataset[(T, Long)], name: String,
+      checkpoint: Option[String], trigger: Trigger): StreamingQuery =
+    SinkConfig.streamWriter(ds, name, checkpoint, trigger)
+      .foreach(foreach).outputMode("append").start()
+}

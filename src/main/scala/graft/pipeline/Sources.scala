@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source configurations (core/source/ in the reference). Each yields a
+  * stamped `Dataset[(T, eventTsNs)]` — the engine's internal stream shape:
+  * every message carries its event time in nanoseconds, assigned at the
+  * source exactly as the reference's decoders do
+  * (core/source/source_handler.pony:21-28: `decode` + `event_time_ns`,
+  * defaulting to wall clock).
+  */
+trait SourceConfig[T] extends Serializable {
+  def load(spark: SparkSession): Dataset[(T, Long)]
+}
+
+object SourceConfig {
+  private[pipeline] def stamp[T](ds: Dataset[T], tsNs: T => Long)(
+      implicit enc: Encoder[T]): Dataset[(T, Long)] =
+    ds.map(t => (t, tsNs(t)))(Encoders.tuple(enc, Encoders.scalaLong))
+}
+
+/** Wrap an existing Dataset (batch table or a streaming Dataset such as a
+  * MemoryStream's output — the test-rig path, like the reference's
+  * integration senders in testing/tools/integration/end_points.py). */
+final case class DatasetSource[T](ds: Dataset[T], eventTimeNs: T => Long)(
+    implicit enc: Encoder[T]) extends SourceConfig[T] {
+  def load(spark: SparkSession): Dataset[(T, Long)] = SourceConfig.stamp(ds, eventTimeNs)
+}
+
+/** Deterministic generator source (core/source/gen_source/gen_source.pony:
+  * 54-67: `initial_value()` / `apply(last)` emitted on a timer). Spark-first
+  * form: an INDEXED generator `i => T` over the built-in rate source, so any
+  * partition can compute its rows independently — the sequential
+  * `apply(last)` contract would serialize generation on one task at scale.
+  * Event time defaults to the rate source's own timestamp. */
+final case class GenSource[T](
+    gen: Long => T,
+    rowsPerSecond: Long = 1000,
+    numPartitions: Int = 1,
+    eventTimeNs: Option[T => Long] = None)(implicit enc: Encoder[T])
+    extends SourceConfig[T] {
+  def load(spark: SparkSession): Dataset[(T, Long)] = {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", numPartitions)
+      .load() // columns: timestamp TIMESTAMP, value LONG
+    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
+    rate.select(col("value"), unix_micros(col("timestamp")).as("us"))
+      .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .map { case (i, us) =>
+        val t = gen(i)
+        (t, eventTimeNs.map(f => f(t)).getOrElse(us * 1000L))
+      }(tupEnc)
+  }
+}
+
+/** Replay a parquet directory as a stream (the file-based stand-in for the
+  * reference's TCP/connector sources in tests and benches; Spark's file
+  * source gives at-least-once with checkpointed file offsets — the ALO
+  * contract of core/source/connector_source/). `maxFilesPerTrigger` caps a
+  * micro-batch. */
+final case class ParquetReplaySource[T](
+    path: String,
+    decode: Row => T,
+    eventTimeNs: Row => Long,
+    maxFilesPerTrigger: Int = 1,
+    nanosAsLong: Boolean = true)(implicit enc: Encoder[T])
+    extends SourceConfig[T] {
+  def load(spark: SparkSession): Dataset[(T, Long)] = {
+    val schema = spark.read.parquet(path).schema
+    val df = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
+    df.map(r => (decode(r), eventTimeNs(r)))(tupEnc)
+  }
+}
+
+/** Kafka source config pass-through (core/source/kafka_source/
+  * kafka_source_config.pony — brokers + topic + offset reset mapped onto the
+  * built-in Spark Kafka source, whose checkpointed offsets are the
+  * reference's "points of reference"). Decode mirrors the framed handler:
+  * bytes → T plus an event-time extractor. */
+final case class KafkaSource[T](
+    bootstrapServers: String,
+    topic: String,
+    decode: Array[Byte] => T,
+    eventTimeNs: T => Long,
+    startingOffsets: String = "earliest",
+    options: Map[String, String] = Map.empty)(implicit enc: Encoder[T])
+    extends SourceConfig[T] {
+  def load(spark: SparkSession): Dataset[(T, Long)] = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+    val df = options.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }.load()
+    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
+    df.select(col("value")).as[Array[Byte]](Encoders.BINARY)
+      .map { bytes => val t = decode(bytes); (t, eventTimeNs(t)) }(tupEnc)
+  }
+}
+
+/** Line-oriented TCP source (core/source/tcp_source/ — the reference frames
+  * binary messages with a length header; Spark's socket source is
+  * line-oriented, so the decoder takes the line's bytes. For true framed
+  * binary transport use [[KafkaSource]].) Not for production use — the
+  * socket source is single-connection and unreplayable, exactly like the
+  * reference's caveat on its TCP source. */
+final case class SocketSource[T](
+    host: String,
+    port: Int,
+    decode: String => T,
+    eventTimeNs: T => Long)(implicit enc: Encoder[T]) extends SourceConfig[T] {
+  def load(spark: SparkSession): Dataset[(T, Long)] = {
+    val df = spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
+    df.select(col("value")).as[String](Encoders.STRING)
+      .map { line => val t = decode(line); (t, eventTimeNs(t)) }(tupEnc)
+  }
+}
