@@ -17,6 +17,20 @@ trait StateInitializer[In, Out] extends Serializable {
   def stateWrapper(key: String): StateWrapper[In, Out]
   /** Timer period (ns); 0 = no timer needed (runner.pony:465-501). */
   def timeoutIntervalNs: Long
+  /** How far behind the stream's max event time a row may arrive and still
+    * reach the state machine. Spark drops rows older than the watermark
+    * before a stateful operator; the streaming runner shifts the watermark
+    * column by this slack so that the Spark-level drop is EXACTLY the
+    * machine's own late threshold (drop-policy range windows — late rows
+    * then die before the shuffle, a scale win the reference can't get), or
+    * effectively never (stages whose late handling is internal).
+    * [[StateInitializer.InfiniteSlack]] = never drop. */
+  def watermarkSlackNs: Long = StateInitializer.InfiniteSlack
+}
+
+object StateInitializer {
+  /** ~100 years in ns; ts + slack stays well inside Long for any epoch ts. */
+  val InfiniteSlack: Long = 3153600000L * 1000000000L
 }
 
 final class RangeWindowsBuilder(range: Long) {
@@ -52,6 +66,16 @@ final class RangeWindowsStateInitializer[In, Out, Acc](
   }
   /** windows.pony:282-285. */
   def timeoutIntervalNs: Long = (range + delay) * 2
+
+  /** Drop policy: a row is accepted by the pane machine iff some window
+    * containing it is still open, i.e. ts ≥ watermark − (normalizedDelay +
+    * range); +1 s covers the ms truncation of the Spark watermark. Non-drop
+    * policies must see every late row. */
+  override def watermarkSlackNs: Long =
+    if (policy == LateDataPolicy.Drop) {
+      val normalizedDelay = math.ceil(delay.toDouble / slide.toDouble).toLong * slide
+      normalizedDelay + range + 1000000000L
+    } else StateInitializer.InfiniteSlack
 }
 
 final class CountWindowsBuilder(count: Int) {

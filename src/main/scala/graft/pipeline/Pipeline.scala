@@ -133,11 +133,18 @@ final class Pipeline[T] private[pipeline] (
       kf: T => String, init: StateInitializer[T, U]): Dataset[(U, Long)] = {
     implicit val e: Encoder[T] = enc
     val rowEnc = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong, Encoders.TIMESTAMP)
+    // The watermark column is the event time shifted forward by the stage's
+    // slack, with the watermark delay set to the same slack: the resulting
+    // query watermark equals the RAW max event time, and Spark's
+    // pre-stateful late-row filter (rows older than watermark) fires
+    // exactly at ts < maxEventTs − slack — the machine's own drop
+    // threshold for drop-policy windows, never for the other stages.
+    val slack = init.watermarkSlackNs
     val keyed = stamped
       .map { case (t, ts) =>
-        (kf(t), t, ts, new java.sql.Timestamp(ts / 1000000L))
+        (kf(t), t, ts, new java.sql.Timestamp((ts + slack) / 1000000L))
       }(rowEnc)
-      .withWatermark("_4", "0 seconds") // delay lives inside the state machine
+      .withWatermark("_4", s"${slack / 1000000L} milliseconds")
     val stateEnc: Encoder[KeyState[T, U]] =
       Encoders.javaSerialization(classOf[KeyState[T, U]])
     val armTimer = init.timeoutIntervalNs > 0
@@ -160,13 +167,23 @@ final class Pipeline[T] private[pipeline] (
             retain = r
           } else {
             // Within a micro-batch, replay this key's rows in event-time
-            // order (stable for ties) against the batch-start watermark.
+            // order (stable for ties). The watermark presented to the state
+            // machine rides max(query watermark, max event ts processed so
+            // far) — the reference's sources stamp each message's event
+            // time into the stage watermark as it flows
+            // (core/source/source_handler.pony:28, watermarks.pony), which
+            // Spark only folds into its global watermark at batch
+            // boundaries; riding the per-key event time restores the
+            // per-message trigger cadence and makes the streaming and
+            // batch-replay paths anchor windows identically.
+            var rideWm = wmNs
             rows.toArray.sortBy(_._3).foreach { r =>
               if (!retain) { // state was dropped mid-batch: fresh wrapper
                 ks = KeyState[T, U](init.stateWrapper(key), ks.outputWm)
                 retain = true
               }
-              val (os, ow, ret) = ks.wrapper(r._2, r._3, wmNs)
+              rideWm = math.max(rideWm, r._3)
+              val (os, ow, ret) = ks.wrapper(r._2, r._3, rideWm)
               outs ++= os
               ks.outputWm = math.max(ks.outputWm, ow)
               retain = ret
