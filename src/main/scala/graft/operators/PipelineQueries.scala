@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+import graft.pipeline._
+
+/** Batch-replay registry entries for the pipeline DSL — every streaming
+  * operator gets an oracle-checked batch form here (the driver's
+  * CORRECTNESS gate), while its streaming form is exercised by the
+  * MemoryStream suites. The batch path replays each key in event-time
+  * order with the watermark riding the max event ts, then flushes with
+  * TimeoutWatermark — a deterministic "perfectly ordered stream".
+  *
+  * p_wordcount / p_alphabet are the reference's canonical example apps
+  * (examples/python/word_count, examples/python/alphabet) run over the
+  * testdata corpus; p_countwin exercises count windows
+  * (core/windows/windows.pony:428-519); q_events_sliding is the
+  * Spark-native sliding-window path (built-in `window()`, the 100 TB
+  * shape); p_ephemeral exercises ephemeral one-shot windows
+  * (core/windows/ephemeral_window.pony — no SQL form, rows-only check).
+  *
+  * Money math: exact integer cents (`round(value*100)`) or DECIMAL sums,
+  * never float accumulation, so results are order- and
+  * parallelism-independent (same discipline as Queries.scala).
+  */
+object PipelineQueries {
+
+  private implicit val strEnc: Encoder[String] = Encoders.STRING
+  private implicit val long3Enc: Encoder[(Long, Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+  private implicit val strLongEnc: Encoder[(String, Long)] =
+    Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+  private implicit val strLong2Enc: Encoder[(String, Long, Long)] =
+    Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+
+  // ---- computations (the reference example apps' logic) ------------------
+  final class WordTotal extends Serializable { var count: Long = 0 }
+
+  /** word_count.py:57-63: per-word running total. */
+  object CountWord extends StateComputation[String, (String, Long), WordTotal] {
+    override val name = "count word"
+    def initialState(): WordTotal = new WordTotal
+    def apply(word: String, total: WordTotal): ComputationResult[(String, Long)] = {
+      total.count += 1
+      ComputationResult.One((word, total.count))
+    }
+  }
+
+  final class CentsAcc extends Serializable { var cents: Long = 0; var n: Long = 0 }
+
+  /** alphabet.py:44-60 vote totals, in integer cents. */
+  object RunningCents extends Aggregation[(String, Long), (String, Long), CentsAcc] {
+    override val name = "running cents"
+    def initialAccumulator(): CentsAcc = new CentsAcc
+    def update(in: (String, Long), acc: CentsAcc): Unit = { acc.cents += in._2; acc.n += 1 }
+    def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
+      val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
+    }
+    def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[(String, Long)] =
+      Some((key, acc.cents))
+  }
+
+  /** Per-window (key, cents, count) for count/ephemeral windows. */
+  object WindowCents extends Aggregation[(Long, Long, Long), (String, Long, Long), CentsAcc] {
+    override val name = "window cents"
+    def initialAccumulator(): CentsAcc = new CentsAcc
+    def update(in: (Long, Long, Long), acc: CentsAcc): Unit = { acc.cents += in._2; acc.n += 1 }
+    def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
+      val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
+    }
+    def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[(String, Long, Long)] =
+      Some((key, acc.cents, acc.n))
+  }
+
+  /** events as (user_id, cents, ts_ns) — the stream the window queries eat. */
+  private def eventStream(s: SparkSession, dir: String): Dataset[(Long, Long, Long)] =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"), col("ts_ns"))
+      .as[(Long, Long, Long)]
+
+  // ---------------------------------------------------------- p_wordcount
+  def pWordcount(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    val toks = Tables.documents(s, dir)
+      .select(explode(expr(Portable.sparkTokens("lower(text)"))).as("tok"))
+      .as[String]
+    Graft.source("wordcount", DatasetSource(toks, (_: String) => 0L))
+      .keyBy(identity)
+      .to(CountWord)
+      .dataset // ((word, running_count), ts) — final count = max per word
+      .groupBy(col("_1._1").as("word"))
+      .agg(max(col("_1._2")).as("n"))
+  }
+
+  val pWordcountSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${Portable.duckTokens("lower(text)")}) AS word FROM documents)
+       |SELECT word, COUNT(*) AS n FROM toks GROUP BY word""".stripMargin
+
+  // ---------------------------------------------------------- p_alphabet
+  def pAlphabet(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    val votes = Tables.events(s, dir)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("cents"))
+      .as[(String, Long)]
+    Graft.source("alphabet", DatasetSource(votes, (_: (String, Long)) => 0L))
+      .keyBy(_._1)
+      .toGlobalWindow(RunningCents)
+      .dataset // one running total per message; cents > 0 ⇒ max = final
+      .groupBy(col("_1._1").as("event_type"))
+      .agg(max(col("_1._2")).as("total_cents"), count(lit(1)).as("n_events"))
+  }
+
+  val pAlphabetSql: String =
+    """SELECT event_type,
+      |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------- p_countwin
+  val CountWindowSize = 50
+
+  def pCountwin(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    Graft.source("countwin", DatasetSource(eventStream(s, dir), (e: (Long, Long, Long)) => e._3))
+      .keyBy(_._1.toString)
+      .to(Graft.countWindows(CountWindowSize).over(WindowCents))
+      .dataset
+      .select(col("_1._1").cast("bigint").as("user_id"),
+        col("_1._2").as("sum_cents"), col("_1._3").as("n_events"))
+  }
+
+  /** Oracle: the k-th count window of a key = rows with row_number in
+    * [k·N, (k+1)·N) ordered by ts (unique per (user, ts) in the testdata;
+    * the batch replay sorts identically). */
+  val pCountwinSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+       |  FROM events)
+       |SELECT user_id, SUM(cents) AS sum_cents, COUNT(*) AS n_events
+       |FROM e GROUP BY user_id, (rn - 1) // $CountWindowSize""".stripMargin
+
+  // ------------------------------------------------------ q_events_sliding
+  /** Spark-native sliding windows — built-in `window()` (epoch-aligned,
+    * fully Catalyst-optimized: partial agg map-side, one shuffle on
+    * (window, event_type)). This is the scale path for drop-policy range
+    * windows; the pane state machine covers the semantics Spark lacks. */
+  def qEventsSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_events"))
+      .select(expr("unix_micros(w.start)").as("ws"), col("event_type"),
+        col("sum_value"), col("n_events"))
+
+  val qEventsSlidingSql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,
+      |         CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT us - (us % 600000000) - k * 600000000 AS ws, event_type, v
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 3)) AS k) ks)
+      |SELECT ws, event_type, CAST(SUM(v) AS DOUBLE) AS sum_value,
+      |       COUNT(*) AS n_events
+      |FROM w GROUP BY ws, event_type""".stripMargin
+
+  // ---------------------------------------------------------- p_ephemeral
+  /** Ephemeral one-shot windows per user (trigger 1 h after the window
+    * opens, state dropped 30 min later, late data dropped): session-like
+    * bursts. Iterative semantics with no clean SQL form → registered
+    * without an oracle (rows-only check); the semantics are vector-tested
+    * in EphemeralWindowsSpec. */
+  def pEphemeral(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    val hourNs = 3600L * 1000000000L
+    Graft.source("ephemeral", DatasetSource(eventStream(s, dir), (e: (Long, Long, Long)) => e._3))
+      .keyBy(_._1.toString)
+      .to(Graft.ephemeralWindows(hourNs, hourNs / 2).over(WindowCents))
+      .dataset
+      .select(col("_1._1").cast("bigint").as("user_id"),
+        col("_1._2").as("sum_cents"), col("_1._3").as("n_events"))
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "p_wordcount" -> ((pWordcount _, Some(pWordcountSql))),
+    "p_alphabet" -> ((pAlphabet _, Some(pAlphabetSql))),
+    "p_countwin" -> ((pCountwin _, Some(pCountwinSql))),
+    "q_events_sliding" -> ((qEventsSliding _, Some(qEventsSlidingSql))),
+    "p_ephemeral" -> ((pEphemeral _, None)))
+}
