@@ -18,12 +18,14 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val stream = StreamBench.run(spark, sfDir)
-    val qs = (results ++ stream.map { case (k, v) => k -> v })
+    val (streamSecs, streamRps) = StreamBench.run(spark, sfDir)
+    val qs = (results ++ streamSecs)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rps = streamRps.map { case (k, v) => "\"" + k + "\":" + v.round }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_rows_per_sec":$rps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

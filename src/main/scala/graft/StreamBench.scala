@@ -1,12 +1,93 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
 
-/** Streaming-throughput benchmark, reported alongside the batch queries
-  * (keys prefixed `stream_`, values in seconds like every other entry).
-  * Filled in by the streaming core build — see Task: streaming bench.
+import org.apache.spark.sql.{Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.PipelineQueries
+import graft.pipeline._
+
+/** Streaming-throughput benchmark: replays the events table as a
+  * multi-file parquet stream through the DSL and reports wall seconds per
+  * pipeline plus rows/sec — the number comparable to the reference's
+  * published market-spread ingest figure (~1.5 M msgs/s/worker,
+  * BASELINE.md / PERFORMANCE_TESTING_MARKET_SPREAD.md:182).
+  *
+  * Three pipelines, mirroring the reference's canonical shapes:
+  *  - stateless ingest (source → to(filter/map) → sink): pure pipeline
+  *    ingestion rate;
+  *  - keyed state (market-spread shape: key_by → per-key StateComputation
+  *    with reject logic);
+  *  - sliding windows (key_by → range_windows.with_slide.over(agg)).
   */
 object StreamBench {
-  def run(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
-    Seq.empty
+
+  private implicit val long3Enc: Encoder[(Long, Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+
+  /** Market-spread-style per-key reject logic
+    * (examples/python/market_spread/market_spread.py:85-100): track a
+    * per-key running mean; emit an alert when a value exceeds 3× the mean
+    * seen so far. */
+  final class SpreadState extends Serializable { var sum: Long = 0; var n: Long = 0 }
+  object SpreadCheck extends StateComputation[(Long, Long, Long), (Long, Long), SpreadState] {
+    override val name = "spread check"
+    def initialState(): SpreadState = new SpreadState
+    def apply(e: (Long, Long, Long), st: SpreadState): ComputationResult[(Long, Long)] = {
+      val alert = st.n > 0 && e._2 * st.n > 3 * st.sum
+      st.sum += e._2; st.n += 1
+      if (alert) ComputationResult.One((e._1, e._2)) else ComputationResult.Discard
+    }
+  }
+
+  def run(spark: SparkSession, sfDir: String): (Seq[(String, Double)], Seq[(String, Double)]) = {
+    implicit val ss: SparkSession = spark
+    // Stage (user_id, cents, ts_ns) as an 8-file parquet dir so the file
+    // source replays it as a sequence of micro-batches.
+    val staged = Files.createTempDirectory("graft_stream_src").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
+        col("ts_ns"))
+    ev.repartition(8).write.mode("overwrite").parquet(staged)
+    val nRows = spark.read.parquet(staged).count().toDouble
+
+    def source() = ParquetReplaySource[(Long, Long, Long)](
+      staged,
+      (r: Row) => (r.getLong(0), r.getLong(1), r.getLong(2)),
+      (r: Row) => r.getLong(2),
+      maxFilesPerTrigger = 2)
+
+    def bench(name: String)(build: SourceConfig[(Long, Long, Long)] => Pipeline[_]): (String, Double, Double) = {
+      val t0 = System.nanoTime()
+      val handle = build(source()) match {
+        case p: Pipeline[t] => p.toSink(EmptySink[t]())
+      }
+      handle.processAllAvailable()
+      handle.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, sec, nRows / sec)
+    }
+
+    val results = Seq(
+      bench("stream_stateless") { src =>
+        Graft.source("bench-stateless", src)
+          .filter(_._2 >= 100)
+          .map(e => (e._1, e._2 * 2, e._3))
+      },
+      bench("stream_statecomp") { src =>
+        Graft.source("bench-statecomp", src)
+          .keyBy(_._1.toString)
+          .to(SpreadCheck)(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      },
+      bench("stream_sliding") { src =>
+        Graft.source("bench-sliding", src)
+          .keyBy(_._1.toString)
+          .to(Graft.rangeWindows(1800L * 1000000000L).withSlide(600L * 1000000000L)
+            .over(PipelineQueries.WindowCents))(
+            Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+      })
+
+    (results.map(r => (r._1, r._2)), results.map(r => (r._1, r._3)))
+  }
 }

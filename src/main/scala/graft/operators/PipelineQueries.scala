@@ -75,6 +75,18 @@ object PipelineQueries {
       Some((key, acc.cents, acc.n))
   }
 
+  /** Keyless stats pair for the Aggregator-bridge path. */
+  object CentsStats extends Aggregation[(String, Long), (Long, Long), CentsAcc] {
+    override val name = "cents stats"
+    def initialAccumulator(): CentsAcc = new CentsAcc
+    def update(in: (String, Long), acc: CentsAcc): Unit = { acc.cents += in._2; acc.n += 1 }
+    def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
+      val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
+    }
+    def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[(Long, Long)] =
+      Some((acc.cents, acc.n))
+  }
+
   /** events as (user_id, cents, ts_ns) — the stream the window queries eat. */
   private def eventStream(s: SparkSession, dir: String): Dataset[(Long, Long, Long)] =
     Tables.events(s, dir)
@@ -170,6 +182,32 @@ object PipelineQueries {
       |       COUNT(*) AS n_events
       |FROM w GROUP BY ws, event_type""".stripMargin
 
+  // ---------------------------------------------------------- p_agg_bridge
+  /** The Aggregation contract run through Catalyst as a Spark
+    * `Aggregator[IN,BUF,OUT]` ([[AggregationAsAggregator]]): typed
+    * groupByKey + agg — partial aggregation happens map-side before the
+    * shuffle (the reference's `local_key_by` pre-aggregation for free),
+    * unlike the per-key state-machine path. */
+  def pAggBridge(s: SparkSession, dir: String): DataFrame = {
+    val votes = Tables.events(s, dir)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("cents"))
+      .as[(String, Long)]
+    val bridge = new AggregationAsAggregator(CentsStats)(
+      AggregationAsAggregator.bufferEnc(classOf[CentsAcc]),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    votes.groupByKey(_._1)
+      .agg(bridge.toColumn)
+      .toDF("event_type", "stats")
+      .select(col("event_type"), col("stats._1").as("total_cents"),
+        col("stats._2").as("n_events"))
+  }
+
+  val pAggBridgeSql: String =
+    """SELECT event_type,
+      |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------- p_ephemeral
   /** Ephemeral one-shot windows per user (trigger 1 h after the window
     * opens, state dropped 30 min later, late data dropped): session-like
@@ -192,5 +230,6 @@ object PipelineQueries {
     "p_alphabet" -> ((pAlphabet _, Some(pAlphabetSql))),
     "p_countwin" -> ((pCountwin _, Some(pCountwinSql))),
     "q_events_sliding" -> ((qEventsSliding _, Some(qEventsSlidingSql))),
+    "p_agg_bridge" -> ((pAggBridge _, Some(pAggBridgeSql))),
     "p_ephemeral" -> ((pEphemeral _, None)))
 }

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+
+/** Power-of-two-bin latency histogram
+  * (core/metrics/histogram.pony:21-66): value v counts into bin
+  * ceil(log2(v)) — 3→bin 2 (≤4), 4→bin 2, 5→bin 3 (≤8) — with min/max and
+  * total count for throughput reporting. 65 bins cover the full u64/Long
+  * range. */
+final class LatencyHistogram extends Serializable {
+  private val counts = new Array[Long](65)
+  private var minV: Long = Long.MaxValue
+  private var maxV: Long = 0L
+
+  /** 64 − clz(v): 0→bin 0, 1→bin 1, 3..4→bin 2... matching the Pony
+    * `64 - v.clz()` (get_idx). */
+  def binIdx(v: Long): Int =
+    if (v == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  def record(v: Long): Unit = synchronized {
+    counts(binIdx(v)) += 1
+    if (v < minV) minV = v
+    if (v > maxV) maxV = v
+  }
+
+  def count(i: Int): Long = synchronized(counts(i))
+  def size: Long = synchronized(counts.sum)
+  def min: Long = synchronized(minV)
+  def max: Long = synchronized(maxV)
+
+  /** Non-empty bins as (upper-bound, count) pairs. */
+  def report: Seq[(Long, Long)] = synchronized {
+    (0 until 65).collect {
+      case i if counts(i) > 0 =>
+        (if (i >= 63) Long.MaxValue else 1L << i, counts(i))
+    }
+  }
+}
+
+/** Streaming metrics via Spark's listener bus — the role of the
+  * reference's MetricsReporter + monitoring hub
+  * (core/metrics/metrics.pony:37-49: computation, start-to-end,
+  * node-ingress-egress, pipeline-ingestion categories map onto
+  * QueryProgressEvent's operator/batch durations). Per-query:
+  * batch-duration histogram (ms, power-of-2 bins) and processed-rows
+  * throughput. */
+final class GraftMetricsListener extends StreamingQueryListener {
+  final case class QueryMetrics(
+      batchDurationMs: LatencyHistogram = new LatencyHistogram,
+      var rows: Long = 0L,
+      var batches: Long = 0L)
+
+  private val queries = new ConcurrentHashMap[String, QueryMetrics]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    queries.putIfAbsent(event.name, QueryMetrics())
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val m = queries.computeIfAbsent(event.progress.name, _ => QueryMetrics())
+    m.batchDurationMs.record(event.progress.batchDuration)
+    m.synchronized { m.rows += event.progress.numInputRows; m.batches += 1 }
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  def metricsFor(name: String): Option[QueryMetrics] = Option(queries.get(name))
+
+  def summary: Map[String, (Long, Long, Seq[(Long, Long)])] = {
+    val out = Map.newBuilder[String, (Long, Long, Seq[(Long, Long)])]
+    queries.forEach((k, m) => out += k -> ((m.rows, m.batches, m.batchDurationMs.report)))
+    out.result()
+  }
+}
