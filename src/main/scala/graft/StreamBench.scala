@@ -46,25 +46,40 @@ object StreamBench {
     // Stage (user_id, cents, ts_ns) as an 8-file parquet dir so the file
     // source replays it as a sequence of micro-batches.
     val staged = Files.createTempDirectory("graft_stream_src").toString
+    // ×10 replication (ts perturbed by the replica index so per-key event
+    // times stay unique) so sustained throughput dominates the fixed
+    // ~1.5 s query-startup cost instead of being buried by it.
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
         col("ts_ns"))
-    ev.repartition(8).write.mode("overwrite").parquet(staged)
+      .crossJoin(spark.range(10).select(col("id")))
+      .select(col("user_id"), col("cents"),
+        (col("ts_ns") + col("id")).as("ts_ns"))
+    ev.repartition(16).write.mode("overwrite").parquet(staged)
     val nRows = spark.read.parquet(staged).count().toDouble
 
     def source() = ParquetReplaySource[(Long, Long, Long)](
       staged,
       (r: Row) => (r.getLong(0), r.getLong(1), r.getLong(2)),
       (r: Row) => r.getLong(2),
-      maxFilesPerTrigger = 2)
+      maxFilesPerTrigger = 8)
+
+    // Stream-side shuffle sizing: the keyed state here is ~100s of keys a
+    // few KB each, so 32 state-store partitions would spend the batch on
+    // store commits, not work. 8 partitions is sized to the state volume;
+    // at 100 TB/1000s-of-keys-per-GB this goes UP with key count — the
+    // knob scales the same way the reference's step parallelism does
+    // (application.pony:149-150 `parallelism`).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def bench(name: String)(build: SourceConfig[(Long, Long, Long)] => Pipeline[_]): (String, Double, Double) = {
       val t0 = System.nanoTime()
       val handle = build(source()) match {
-        case p: Pipeline[t] => p.toSink(EmptySink[t]())
+        case p: Pipeline[t] => p.toSink(EmptySink[t](),
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       }
-      handle.processAllAvailable()
-      handle.stop()
+      handle.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
       (name, sec, nRows / sec)
     }
@@ -88,6 +103,7 @@ object StreamBench {
             Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
       })
 
+    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     (results.map(r => (r._1, r._2)), results.map(r => (r._1, r._3)))
   }
 }

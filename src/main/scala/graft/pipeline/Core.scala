@@ -83,6 +83,16 @@ object LateDataPolicy {
   case object PlaceInOldestWindow extends LateDataPolicy
 }
 
+/** Routing policies for [[Pipeline.partitionWith]]
+  * (core/partitioning/partitioning.pony:39-106). */
+sealed trait PartitionerConfig
+object PartitionerConfig {
+  case object Passthrough extends PartitionerConfig
+  final case class Random(numPartitions: Int) extends PartitionerConfig
+  case object Single extends PartitionerConfig
+  final case class Key[T](extractor: T => String) extends PartitionerConfig
+}
+
 object TimeoutWatermark {
   /** Sentinel watermark forcing every window containing data to flush
     * (watermarks.pony:144-146: `U64.max_value()`). */

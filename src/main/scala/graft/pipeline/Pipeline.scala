@@ -109,6 +109,21 @@ final class Pipeline[T] private[pipeline] (
 
   def localCollect(): Pipeline[T] = collectAll()
 
+  /** Explicit routing policies (core/partitioning/partitioning.pony:39-106).
+    * Passthrough = stay on the current partitioning (pipelined, no
+    * shuffle); Random = round-robin rebalance across n tasks; Single =
+    * serialize through one task; Key = hash routing (the default for
+    * stateful stages — Spark's shuffle hash partitioning plays the
+    * reference's two-level consistent hashing, hash_partitions.pony). */
+  def partitionWith(p: PartitionerConfig): Pipeline[T] = p match {
+    case PartitionerConfig.Passthrough => this
+    case PartitionerConfig.Random(n) =>
+      new Pipeline[T](spark, stamped.repartition(n), None, name)
+    case PartitionerConfig.Single =>
+      new Pipeline[T](spark, stamped.coalesce(1), None, name)
+    case k: PartitionerConfig.Key[T @unchecked] => keyBy(k.extractor)
+  }
+
   // ------------------------------------------------------------ stateful
   /** Per-key stateful computation (computations.pony:48-109). */
   def to[U: Encoder, S](comp: StateComputation[T, U, S]): Pipeline[U] =
