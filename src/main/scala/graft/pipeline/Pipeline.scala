@@ -217,23 +217,30 @@ final class Pipeline[T] private[pipeline] (
 
   private def batchStateful[U: Encoder](
       kf: T => String, init: StateInitializer[T, U]): Dataset[(U, Long)] = {
+    // flatMapSortedGroups pushes the event-time ordering into Spark's
+    // spill-safe sort and hands us a lazy iterator — a key's group is
+    // never materialized in memory, so a hot key cannot OOM an executor
+    // (the streaming path is bounded per micro-batch instead).
     stamped
       .groupByKey(p => kf(p._1))(Encoders.STRING)
-      .flatMapGroups { (key: String, rows: Iterator[(T, Long)]) =>
-        var ks = KeyState[T, U](init.stateWrapper(key), 0L)
-        val outs = Vector.newBuilder[(U, Long)]
-        var wm = 0L
-        var live = true
-        rows.toArray.sortBy(_._2).foreach { case (t, ts) =>
-          if (!live) { ks = KeyState[T, U](init.stateWrapper(key), ks.outputWm); live = true }
-          wm = math.max(wm, ts)
-          val (os, ow, retain) = ks.wrapper(t, ts, wm)
-          outs ++= os
-          ks.outputWm = math.max(ks.outputWm, ow)
-          live = retain
-        }
-        if (live) outs ++= ks.wrapper.flush(TimeoutWatermark.value, ks.outputWm)._1
-        outs.result().iterator
+      .flatMapSortedGroups(org.apache.spark.sql.functions.col("_2")) {
+        (key: String, rows: Iterator[(T, Long)]) =>
+          var ks = KeyState[T, U](init.stateWrapper(key), 0L)
+          var wm = 0L
+          var live = true
+          val perRow = rows.flatMap { case (t, ts) =>
+            if (!live) { ks = KeyState[T, U](init.stateWrapper(key), ks.outputWm); live = true }
+            wm = math.max(wm, ts)
+            val (os, ow, retain) = ks.wrapper(t, ts, wm)
+            ks.outputWm = math.max(ks.outputWm, ow)
+            live = retain
+            os
+          }
+          // The flush half is evaluated only after `perRow` is exhausted.
+          perRow ++ Iterator.single(()).flatMap { _ =>
+            if (live) ks.wrapper.flush(TimeoutWatermark.value, ks.outputWm)._1
+            else Vector.empty
+          }
       }(tup[U])
   }
 
