@@ -10,6 +10,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
+    // Untimed warmup: pay JVM/codegen/parquet-reader initialization once,
+    // instead of billing ~6 s of JIT to whichever query sorts first.
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    Tables.load(spark, sfDir, "region").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

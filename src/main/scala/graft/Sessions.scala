@@ -20,9 +20,12 @@ object Sessions {
       // lib/wallaroo/core/source/source_handler.pony:28)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** local[n] session for Verify/Bench/tests; n from SPARK_GRAFT_CPUS. */
+  /** local[n] session for Verify/Bench/tests; n from SPARK_GRAFT_CPUS,
+    * defaulting to every available core (the target rig is local[32]);
+    * shuffle partitions match so each core gets exactly one shuffle task. */
   def local(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = tune(SparkSession.builder().appName(appName).master(s"local[$cpus]"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -54,6 +54,16 @@ object Tables {
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  /** documents carry the corpus text the dedup/text operators shingle and
+    * md5 — per-row CPU dwarfs scan cost for them. The small-SF testdata is
+    * one parquet row group = ONE scan task, which serializes all that
+    * hashing; spread rows across the cluster first. Conditional so a
+    * corpus that already arrives as many files (the 100 TB case) is never
+    * gratuitously shuffled — then the scan's own parallelism wins. */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "documents")
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

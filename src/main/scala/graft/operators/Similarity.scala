@@ -29,6 +29,9 @@ object Similarity {
   val TopK = 5
   val NumQueries = 20 // queries = vec_id < NumQueries
 
+  val IvfCentroids = 8 // IVF clusters (test-corpus sizing; → ~sqrt(n) at scale)
+  val IvfProbes = 2    // clusters probed per query
+
   // Banded LSH for near-dup pairs: DupBands independent bucketings of
   // DupPlanesPerBand sign bits each; a pair is a candidate if it shares
   // any band's bucket (band-OR boosts recall the way minhash bands do).
@@ -41,19 +44,22 @@ object Similarity {
     Array.tabulate(Planes.max(DupBands * DupPlanesPerBand), Dim)((p, d) =>
       if ((Portable.jvmHash(s"$p,$d", "plane") & 1L) == 1L) 1.0 else -1.0)
 
-  /** Sequential-fold dot product of two double-array SQL expressions. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+  /** Dot product of two double-array SQL expressions — the codegen'd
+    * native [[graft.functions.VecDot]] expression (registered per session
+    * in [[vecs]]). Bit-identical to the sequential fold the oracle uses. */
+  private def dot(a: String, b: String): String = s"vec_dot($a, $b)"
 
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a, (p, i) -> p * ($b)[i])), (x, y) -> x + y)"
 
   /** embeddings with double-cast vector + its norm. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, dir).select(
       col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("vd"))
       .withColumn("nrm", expr(s"sqrt(${dot("vd", "vd")})"))
+  }
 
   private val duckVecs: String =
     s"""v AS (
@@ -101,7 +107,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val v = vecs(s, dir)
     val bucket = (0 until Planes).map { p =>
-      val lit = planes(p).mkString("array(", ", ", ")")
+      val lit = planes(p).mkString("array(", "D, ", "D)") // D: double literals
       s"(case when ${dot("vd", lit)} >= 0 then ${1L << p} else 0 end)"
     }.mkString(" + ")
     val vb = v.withColumn("bucket", expr(bucket))
@@ -139,6 +145,78 @@ object Similarity {
        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $TopK""".stripMargin
   }
 
+  // ------------------------------------------------------------ s_ann_ivf
+  /** IVF-style ANN: partition the corpus into [[IvfCentroids]] clusters
+    * (assign each vector to its max-cosine centroid), probe each query's
+    * [[IvfProbes]] nearest clusters, exact re-rank inside them. The
+    * centroids here are simply the first [[IvfCentroids]] non-query
+    * vectors — deterministic and oracle-checkable; a production IVF would
+    * k-means a sample to place them, which changes recall but not this
+    * topology. Scale shape: centroids broadcast (tiny), assignment is one
+    * corpus scan, the candidate join's shuffle key is the cluster id —
+    * per-query work drops from n to ~n·probes/C. At 100 TB raise C toward
+    * sqrt(n) and train centroids on a sample. */
+  def sAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs(s, dir)
+    val cents = broadcast(
+      v.filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + IvfCentroids)
+        .select(col("vec_id").as("cent_id"), col("vd").as("cd"), col("nrm").as("cn")))
+    def nearest(side: DataFrame, idCol: String, vCol: String, nCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      side.join(cents)
+        .withColumn("ccos", expr(s"${dot(vCol, "cd")} / ($nCol * cn)"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("ccos", "crank", "cd", "cn")
+    }
+    val corpus = v.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("neighbor_id"), col("vd"), col("nrm"))
+    val assigned = nearest(corpus, "neighbor_id", "vd", "nrm", 1)
+    val probes = nearest(
+      v.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("vd").as("qd"), col("nrm").as("qn")),
+      "query_id", "qd", "qn", IvfProbes)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cent_id")
+      .withColumn("cosine", expr(s"${dot("qd", "vd")} / (qn * nrm)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  val sAnnIvfSql: String =
+    s"""WITH $duckVecs,
+       |cents AS (SELECT vec_id AS cent_id, vd AS cd, nrm AS cn FROM v
+       |          WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCentroids}),
+       |assigned AS (
+       |  SELECT neighbor_id, vd, nrm, cent_id FROM (
+       |    SELECT c.vec_id AS neighbor_id, c.vd, c.nrm, cents.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |        ${duckDot("c.vd", "cents.cd")} / (c.nrm * cents.cn) DESC,
+       |        cents.cent_id ASC) AS crank
+       |    FROM v c, cents WHERE c.vec_id >= $NumQueries)
+       |  WHERE crank <= 1),
+       |probes AS (
+       |  SELECT query_id, qd, qn, cent_id FROM (
+       |    SELECT q.vec_id AS query_id, q.vd AS qd, q.nrm AS qn, cents.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${duckDot("q.vd", "cents.cd")} / (q.nrm * cents.cn) DESC,
+       |        cents.cent_id ASC) AS crank
+       |    FROM v q, cents WHERE q.vec_id < $NumQueries)
+       |  WHERE crank <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    ${duckDot("p.qd", "a.vd")} / (p.qn * a.nrm) AS cosine
+       |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= $TopK""".stripMargin
+
   // ------------------------------------------------------------ s_cosine_dups
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH +
     * exact re-rank. Candidates = pairs sharing any of [[DupBands]]
@@ -157,7 +235,7 @@ object Similarity {
     val v = vecs(s, dir)
     val bandKeys = (0 until DupBands).map { b =>
       (0 until DupPlanesPerBand).map { j =>
-        val lit = planes(b * DupPlanesPerBand + j).mkString("array(", ", ", ")")
+        val lit = planes(b * DupPlanesPerBand + j).mkString("array(", "D, ", "D)")
         s"(case when ${dot("vd", lit)} >= 0 then ${1 << j} else 0 end)"
       }.mkString("(", " + ", ")")
     }.mkString("array(", ", ", ")")
@@ -204,5 +282,6 @@ object Similarity {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "s_ann_brute" -> ((sAnnBrute _, Some(sAnnBruteSql))),
     "s_ann_lsh" -> ((sAnnLsh _, Some(sAnnLshSql))),
+    "s_ann_ivf" -> ((sAnnIvf _, Some(sAnnIvfSql))),
     "s_cosine_dups" -> ((sCosineDups _, Some(sCosineDupsSql))))
 }

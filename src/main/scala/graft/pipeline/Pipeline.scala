@@ -49,7 +49,9 @@ final class Pipeline[T] private[pipeline] (
     val spark: SparkSession,
     private[pipeline] val stamped: Dataset[(T, Long)],
     private[pipeline] val keyFn: Option[T => String],
-    val name: String)(implicit enc: Encoder[T]) {
+    val name: String,
+    private[pipeline] val partitionScopedKey: Boolean = false)(
+    implicit enc: Encoder[T]) {
 
   private def tup[U](implicit e: Encoder[U]): Encoder[(U, Long)] =
     Encoders.tuple(e, Encoders.scalaLong)
@@ -105,9 +107,19 @@ final class Pipeline[T] private[pipeline] (
 
   /** Route everything to one key — a global serialization point
     * (application.pony:250-253, key.pony:21-23). */
-  def collectAll(): Pipeline[T] = keyBy(_ => s"collect-key-$name")
+  def collectAll(): Pipeline[T] = {
+    val key = s"collect-key-$name" // materialize: the lambda must not capture `this`
+    keyBy(_ => key)
+  }
 
-  def localCollect(): Pipeline[T] = collectAll()
+  /** Worker-local collect (application.pony:255-256): one state instance
+    * per PARALLEL UNIT rather than one global — the Spark analogue of the
+    * reference's per-worker collect step is per-source-partition state.
+    * The next stateful stage keys by the upstream partition id, so N
+    * partitions fold independently (typically followed by `collectAll`
+    * for the global combine, the reference's pre-aggregation pattern). */
+  def localCollect(): Pipeline[T] =
+    new Pipeline[T](spark, stamped, Some(_ => ""), name, partitionScopedKey = true)
 
   /** Explicit routing policies (core/partitioning/partitioning.pony:39-106).
     * Passthrough = stay on the current partitioning (pipelined, no
@@ -155,9 +167,12 @@ final class Pipeline[T] private[pipeline] (
     // exactly at ts < maxEventTs − slack — the machine's own drop
     // threshold for drop-policy windows, never for the other stages.
     val slack = init.watermarkSlackNs
+    val byPartition = partitionScopedKey
     val keyed = stamped
       .map { case (t, ts) =>
-        (kf(t), t, ts, new java.sql.Timestamp((ts + slack) / 1000000L))
+        val key = if (byPartition) "part-" + org.apache.spark.TaskContext.getPartitionId()
+                  else kf(t)
+        (key, t, ts, new java.sql.Timestamp((ts + slack) / 1000000L))
       }(rowEnc)
       .withWatermark("_4", s"${slack / 1000000L} milliseconds")
     val stateEnc: Encoder[KeyState[T, U]] =
@@ -221,8 +236,12 @@ final class Pipeline[T] private[pipeline] (
     // spill-safe sort and hands us a lazy iterator — a key's group is
     // never materialized in memory, so a hot key cannot OOM an executor
     // (the streaming path is bounded per micro-batch instead).
+    val byPartition = partitionScopedKey
     stamped
-      .groupByKey(p => kf(p._1))(Encoders.STRING)
+      .groupByKey { p =>
+        if (byPartition) "part-" + org.apache.spark.TaskContext.getPartitionId()
+        else kf(p._1)
+      }(Encoders.STRING)
       .flatMapSortedGroups(org.apache.spark.sql.functions.col("_2")) {
         (key: String, rows: Iterator[(T, Long)]) =>
           var ks = KeyState[T, U](init.stateWrapper(key), 0L)
