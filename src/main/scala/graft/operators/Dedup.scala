@@ -88,7 +88,12 @@ object Dedup {
       .crossJoin(broadcast(total))
       .filter(col("df") <= col("n_docs") * MaxDfFrac)
       .select("sh")
+    // (doc_id, shingle) post-cutoff feeds three branches (per-doc sizes +
+    // both sides of the self-join); persist instead of re-exploding and
+    // re-hashing the corpus three times. Spills at scale; still far
+    // cheaper than 3 corpus scans.
     val shk = sh.join(kept, "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = shk.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = shk.as("a").join(shk.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
