@@ -103,6 +103,69 @@ final case class KafkaSource[T](
   }
 }
 
+/** The reference's framed-source decode contract
+  * (core/source/source_handler.pony:21-28: `header_length`,
+  * `payload_length(header)`, `decode(payload)`, `event_time_ns`;
+  * framing loop framed_source_notify.pony:91-133). */
+trait FramedDecoder[T] extends Serializable {
+  /** Bytes of header preceding each payload (reference default 4). */
+  def headerLength: Int = 4
+  /** Payload byte count from the header (default: big-endian u32 — the
+    * framing TcpSink writes). */
+  def payloadLength(header: Array[Byte]): Int =
+    ((header(0) & 0xff) << 24) | ((header(1) & 0xff) << 16) |
+      ((header(2) & 0xff) << 8) | (header(3) & 0xff)
+  def decode(payload: Array[Byte]): T
+  def eventTimeNs(t: T): Long
+}
+
+private[pipeline] object FramedDecoder {
+  /** Split one framed byte blob into messages. Truncated trailing frames
+    * are an error — a framed log is written whole-frame-at-a-time. */
+  def frames[T](decoder: FramedDecoder[T], bytes: Array[Byte]): Iterator[T] =
+    new Iterator[T] {
+      private var off = 0
+      def hasNext: Boolean = off < bytes.length
+      def next(): T = {
+        val hl = decoder.headerLength
+        require(off + hl <= bytes.length, s"truncated frame header at $off")
+        val pl = decoder.payloadLength(java.util.Arrays.copyOfRange(bytes, off, off + hl))
+        require(off + hl + pl <= bytes.length, s"truncated frame payload at $off")
+        val t = decoder.decode(java.util.Arrays.copyOfRange(bytes, off + hl, off + hl + pl))
+        off += hl + pl
+        t
+      }
+    }
+}
+
+/** Length-framed binary files as a source — the file form of the
+  * reference's framed TCP protocol (its giles sender/receiver tooling
+  * persists exactly such logs). Built on Spark's `binaryFile` source, so
+  * the same decoder runs batch or streaming (checkpointed file offsets =
+  * at-least-once restart points); parallelism = files. One file must fit
+  * an executor (binaryFile's own contract) — shard big logs. */
+final case class FramedFileSource[T](
+    path: String,
+    decoder: FramedDecoder[T],
+    streaming: Boolean = true,
+    maxFilesPerTrigger: Int = 1)(implicit enc: Encoder[T])
+    extends SourceConfig[T] {
+  def load(spark: SparkSession): Dataset[(T, Long)] = {
+    val df =
+      if (streaming)
+        spark.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", maxFilesPerTrigger).load(path)
+      else spark.read.format("binaryFile").load(path)
+    val dec = decoder
+    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
+    df.select(col("content")).as[Array[Byte]](Encoders.BINARY)
+      .flatMap { bytes =>
+        FramedDecoder.frames(dec, bytes).map(t => (t, dec.eventTimeNs(t)))
+      }(tupEnc)
+  }
+}
+
 /** Line-oriented TCP source (core/source/tcp_source/ — the reference frames
   * binary messages with a length header; Spark's socket source is
   * line-oriented, so the decoder takes the line's bytes. For true framed
