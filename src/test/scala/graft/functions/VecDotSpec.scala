@@ -36,6 +36,31 @@ class VecDotSpec extends AnyFunSuite {
     assert(df.filter("native <> hof or native is null").count() === 0)
   }
 
+  test("GraftExtensions injects vec_dot at session build") {
+    spark // force the shared context first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    // getOrCreate returns the existing default session (ignoring
+    // extensions) unless cleared; the SparkContext itself is reused.
+    // spark.sql.extensions is a *static* conf read from the
+    // SparkContext's conf, so with a shared context it is silently
+    // ignored — withExtensions exercises the same injection path.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().appName("vecdot-ext").master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT vec_dot(array(1d, 2d), array(3d, 4d)) AS d").collect()
+      assert(r(0).getDouble(0) === 11.0) // do NOT stop s2: shared context
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("nulls and unequal lengths") {
     VectorFunctions.register(spark)
     val df = spark.sql(
