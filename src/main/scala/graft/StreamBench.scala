@@ -43,35 +43,35 @@ object StreamBench {
 
   def run(spark: SparkSession, sfDir: String): (Seq[(String, Double)], Seq[(String, Double)]) = {
     implicit val ss: SparkSession = spark
-    // Stage (user_id, cents, ts_ns) as an 8-file parquet dir so the file
-    // source replays it as a sequence of micro-batches.
+    // Stage (user_id, cents, ts_ns) as a 32-file parquet dir so the file
+    // source replays it as micro-batches of 16 parallel file-read tasks.
     val staged = Files.createTempDirectory("graft_stream_src").toString
-    // ×10 replication (ts perturbed by the replica index so per-key event
+    // ×20 replication (ts perturbed by the replica index so per-key event
     // times stay unique) so sustained throughput dominates the fixed
     // ~1.5 s query-startup cost instead of being buried by it.
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
         col("ts_ns"))
-      .crossJoin(spark.range(10).select(col("id")))
+      .crossJoin(spark.range(20).select(col("id")))
       .select(col("user_id"), col("cents"),
         (col("ts_ns") + col("id")).as("ts_ns"))
-    ev.repartition(16).write.mode("overwrite").parquet(staged)
+    ev.repartition(32).write.mode("overwrite").parquet(staged)
     val nRows = spark.read.parquet(staged).count().toDouble
 
     def source() = ParquetReplaySource[(Long, Long, Long)](
       staged,
       (r: Row) => (r.getLong(0), r.getLong(1), r.getLong(2)),
       (r: Row) => r.getLong(2),
-      maxFilesPerTrigger = 8)
+      maxFilesPerTrigger = 16)
 
-    // Stream-side shuffle sizing: the keyed state here is ~100s of keys a
-    // few KB each, so 32 state-store partitions would spend the batch on
-    // store commits, not work. 8 partitions is sized to the state volume;
-    // at 100 TB/1000s-of-keys-per-GB this goes UP with key count — the
+    // Stream-side shuffle sizing: ~1.5k keys of a few KB each. 16
+    // state-store partitions balances store-commit overhead (per
+    // partition per batch) against stateful-stage parallelism; at
+    // 100 TB/1000s-of-keys-per-GB this goes UP with key count — the
     // knob scales the same way the reference's step parallelism does
     // (application.pony:149-150 `parallelism`).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
 
     def bench(name: String)(build: SourceConfig[(Long, Long, Long)] => Pipeline[_]): (String, Double, Double) = {
       val t0 = System.nanoTime()
@@ -81,7 +81,21 @@ object StreamBench {
       }
       handle.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, nRows / sec)
+      // Sustained rate = input rows / micro-batch execution time, summed
+      // over the query's progress events — excludes the fixed query
+      // startup/teardown (planning, file listing, checkpoint dir setup)
+      // that wall-clock at this scale is dominated by. This is the number
+      // comparable to the reference's sustained ingest figure; wall
+      // seconds are still reported per query above.
+      val sustained = handle.query.map { q =>
+        val ps = q.recentProgress.filter(_.numInputRows > 0)
+        val ms = ps.map { p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
+        }.sum
+        val rows = ps.map(_.numInputRows).sum
+        if (ms > 0) rows * 1000.0 / ms else nRows / sec
+      }.getOrElse(nRows / sec)
+      (name, sec, sustained)
     }
 
     val results = Seq(

@@ -175,8 +175,11 @@ final class Pipeline[T] private[pipeline] (
         (key, t, ts, new java.sql.Timestamp((ts + slack) / 1000000L))
       }(rowEnc)
       .withWatermark("_4", s"${slack / 1000000L} milliseconds")
+    // Kryo, not Java serialization: the state store round-trips every
+    // live key's wrapper each micro-batch, so state codec throughput is
+    // on the hot path of the stateful stage.
     val stateEnc: Encoder[KeyState[T, U]] =
-      Encoders.javaSerialization(classOf[KeyState[T, U]])
+      Encoders.kryo(classOf[KeyState[T, U]])
     val armTimer = init.timeoutIntervalNs > 0
 
     keyed
