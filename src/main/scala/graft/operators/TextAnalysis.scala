@@ -142,9 +142,95 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------------------------ t_clean_corpus
+  /** The composed cleaning pass a training-data pipeline actually runs:
+    * score quality + language-ID + fingerprint in ONE scan (all narrow,
+    * projection-collapsed), exact-dedup to the canonical (min doc_id) copy
+    * per fingerprint, drop low-quality and unidentified-language docs,
+    * and emit per-language corpus stats. Two shuffles total: the window
+    * over fp (the raw text column is projected away BEFORE it — the
+    * shuffle carries a hash + a handful of numerics) and the final
+    * per-language aggregate. Output sums are exact integers, so the
+    * result is identical at any parallelism. */
+  def tCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = Portable.sparkTokens("text")
+    val ltoks = Portable.sparkTokens("lower(text)")
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    val base = Tables.documents(s, dir).select(
+      Seq(
+        col("doc_id"),
+        expr(s"md5($norm)").as("fp"),
+        expr(s"size($toks)").cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr(s"cast(size(filter($toks, t -> t IN (${sqlList(stopwords)}))) as double)" +
+          s" / size($toks)").as("stopword_ratio"),
+        expr("cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) as double)" +
+          " / length(text)").as("punct_ratio")) ++
+      langMarkers.map { case (lang, markers) =>
+        expr(s"cast(size(filter($ltoks, t -> t IN (${sqlList(markers)}))) as bigint)")
+          .as(s"score_$lang")
+      }: _*)
+    val best = langMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+    val pick = langMarkers.foldRight("'unknown'") { case ((l, _), els) =>
+      s"if(score_$l = best AND best > 0, '$l', $els)"
+    }
+    base
+      .withColumn("quality_score",
+        expr("least(cast(n_tokens as double) / 100, 1.0) * 0.5" +
+          " + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2"))
+      .withColumn("best", expr(best))
+      .withColumn("pred_lang", expr(pick))
+      .withColumn("canonical_id",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("canonical_id") &&
+        col("pred_lang") =!= "unknown" && col("quality_score") >= 0.5)
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"),
+        sum("n_chars").as("n_chars_total"))
+  }
+
+  val tCleanCorpusSql: String = {
+    val toks = Portable.duckTokens("text")
+    val ltoks = Portable.duckTokens("lower(text)")
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val scoreCols = langMarkers.map { case (l, m) =>
+      s"CAST(len(list_filter($ltoks, t -> t IN (${sqlList(m)}))) AS BIGINT) AS score_$l"
+    }.mkString(",\n    ")
+    val best = langMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+    val pick = langMarkers.foldRight("'unknown'") { case ((l, _), els) =>
+      s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $els END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    md5($norm) AS fp,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter($toks, t -> t IN (${sqlList(stopwords)}))) AS DOUBLE)
+       |      / len($toks) AS stopword_ratio,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS punct_ratio,
+       |    $scoreCols
+       |  FROM documents),
+       |q AS (
+       |  SELECT *,
+       |    least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5
+       |      + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2 AS quality_score,
+       |    $best AS best
+       |  FROM scored),
+       |p AS (SELECT *, $pick AS pred_lang FROM q),
+       |c AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM p)
+       |SELECT pred_lang, COUNT(*) AS n_docs,
+       |  SUM(n_tokens) AS n_tokens_total, SUM(n_chars) AS n_chars_total
+       |FROM c
+       |WHERE doc_id = canonical_id AND pred_lang <> 'unknown' AND quality_score >= 0.5
+       |GROUP BY 1""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "t_token_count" -> ((tTokenCount _, Some(tTokenCountSql))),
     "t_quality" -> ((tQuality _, Some(tQualitySql))),
     "t_langid" -> ((tLangid _, Some(tLangidSql))),
-    "t_fingerprint" -> ((tFingerprint _, Some(tFingerprintSql))))
+    "t_fingerprint" -> ((tFingerprint _, Some(tFingerprintSql))),
+    "t_clean_corpus" -> ((tCleanCorpus _, Some(tCleanCorpusSql))))
 }
