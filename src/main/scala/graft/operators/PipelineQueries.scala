@@ -182,6 +182,53 @@ object PipelineQueries {
       |       COUNT(*) AS n_events
       |FROM w GROUP BY ws, event_type""".stripMargin
 
+  // ---------------------------------------------------------- p_sliding
+  /** The PANE MACHINE's sliding windows (panes_range_windows.pony) batch-
+    * replayed with a DuckDB oracle — q_events_sliding covers the
+    * Spark-native `window()` path; this covers the DSL path whose grid
+    * anchors at each key's FIRST event (not the epoch). 7-day range /
+    * 1-day slide: the machine re-anchors its grid after an idle gap
+    * longer than range − pane (the triggerDiff skip), so the per-key
+    * arithmetic grid oracle is exact only while gaps stay under 6 days —
+    * the testdata's max per-user gap is 4.1 (sf0.01) / 5.9 (sf0.1) days.
+    * Empty grid windows emit identity outputs (reference semantics);
+    * both sides keep n_events > 0 so the compare is over data windows.
+    * The window boundary is reported as the window START in integer µs:
+    * DuckDB's parquet reader truncates TIMESTAMP(NANOS) to µs, so the
+    * anchor's sub-µs digits exist only on the Spark side — flooring the
+    * start to µs erases exactly that remainder on both engines (the
+    * window END µs would straddle the truncation and diverge). */
+  val SlideNs: Long = 86400L * 1000000000L
+  val RangeNs: Long = 7 * SlideNs
+
+  def pSliding(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    Graft.source("sliding", DatasetSource(eventStream(s, dir), (e: (Long, Long, Long)) => e._3))
+      .keyBy(_._1.toString)
+      .to(Graft.rangeWindows(RangeNs).withSlide(SlideNs).over(WindowCents))
+      .dataset
+      .filter(col("_1._3") > 0)
+      .select(col("_1._1").cast("bigint").as("user_id"),
+        expr(s"(_2 + 1 - ${RangeNs}L) div 1000").as("ws_us"),
+        col("_1._2").as("sum_cents"), col("_1._3").as("n_events"))
+  }
+
+  val pSlidingSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       |         epoch_ns(ts) AS t
+       |  FROM events),
+       |a AS (SELECT user_id, MIN(t) AS anchor FROM e GROUP BY user_id),
+       |x AS (
+       |  SELECT e.user_id, cents, anchor,
+       |         ((t - anchor) // $SlideNs) - j.j AS k
+       |  FROM e JOIN a USING (user_id)
+       |  CROSS JOIN (SELECT unnest(range(0, ${RangeNs / SlideNs})) AS j) j)
+       |SELECT user_id, (anchor + k * $SlideNs) // 1000 AS ws_us,
+       |       SUM(cents) AS sum_cents, COUNT(*) AS n_events
+       |FROM x WHERE k >= 0
+       |GROUP BY user_id, anchor, k""".stripMargin
+
   // ---------------------------------------------------------- p_agg_bridge
   /** The Aggregation contract run through Catalyst as a Spark
     * `Aggregator[IN,BUF,OUT]` ([[AggregationAsAggregator]]): typed
@@ -230,6 +277,7 @@ object PipelineQueries {
     "p_alphabet" -> ((pAlphabet _, Some(pAlphabetSql))),
     "p_countwin" -> ((pCountwin _, Some(pCountwinSql))),
     "q_events_sliding" -> ((qEventsSliding _, Some(qEventsSlidingSql))),
+    "p_sliding" -> ((pSliding _, Some(pSlidingSql))),
     "p_agg_bridge" -> ((pAggBridge _, Some(pAggBridgeSql))),
     "p_ephemeral" -> ((pEphemeral _, None)))
 }
