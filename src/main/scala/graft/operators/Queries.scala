@@ -392,6 +392,73 @@ object Queries {
       |  CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE) AS sum_amount
       |FROM merged GROUP BY custkey, kind""".stripMargin
 
+  // ---------------------------------------------------------------- q17_small_qty
+  /** TPC-H q17 shape: correlated scalar subquery (revenue from lineitems
+    * under 20% of their part's average quantity) decorrelated into an
+    * aggregate-then-join. The predicate `qty < 0.2·avg` is evaluated as
+    * `5·qty·cnt < sum_qty` in exact DECIMAL/integer arithmetic so borderline
+    * rows cannot flip between engines. Scale shape: both joins share the
+    * l_partkey shuffle key, so lineitem is exchanged ONCE and reused;
+    * the brand-filtered part side stays a plain shuffle join (part is
+    * 10s of GB at 100 TB — deliberately not broadcast, Tables.scala). */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+      .select("p_partkey")
+    val avgq = l.groupBy(col("l_partkey").as("a_partkey")).agg(
+      sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+      count(lit(1)).cast("decimal(10,0)").as("cnt_qty"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(avgq, col("l_partkey") === col("a_partkey"))
+      .filter(expr("cast(l_quantity as decimal(12,2)) * 5 * cnt_qty < sum_qty"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH avgq AS (
+      |  SELECT l_partkey AS a_partkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+      |    CAST(COUNT(*) AS DECIMAL(10,0)) AS cnt_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+      |JOIN avgq ON l_partkey = a_partkey
+      |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt_qty < sum_qty""".stripMargin
+
+  // ---------------------------------------------------------------- q_pivot
+  /** Pivot: order counts + exact money sums per status, one column pair
+    * per priority (explicit value list keeps the output schema static —
+    * the scale rule: a dynamic pivot would need a driver-side distinct
+    * scan before planning). */
+  private val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private def prioCol(p: String) = p.substring(0, 1) // stable short names
+
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val aggs = prios.flatMap { p =>
+      Seq(
+        sum(when(col("o_orderpriority") === p, 1L).otherwise(0L)).as(s"n_${prioCol(p)}"),
+        sum(when(col("o_orderpriority") === p, col("o_totalprice").cast("decimal(12,2)"))
+          .otherwise(expr("cast(0 as decimal(12,2))"))).cast("double").as(s"sum_${prioCol(p)}"))
+    }
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  val qPivotSql: String = {
+    val cols = prios.flatMap { p =>
+      Seq(
+        s"SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS n_${prioCol(p)}",
+        s"CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_${prioCol(p)}")
+    }.mkString(",\n  ")
+    s"""SELECT o_orderstatus,
+       |  $cols
+       |FROM orders GROUP BY o_orderstatus""".stripMargin
+  }
+
   /** name → (query builder, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q1_agg" -> ((q1Agg _, Some(q1AggSql))),
@@ -408,5 +475,7 @@ object Queries {
     "q_events_tumbling" -> ((qEventsTumbling _, Some(qEventsTumblingSql))),
     "q_events_sessionize" -> ((qEventsSessionize _, Some(qEventsSessionizeSql))),
     "q_strings_dates" -> ((qStringsDates _, Some(qStringsDatesSql))),
-    "q_merge_union" -> ((qMergeUnion _, Some(qMergeUnionSql))))
+    "q_merge_union" -> ((qMergeUnion _, Some(qMergeUnionSql))),
+    "q17_small_qty" -> ((q17SmallQty _, Some(q17SmallQtySql))),
+    "q_pivot" -> ((qPivot _, Some(qPivotSql))))
 }
