@@ -227,6 +227,29 @@ class ExampleAppsSpec extends AnyFunSuite {
     }
   }
 
+  test("GenSource: rate-driven indexed generator feeds the stateless alerts pipeline") {
+    import spark.implicits._
+    // Indexed form of the generator (GenSource is i => T so any partition
+    // can compute its rows independently — the survey's scale note).
+    val handle = Graft.source("gen-alerts", GenSource[(Long, Long)](
+        i => (i, (((BigInt(i) * GenMult + 7).mod(BigInt(2500))) - 1250).toLong),
+        rowsPerSecond = 5000, numPartitions = 2))
+      .to(CheckTransaction)
+      .toSink(MemorySink("gen_alerts_out"))
+    try {
+      Thread.sleep(2000) // let the rate source emit a couple of seconds
+      handle.processAllAvailable()
+    } finally handle.stop()
+    val got = spark.sql("SELECT _1._1, _1._2, _1._3 FROM gen_alerts_out")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (tid, amount, isDeposit) =>
+      val expected = (((BigInt(tid) * GenMult + 7).mod(BigInt(2500))) - 1250).toLong
+      assert(amount == expected && (amount > 1000 || amount < -1000) &&
+        isDeposit == (amount > 1000))
+    }
+  }
+
   test("alphabet app: framed binary fixture replay matches the reference golden") {
     import spark.implicits._
     val dir = "/root/reference/examples/python/alphabet_partitioned"
