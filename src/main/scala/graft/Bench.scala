@@ -11,9 +11,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
     // Untimed warmup: pay JVM/codegen/parquet-reader initialization once,
-    // instead of billing ~6 s of JIT to whichever query sorts first.
+    // instead of billing ~6 s of JIT to whichever query sorts first. The
+    // synthetic query runs over spark.range (never the test tables — no
+    // data caching) but touches the machinery the real queries compile:
+    // regex/md5/higher-order expressions, a shuffle agg under AQE, a
+    // broadcast join, and a window function, so Janino and the shuffle
+    // path are warm before the first measurement.
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "region").write.format("noop").mode("overwrite").save()
+    locally {
+      import org.apache.spark.sql.functions._
+      val base = spark.range(1 << 16)
+        .withColumn("s", expr("md5(regexp_replace(cast(id as string), '[02468]', 'x'))"))
+        .withColumn("a", expr("filter(transform(sequence(1, 4), i -> i * id), v -> v % 2 = 0)"))
+        .withColumn("k", expr("id % 97"))
+      val dim = spark.range(97).select(col("id").as("k"), col("id").as("v"))
+      base.join(broadcast(dim), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum(expr("size(a)")).as("sa"),
+          max(length(col("s"))).as("ls"))
+        .withColumn("r", expr("rank() over (order by n, k)"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
