@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch scale probe (not part of the driver contract): replicates the
+  * documents/embeddings tables N× into a temp dir and times the dedup/ANN
+  * operators that were round-1 scale-killers, to check growth is
+  * near-linear after the fixes. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = Sessions.local("graft-scale-probe")
+    val staged = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    // documents: doc_id remapped per replica so ids stay unique
+    val docs = Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+    docs.crossJoin(spark.range(n).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * maxId).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val emb = Tables.embeddings(spark, sfDir)
+    val maxV = emb.agg(max("vec_id")).head.getLong(0) + 1
+    emb.crossJoin(spark.range(n).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * maxV).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$staged/embeddings.parquet")
+
+    val probes = Seq("d_exact", "d_ngram_jaccard", "d_minhash_lsh",
+      "d_simhash_pairs", "s_cosine_dups", "s_ann_lsh", "t_clean_corpus")
+    probes.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, staged).write.format("noop").mode("overwrite").save()
+      println(f"[probe x$n] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    // The scale-sized variant: 12-bit bands → 4096 buckets per band.
+    val t0 = System.nanoTime()
+    operators.Similarity.sCosineDupsWith(spark, staged, 8, 12)
+      .write.format("noop").mode("overwrite").save()
+    println(f"[probe x$n] s_cosine_dups_8x12 ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    spark.stop()
+  }
+}
