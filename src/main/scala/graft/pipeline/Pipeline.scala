@@ -301,6 +301,40 @@ final class Pipeline[T] private[pipeline] (
     } else { sinks.foreach(_.writeBatch(stamped)); new SinkHandle(None) }
   }
 
+  /** Durable stage boundary: terminate this pipeline into a parquet
+    * handoff directory and continue as a NEW pipeline sourced from it.
+    *
+    * Why: Spark allows one `flatMapGroupsWithState` per streaming query,
+    * while the reference chains stateful steps freely (every step is an
+    * actor — application.pony builds arbitrary stage DAGs). A topology
+    * with two stateful stages becomes two queries bridged by this
+    * handoff: the upstream query appends (payload, ts) parquet files,
+    * the downstream file-source streams them with checkpointed file
+    * offsets — each side restarts independently from its own
+    * checkpoint, which is exactly the reference's per-step recovery
+    * unit. Batch pipelines chain stateful stages natively, so `through`
+    * is the identity there (no handle).
+    *
+    * Returns the upstream query's handle (stop it to end the stage) and
+    * the downstream pipeline. At scale the handoff is also the natural
+    * backpressure boundary: the downstream reads at its own pace. */
+  def through(handoffDir: String,
+      checkpointLocation: Option[String] = None): (SinkHandle, Pipeline[T]) =
+    if (!stamped.isStreaming) (new SinkHandle(None), this)
+    else {
+      // The parquet sink mandates a checkpoint; default to a temp dir so
+      // test topologies compose (production passes a durable location).
+      val ckpt = checkpointLocation.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_handoff_ckpt").toString)
+      val q = SinkConfig.streamWriter(stamped, s"$name-handoff", Some(ckpt),
+          Trigger.ProcessingTime(0L))
+        .format("parquet").option("path", handoffDir).outputMode("append").start()
+      val schema = Encoders.tuple(enc, Encoders.scalaLong).schema
+      val replay = spark.readStream.schema(schema).parquet(handoffDir)
+        .as[(T, Long)](Encoders.tuple(enc, Encoders.scalaLong))
+      (new SinkHandle(Some(q)), new Pipeline[T](spark, replay, None, name))
+    }
+
   /** The stamped stream — for embedding a pipeline's result into plain
     * Dataset/SQL code (the analytical surface). */
   def dataset: Dataset[(T, Long)] = stamped
