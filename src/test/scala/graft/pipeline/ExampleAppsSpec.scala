@@ -96,6 +96,26 @@ object ExampleAppFixtures {
       if (acc.v > 2000 || acc.v < -2000) Some((key, acc.v)) else None
   }
 
+  /** alerts_local_aggregations (examples/pony/alerts_local_aggregations/
+    * alerts.pony:96-120): a worker-local per-key pre-stage feeding the
+    * global per-key running total. */
+  object LocalCheck extends StateComputation[(String, Long, Long), (String, Long, Long), TxTotal] {
+    override val name = "local check transaction"
+    def initialState(): TxTotal = new TxTotal
+    def apply(t: (String, Long, Long), st: TxTotal): ComputationResult[(String, Long, Long)] = {
+      st.total += t._2
+      ComputationResult.One(t) // TransactionGroup(user, amount): pass-through
+    }
+  }
+  object GlobalCheck extends StateComputation[(String, Long, Long), (String, Long), TxTotal] {
+    override val name = "check transaction total"
+    def initialState(): TxTotal = new TxTotal
+    def apply(t: (String, Long, Long), st: TxTotal): ComputationResult[(String, Long)] = {
+      st.total += t._2
+      ComputationResult.One((t._1, st.total))
+    }
+  }
+
   /** alphabet votes message: 1-byte letter + big-endian u32 count, length
     * framed (alphabet.py:72-76 `@wallaroo.decoder(header_length=4,
     * length_fmt=">I")` + `struct.unpack(">sI", bs)`). */
@@ -225,6 +245,28 @@ class ExampleAppsSpec extends AnyFunSuite {
       assert(total == sum, s"window sum mismatch for $user@$end")
       assert(total > 2000 || total < -2000)
     }
+  }
+
+  test("alerts_local_aggregations app: local pre-stage then global running totals") {
+    import spark.implicits._
+    val txs = statefulTransactions(300)
+    // Batch pipelines chain stateful stages natively (flatMapSortedGroups
+    // composes); local_key_by routes worker-local in the reference and is
+    // a keyBy alias here — the local stage passes amounts through, so the
+    // downstream totals are partition-invariant either way.
+    Graft.source("alerts-local", DatasetSource(
+        spark.createDataset(txs), (t: (String, Long, Long)) => t._3 * 1000000000L))
+      .localKeyBy(_._1)
+      .to(LocalCheck)
+      .keyBy(_._1)
+      .to(GlobalCheck)
+      .toSink(MemorySink("alerts_local_out"))
+    val out = spark.sql("SELECT _1._1, _1._2, _2 FROM alerts_local_out")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == txs.length) // one running total per transaction
+    val finals = out.groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._3)._2 }
+    val want = txs.groupBy(_._1).map { case (u, ts) => u -> ts.map(_._2).sum }
+    assert(finals == want)
   }
 
   test("GenSource: rate-driven indexed generator feeds the stateless alerts pipeline") {

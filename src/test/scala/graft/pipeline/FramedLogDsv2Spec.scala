@@ -73,4 +73,24 @@ class FramedLogDsv2Spec extends AnyFunSuite {
     assert(FramedLog.frameAlignedEnd(log, 0L, 1L) == 8L)   // one frame
     assert(FramedLog.frameAlignedEnd(log, 8L, 9L) == 24L)  // two more
   }
+
+  test("property: offsets are always frame-aligned and walking covers every frame") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 25).foreach { _ =>
+      val msgs = Seq.fill(rnd.nextInt(30) + 1)("x" * rnd.nextInt(40))
+      val log = Files.createTempDirectory("framedprop").resolve("p.log").toString
+      append(log, msgs)
+      val frameEnds = msgs.scanLeft(0L)((pos, m) => pos + 4 + m.length).tail
+      // Full walk reaches EOF exactly.
+      assert(FramedLog.frameAlignedEnd(log, 0L, Long.MaxValue) == frameEnds.last)
+      // From any frame boundary with any byte budget, the end is one of
+      // the true frame boundaries at or after the start.
+      (0L +: frameEnds).foreach { start =>
+        val budget = rnd.nextInt(80) + 1
+        val end = FramedLog.frameAlignedEnd(log, start, budget.toLong)
+        assert(end == start || frameEnds.contains(end))
+        assert(end >= start)
+      }
+    }
+  }
 }
