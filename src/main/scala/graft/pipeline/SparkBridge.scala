@@ -35,7 +35,9 @@ final class AggregationAsAggregator[In, Out, Acc](
 }
 
 object AggregationAsAggregator {
-  /** Buffer encoder for arbitrary (java-serializable) accumulators. */
+  /** Buffer encoder for arbitrary accumulators. Kryo, matching the
+    * streaming state codec: the buffer round-trips on every partial-agg
+    * spill/merge, so codec throughput is on the aggregation hot path. */
   def bufferEnc[Acc <: AnyRef](cls: Class[Acc]): Encoder[Acc] =
-    Encoders.javaSerialization(cls)
+    Encoders.kryo(cls)
 }
