@@ -15,13 +15,13 @@ object ScaleProbe {
 
     // documents: doc_id remapped per replica so ids stay unique
     val docs = Tables.documents(spark, sfDir)
-    val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
     docs.crossJoin(spark.range(n).select(col("id").as("rep")))
       .select((col("doc_id") + col("rep") * maxId).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$staged/documents.parquet")
     val emb = Tables.embeddings(spark, sfDir)
-    val maxV = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val maxV = emb.agg(max("vec_id")).head().getLong(0) + 1
     emb.crossJoin(spark.range(n).select(col("id").as("rep")))
       .select((col("vec_id") + col("rep") * maxV).as("vec_id"),
         col("embedding"), col("label"))
