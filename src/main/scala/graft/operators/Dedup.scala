@@ -309,11 +309,79 @@ object Dedup {
        |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= $SimMaxHamming""".stripMargin
   }
 
+  // ------------------------------------------------------------ d_cluster
+  /** Dedup-group assignment: connected components over the minhash-LSH
+    * near-dup pair graph (est_sim ≥ [[ClusterSimThreshold]]); every doc
+    * gets cluster_id = min doc_id in its component (singletons keep their
+    * own id) — the canonical-representative step a training-data dedup
+    * pipeline runs after candidate generation.
+    *
+    * Spark-side: iterative min-label propagation to a fixpoint. Each
+    * round is one join + one shuffle-agg; near-dup components are
+    * clique-ish (diameter ≤ ~3), so 3–5 rounds converge. The driver-side
+    * loop only checks a convergence COUNT per round (the standard CC
+    * pattern — an O(log n) small-star/large-star variant swaps in here
+    * at web-graph scale, same contract). Label state is persisted per
+    * round and unpersisted after the next round materializes. */
+  val ClusterSimThreshold = 0.5
+  val ClusterMaxIters = 20
+
+  def dCluster(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = dMinhashLsh(s, dir)
+      .filter(col("est_sim") >= ClusterSimThreshold)
+      .select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(MEMORY_AND_DISK)
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .persist(MEMORY_AND_DISK)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < ClusterMaxIters) {
+      val prop = edges.join(labels, edges("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("label"))
+      val next = labels.select("doc_id", "label").union(prop)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Oracle: transitive closure of the same pair graph via a recursive
+    * CTE; cluster_id = min(self, reachable). Fine at oracle scale —
+    * closure size is bounded by component sizes. */
+  val dClusterSql: String =
+    s"""WITH RECURSIVE lsh AS (
+       |$dMinhashLshSql),
+       |cpairs AS (
+       |  SELECT doc_a, doc_b FROM lsh WHERE est_sim >= $ClusterSimThreshold),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM cpairs
+       |  UNION
+       |  SELECT doc_b AS a, doc_a AS b FROM cpairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+       |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "d_exact" -> ((dExact _, Some(dExactSql))),
     "d_ngram_jaccard" -> ((dNgramJaccard _, Some(dNgramJaccardSql))),
     "d_minhash" -> ((dMinhash _, Some(dMinhashSql))),
     "d_minhash_lsh" -> ((dMinhashLsh _, Some(dMinhashLshSql))),
     "d_simhash" -> ((dSimhash _, Some(dSimhashSql))),
-    "d_simhash_pairs" -> ((dSimhashPairs _, Some(dSimhashPairsSql))))
+    "d_simhash_pairs" -> ((dSimhashPairs _, Some(dSimhashPairsSql))),
+    "d_cluster" -> ((dCluster _, Some(dClusterSql))))
 }
