@@ -337,6 +337,13 @@ object Dedup {
     var labels = Tables.documents(s, dir)
       .select(col("doc_id"), col("doc_id").as("label"))
       .persist(MEMORY_AND_DISK)
+    // Convergence check: labels only DECREASE under min-propagation, so
+    // the exact label sum strictly decreases until the fixpoint — one
+    // narrow aggregate per round instead of a join-compare. DECIMAL(38)
+    // so the sum is exact at any id magnitude.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iters = 0
     var converged = false
     while (!converged && iters < ClusterMaxIters) {
@@ -345,12 +352,11 @@ object Dedup {
       val next = labels.select("doc_id", "label").union(prop)
         .groupBy("doc_id").agg(min("label").as("label"))
         .persist(MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iters += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
