@@ -100,10 +100,15 @@ final class Pipeline[T] private[pipeline] (
   def keyBy(extractor: T => String): Pipeline[T] =
     new Pipeline[T](spark, stamped, Some(extractor), name)
 
-  /** Worker-local pre-aggregation routing (application.pony:241-248).
-    * Spark performs map-side partial aggregation inside every shuffle
-    * aggregate, so this is an alias of [[keyBy]] kept for API fidelity. */
-  def localKeyBy(extractor: T => String): Pipeline[T] = keyBy(extractor)
+  /** Worker-local keyed routing (application.pony:241-248): state at the
+    * next stateful stage is scoped to (UPSTREAM PARTITION, key), never
+    * merged across partitions — observable semantics beyond
+    * pre-aggregation (the reference's local_sequence_detector app keys
+    * worker-locally and asserts streams from different workers never
+    * mix). For plain aggregations Spark's map-side partial aggregation
+    * already gives the pre-aggregation benefit under a global [[keyBy]]. */
+  def localKeyBy(extractor: T => String): Pipeline[T] =
+    new Pipeline[T](spark, stamped, Some(extractor), name, partitionScopedKey = true)
 
   /** Route everything to one key — a global serialization point
     * (application.pony:250-253, key.pony:21-23). */
@@ -170,8 +175,9 @@ final class Pipeline[T] private[pipeline] (
     val byPartition = partitionScopedKey
     val keyed = stamped
       .map { case (t, ts) =>
-        val key = if (byPartition) "part-" + org.apache.spark.TaskContext.getPartitionId()
-                  else kf(t)
+        val key = if (byPartition)
+          "part-" + org.apache.spark.TaskContext.getPartitionId() + ":" + kf(t)
+        else kf(t)
         (key, t, ts, new java.sql.Timestamp((ts + slack) / 1000000L))
       }(rowEnc)
       .withWatermark("_4", s"${slack / 1000000L} milliseconds")
@@ -242,7 +248,8 @@ final class Pipeline[T] private[pipeline] (
     val byPartition = partitionScopedKey
     stamped
       .groupByKey { p =>
-        if (byPartition) "part-" + org.apache.spark.TaskContext.getPartitionId()
+        if (byPartition)
+          "part-" + org.apache.spark.TaskContext.getPartitionId() + ":" + kf(p._1)
         else kf(p._1)
       }(Encoders.STRING)
       .flatMapSortedGroups(org.apache.spark.sql.functions.col("_2")) {
