@@ -129,7 +129,7 @@ object PipelineQueries {
 
   val pAlphabetSql: String =
     """SELECT event_type,
-      |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
 
@@ -154,7 +154,7 @@ object PipelineQueries {
        |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
        |  FROM events)
-       |SELECT user_id, SUM(cents) AS sum_cents, COUNT(*) AS n_events
+       |SELECT user_id, CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_events
        |FROM e GROUP BY user_id, (rn - 1) // $CountWindowSize""".stripMargin
 
   // ------------------------------------------------------ q_events_sliding
@@ -225,7 +225,7 @@ object PipelineQueries {
        |  FROM e JOIN a USING (user_id)
        |  CROSS JOIN (SELECT unnest(range(0, ${RangeNs / SlideNs})) AS j) j)
        |SELECT user_id, (anchor + k * $SlideNs) // 1000 AS ws_us,
-       |       SUM(cents) AS sum_cents, COUNT(*) AS n_events
+       |       CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_events
        |FROM x WHERE k >= 0
        |GROUP BY user_id, anchor, k""".stripMargin
 
@@ -251,16 +251,16 @@ object PipelineQueries {
 
   val pAggBridgeSql: String =
     """SELECT event_type,
-      |  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
 
   // ---------------------------------------------------------- p_ephemeral
   /** Ephemeral one-shot windows per user (trigger 1 h after the window
     * opens, state dropped 30 min later, late data dropped): session-like
-    * bursts. Iterative semantics with no clean SQL form → registered
-    * without an oracle (rows-only check); the semantics are vector-tested
-    * in EphemeralWindowsSpec. */
+    * bursts. Semantics vector-tested in EphemeralWindowsSpec; the batch
+    * replay is deterministic (watermark = running max event ts), so the
+    * oracle walks the same segmentation with a recursive CTE. */
   def pEphemeral(s: SparkSession, dir: String): DataFrame = {
     implicit val ss: SparkSession = s
     val hourNs = 3600L * 1000000000L
@@ -272,6 +272,51 @@ object PipelineQueries {
         col("_1._2").as("sum_cents"), col("_1._3").as("n_events"))
   }
 
+  /** Exact oracle for the ephemeral replay. Per key (events sorted by ts,
+    * watermark = running max ts = each event's own ts):
+    *   - a window anchors at its first event's ts `a`;
+    *   - events are folded into the window until the first event with
+    *     ts > a + trigger, which fires the output (and is itself included —
+    *     [[EphemeralWindow.apply]] updates before it tries to trigger);
+    *   - later events are dropped (Drop policy) until the first event with
+    *     ts >= a + trigger + postTrigger, which is also consumed, after
+    *     which the NEXT event anchors a fresh window;
+    *   - an un-fired window flushes its contents at end of stream.
+    * `nx` precomputes, for every potential anchor row, the last included
+    * row (trig_rn) and the next window's anchor row (next_rn) — legal
+    * because per-key ts is strictly increasing in the testdata at µs
+    * precision — and the recursive CTE walks the anchor chain. Trigger and
+    * remove offsets are whole-µs multiples, so DuckDB's µs-truncated
+    * TIMESTAMP(NANOS) agrees with Spark's full-ns arithmetic everywhere
+    * except an exact-boundary gap (absent from the testdata, verified). */
+  val pEphemeralSql: String = {
+    val hourNs = 3600L * 1000000000L
+    val trigNs = hourNs
+    val removeNs = hourNs + hourNs / 2
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       |         epoch_ns(ts) AS t,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+       |         COUNT(*) OVER (PARTITION BY user_id) AS mx
+       |  FROM events),
+       |nx AS (
+       |  SELECT a.user_id, a.rn, a.mx,
+       |         MIN(CASE WHEN b.t > a.t + $trigNs THEN b.rn END) AS trig_rn,
+       |         MIN(CASE WHEN b.t >= a.t + $removeNs THEN b.rn END) + 1 AS next_rn
+       |  FROM e a LEFT JOIN e b ON b.user_id = a.user_id AND b.rn > a.rn
+       |  GROUP BY a.user_id, a.rn, a.mx, a.t),
+       |w AS (
+       |  SELECT user_id, rn, trig_rn, next_rn, mx FROM nx WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.user_id, n.rn, n.trig_rn, n.next_rn, n.mx
+       |  FROM w JOIN nx n ON n.user_id = w.user_id AND n.rn = w.next_rn)
+       |SELECT w.user_id, CAST(SUM(ev.cents) AS BIGINT) AS sum_cents,
+       |       COUNT(*) AS n_events
+       |FROM w JOIN e ev ON ev.user_id = w.user_id
+       |  AND ev.rn >= w.rn AND ev.rn <= COALESCE(w.trig_rn, w.mx)
+       |GROUP BY w.user_id, w.rn""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p_wordcount" -> ((pWordcount _, Some(pWordcountSql))),
     "p_alphabet" -> ((pAlphabet _, Some(pAlphabetSql))),
@@ -279,5 +324,5 @@ object PipelineQueries {
     "q_events_sliding" -> ((qEventsSliding _, Some(qEventsSlidingSql))),
     "p_sliding" -> ((pSliding _, Some(pSlidingSql))),
     "p_agg_bridge" -> ((pAggBridge _, Some(pAggBridgeSql))),
-    "p_ephemeral" -> ((pEphemeral _, None)))
+    "p_ephemeral" -> ((pEphemeral _, Some(pEphemeralSql))))
 }

@@ -339,8 +339,8 @@ object Queries {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
       |s AS (
       |  SELECT user_id, ts_us,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
@@ -451,7 +451,7 @@ object Queries {
   val qPivotSql: String = {
     val cols = prios.flatMap { p =>
       Seq(
-        s"SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS n_${prioCol(p)}",
+        s"CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS n_${prioCol(p)}",
         s"CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_${prioCol(p)}")
     }.mkString(",\n  ")
     s"""SELECT o_orderstatus,

@@ -221,7 +221,8 @@ object TextAnalysis {
        |p AS (SELECT *, $pick AS pred_lang FROM q),
        |c AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM p)
        |SELECT pred_lang, COUNT(*) AS n_docs,
-       |  SUM(n_tokens) AS n_tokens_total, SUM(n_chars) AS n_chars_total
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
        |FROM c
        |WHERE doc_id = canonical_id AND pred_lang <> 'unknown' AND quality_score >= 0.5
        |GROUP BY 1""".stripMargin
