@@ -28,7 +28,8 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$staged/embeddings.parquet")
 
     val probes = Seq("d_exact", "d_ngram_jaccard", "d_minhash_lsh",
-      "d_simhash_pairs", "s_cosine_dups", "s_ann_lsh", "t_clean_corpus")
+      "d_simhash_pairs", "s_cosine_dups", "s_cosine_dups_scale",
+      "s_ann_lsh", "t_clean_corpus")
     probes.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

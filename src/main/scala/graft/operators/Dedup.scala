@@ -265,30 +265,52 @@ object Dedup {
 
   // ------------------------------------------------------------ d_simhash_pairs
   /** SimHash near-dup pairs: band the 60-bit signature into
-    * [[SimBands]] 15-bit chunks (32,768 buckets per band); docs sharing
-    * any (band, chunk) become candidates; keep pairs with
+    * [[SimBands]] 15-bit chunks (32,768 buckets per band); signatures
+    * sharing any (band, chunk) become candidates; keep pairs with
     * bit_count(xor) ≤ [[SimMaxHamming]]. Pigeonhole: 4 bands guarantee
-    * recall 1.0 for hamming ≤ 3. The signature is a single BIGINT so
-    * carrying it through the band join costs 8 bytes/row; the
-    * shuffle-agg signature stage is persisted instead of recomputed on
-    * both sides of the self-join. */
+    * recall 1.0 for hamming ≤ 3.
+    *
+    * Scale shape: exact-duplicate documents share identical signatures,
+    * so a dup-clique of k docs would collide in EVERY band and pay
+    * 4·C(k,2) band-join rows + a DISTINCT over them. Instead the band
+    * join runs over DISTINCT signatures only (candidate lists shrink
+    * from #docs to #sigs per bucket, and the hamming filter runs before
+    * any doc-level expansion):
+    *   - intra-sig pairs (hamming 0) come from one sig-keyed equi
+    *     self-join — each pair emitted exactly once, no DISTINCT;
+    *   - surviving cross-sig pairs expand to doc pairs via two joins
+    *     against the (doc_id, simhash) table.
+    * The output set is identical to banding raw docs, so the DuckDB
+    * oracle keeps the straightforward doc-level formulation. */
   def dSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = dSimhash(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunks = sig.select(col("doc_id"), col("simhash"),
+    // hamming-0 cliques: one equi-join keyed by the signature itself
+    val intra = sig.as("a").join(sig.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    // band join over distinct signatures; filter on hamming BEFORE expansion
+    val dsig = sig.select("simhash").distinct()
+    val chunks = dsig.select(col("simhash"),
       posexplode(expr(
         (0 until SimBands).map(c => s"shiftright(simhash, ${c * SimBandBits}) & ${(1 << SimBandBits) - 1}")
           .mkString("array(", ", ", ")"))).as(Seq("chunk_idx", "chunk")))
-    chunks.as("a").join(chunks.as("b"),
+    val sigPairs = chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
       .filter(col("hamming") <= SimMaxHamming)
-      .select("doc_a", "doc_b", "hamming")
+    val cross = sigPairs
+      .join(sig.as("da"), col("sig_a") === col("da.simhash"))
+      .join(sig.as("db"), col("sig_b") === col("db.simhash"))
+      .select(least(col("da.doc_id"), col("db.doc_id")).as("doc_a"),
+        greatest(col("da.doc_id"), col("db.doc_id")).as("doc_b"),
+        col("hamming"))
+    intra.unionByName(cross)
   }
 
   val dSimhashPairsSql: String = {
