@@ -164,80 +164,112 @@ final class Pipeline[T] private[pipeline] (
   private def streamingStateful[U: Encoder](
       kf: T => String, init: StateInitializer[T, U]): Dataset[(U, Long)] = {
     implicit val e: Encoder[T] = enc
-    val rowEnc = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong, Encoders.TIMESTAMP)
     // The watermark column is the event time shifted forward by the stage's
     // slack, with the watermark delay set to the same slack: the resulting
     // query watermark equals the RAW max event time, and Spark's
     // pre-stateful late-row filter (rows older than watermark) fires
     // exactly at ts < maxEventTs − slack — the machine's own drop
-    // threshold for drop-policy windows, never for the other stages.
+    // threshold for drop-policy windows (late rows die BEFORE the
+    // shuffle, a scale win the reference can't get). Stages with
+    // InfiniteSlack never drop, so they don't need the event-time column
+    // past the watermark operator: the slim path below strips it
+    // pre-shuffle — the shuffle row shrinks and no per-row
+    // java.sql.Timestamp is materialized on either side (the DF-level
+    // expression computes the micros long directly).
     val slack = init.watermarkSlackNs
     val byPartition = partitionScopedKey
-    val keyed = stamped
-      .map { case (t, ts) =>
-        val key = if (byPartition)
-          "part-" + org.apache.spark.TaskContext.getPartitionId() + ":" + kf(t)
-        else kf(t)
-        (key, t, ts, new java.sql.Timestamp((ts + slack) / 1000000L))
-      }(rowEnc)
-      .withWatermark("_4", s"${slack / 1000000L} milliseconds")
     // Kryo, not Java serialization: the state store round-trips every
     // live key's wrapper each micro-batch, so state codec throughput is
     // on the hot path of the stateful stage.
     val stateEnc: Encoder[KeyState[T, U]] =
       Encoders.kryo(classOf[KeyState[T, U]])
     val armTimer = init.timeoutIntervalNs > 0
+    val enc3 = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong)
+    val rowEnc = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong, Encoders.TIMESTAMP)
 
-    keyed
+    stamped
+      .map { case (t, ts) =>
+        val key = if (byPartition)
+          "part-" + org.apache.spark.TaskContext.getPartitionId() + ":" + kf(t)
+        else kf(t)
+        (key, t, ts)
+      }(enc3)
+      // The watermark column is computed by a codegen'd projection (the
+      // typed map never allocates a per-row java.sql.Timestamp; the
+      // UnsafeRow carries the micros long directly).
+      .withColumn("_4", org.apache.spark.sql.functions.expr(
+        s"timestamp_millis((_3 + ${slack}L) div 1000000)"))
+      .withWatermark("_4", s"${slack / 1000000L} milliseconds")
+      .as[(String, T, Long, java.sql.Timestamp)](rowEnc)
       .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroupsWithState[KeyState[T, U], (U, Long)](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, rows: Iterator[(String, T, Long, java.sql.Timestamp)],
-         state: GroupState[KeyState[T, U]]) =>
-          val wmMs = state.getCurrentWatermarkMs()
-          val wmNs = if (wmMs <= 0) 0L else wmMs * 1000000L
-          var ks = state.getOption.getOrElse(KeyState[T, U](init.stateWrapper(key), 0L))
-          val outs = Vector.newBuilder[(U, Long)]
-          var retain = true
-          if (state.hasTimedOut) {
-            val (os, ow, r) = ks.wrapper.onTimeout(wmNs, ks.outputWm)
-            outs ++= os
-            ks.outputWm = math.max(ks.outputWm, ow)
-            retain = r
-          } else {
-            // Within a micro-batch, replay this key's rows in event-time
-            // order (stable for ties). The watermark presented to the state
-            // machine rides max(query watermark, max event ts processed so
-            // far) — the reference's sources stamp each message's event
-            // time into the stage watermark as it flows
-            // (core/source/source_handler.pony:28, watermarks.pony), which
-            // Spark only folds into its global watermark at batch
-            // boundaries; riding the per-key event time restores the
-            // per-message trigger cadence and makes the streaming and
-            // batch-replay paths anchor windows identically.
-            var rideWm = wmNs
-            rows.toArray.sortBy(_._3).foreach { r =>
-              if (!retain) { // state was dropped mid-batch: fresh wrapper
-                ks = KeyState[T, U](init.stateWrapper(key), ks.outputWm)
-                retain = true
-              }
-              rideWm = math.max(rideWm, r._3)
-              val (os, ow, ret) = ks.wrapper(r._2, r._3, rideWm)
-              outs ++= os
-              ks.outputWm = math.max(ks.outputWm, ow)
-              retain = ret
-            }
-          }
-          if (!retain) state.remove()
-          else {
-            state.update(ks)
-            // Re-arm so the next watermark advance re-triggers this key
-            // (the reference's per-step timer, runner.pony:465-501).
-            if (armTimer) state.setTimeoutTimestamp(math.max(wmMs, 0L) + 1)
-          }
-          outs.result().iterator
-      }(stateEnc, tup[U])
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        statefulGroupFunc[(String, T, Long, java.sql.Timestamp), U](init, armTimer, _._2, _._3))(
+        stateEnc, tup[U])
   }
+
+  /** The per-key replay host shared by both streaming layouts: sort the
+    * micro-batch's rows for this key in event-time order, feed the state
+    * machine, handle timeout/removal/re-arm. */
+  private def statefulGroupFunc[R, U](
+      init: StateInitializer[T, U], armTimer: Boolean,
+      value: R => T, ts: R => Long): (
+      String, Iterator[R], GroupState[KeyState[T, U]]) => Iterator[(U, Long)] =
+    (key: String, rows: Iterator[R], state: GroupState[KeyState[T, U]]) => {
+      val wmMs = state.getCurrentWatermarkMs()
+      val wmNs = if (wmMs <= 0) 0L else wmMs * 1000000L
+      var ks = state.getOption.getOrElse(KeyState[T, U](init.stateWrapper(key), 0L))
+      val outs = Vector.newBuilder[(U, Long)]
+      var retain = true
+      if (state.hasTimedOut) {
+        val (os, ow, r) = ks.wrapper.onTimeout(wmNs, ks.outputWm)
+        outs ++= os
+        ks.outputWm = math.max(ks.outputWm, ow)
+        retain = r
+      } else {
+        // Within a micro-batch, replay this key's rows in event-time
+        // order (stable for ties). The watermark presented to the state
+        // machine rides max(query watermark, max event ts processed so
+        // far) — the reference's sources stamp each message's event
+        // time into the stage watermark as it flows
+        // (core/source/source_handler.pony:28, watermarks.pony), which
+        // Spark only folds into its global watermark at batch
+        // boundaries; riding the per-key event time restores the
+        // per-message trigger cadence and makes the streaming and
+        // batch-replay paths anchor windows identically.
+        val buf = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+        rows.foreach(r => buf += r.asInstanceOf[AnyRef])
+        val arr = buf.toArray
+        java.util.Arrays.sort(arr, new java.util.Comparator[AnyRef] {
+          def compare(a: AnyRef, b: AnyRef): Int =
+            java.lang.Long.compare(ts(a.asInstanceOf[R]), ts(b.asInstanceOf[R]))
+        })
+        var rideWm = wmNs
+        var i = 0
+        while (i < arr.length) {
+          val r = arr(i).asInstanceOf[R]
+          if (!retain) { // state was dropped mid-batch: fresh wrapper
+            ks = KeyState[T, U](init.stateWrapper(key), ks.outputWm)
+            retain = true
+          }
+          val t = ts(r)
+          rideWm = math.max(rideWm, t)
+          val (os, ow, ret) = ks.wrapper(value(r), t, rideWm)
+          outs ++= os
+          ks.outputWm = math.max(ks.outputWm, ow)
+          retain = ret
+          i += 1
+        }
+      }
+      if (!retain) state.remove()
+      else {
+        state.update(ks)
+        // Re-arm so the next watermark advance re-triggers this key
+        // (the reference's per-step timer, runner.pony:465-501).
+        if (armTimer) state.setTimeoutTimestamp(math.max(wmMs, 0L) + 1)
+      }
+      outs.result().iterator
+    }
 
   private def batchStateful[U: Encoder](
       kf: T => String, init: StateInitializer[T, U]): Dataset[(U, Long)] = {
