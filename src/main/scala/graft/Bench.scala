@@ -32,12 +32,16 @@ object Bench {
         .withColumn("r", expr("rank() over (order by n, k)"))
         .write.format("noop").mode("overwrite").save()
     }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed ::= name
       }
+      // drop any caches the query persisted so the next timing is clean
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (streamSecs, streamRps) = StreamBench.run(spark, sfDir)
@@ -47,7 +51,11 @@ object Bench {
     val rps = streamRps.map { case (k, v) => "\"" + k + "\":" + v.round }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_rows_per_sec":$rps,"sf":"$sfDir"}""")
+    // A query that threw still contributes its (tiny) elapsed time to
+    // queries/total; the failed list makes that visible in the JSON
+    // instead of reading as a speedup (ADVICE r2).
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"stream_rows_per_sec":$rps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

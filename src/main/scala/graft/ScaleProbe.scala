@@ -35,6 +35,7 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       fn(spark, staged).write.format("noop").mode("overwrite").save()
       println(f"[probe x$n] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      spark.catalog.clearCache()
     }
     // The scale-sized variant: 12-bit bands → 4096 buckets per band.
     val t0 = System.nanoTime()

@@ -13,6 +13,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries may persist() intermediates (LSH band tables, CC edge
+      // lists); scope those caches to the query so the session doesn't
+      // accumulate blocks across the run (ADVICE r2).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
