@@ -106,9 +106,28 @@ final class Pipeline[T] private[pipeline] (
     * pre-aggregation (the reference's local_sequence_detector app keys
     * worker-locally and asserts streams from different workers never
     * mix). For plain aggregations Spark's map-side partial aggregation
-    * already gives the pre-aggregation benefit under a global [[keyBy]]. */
-  def localKeyBy(extractor: T => String): Pipeline[T] =
+    * already gives the pre-aggregation benefit under a global [[keyBy]].
+    *
+    * BATCH ONLY: a batch job's task partition is a stable worker
+    * identity; a micro-batch's is not (ids are reassigned every trigger
+    * and after restart, so distinct upstream streams would silently
+    * merge into one state). A streaming pipeline must embed a stable
+    * origin tag in the key instead — `keyBy(t => tag(t) + ":" + key(t))`
+    * is semantically identical, since Spark shuffles stateful stages
+    * either way (worker-local routing buys no shuffle avoidance here). */
+  def localKeyBy(extractor: T => String): Pipeline[T] = {
+    requireBatchForLocalScope("local_key_by")
     new Pipeline[T](spark, stamped, Some(extractor), name, partitionScopedKey = true)
+  }
+
+  private def requireBatchForLocalScope(op: String): Unit =
+    require(!stamped.isStreaming,
+      s"$op scopes state to the upstream task partition, which is a stable " +
+        "worker identity only in batch execution: micro-batch task ids are " +
+        "reassigned every trigger and after restart, so distinct upstream " +
+        "streams would silently merge. Embed a stable origin tag in the key " +
+        "instead: key_by(t => tag + \":\" + key) — identical semantics, since " +
+        "Spark shuffles stateful stages either way.")
 
   /** Route everything to one key — a global serialization point
     * (application.pony:250-253, key.pony:21-23). */
@@ -122,9 +141,12 @@ final class Pipeline[T] private[pipeline] (
     * reference's per-worker collect step is per-source-partition state.
     * The next stateful stage keys by the upstream partition id, so N
     * partitions fold independently (typically followed by `collectAll`
-    * for the global combine, the reference's pre-aggregation pattern). */
-  def localCollect(): Pipeline[T] =
+    * for the global combine, the reference's pre-aggregation pattern).
+    * BATCH ONLY, for the same reason as [[localKeyBy]]. */
+  def localCollect(): Pipeline[T] = {
+    requireBatchForLocalScope("local_collect")
     new Pipeline[T](spark, stamped, Some(_ => ""), name, partitionScopedKey = true)
+  }
 
   /** Explicit routing policies (core/partitioning/partitioning.pony:39-106).
     * Passthrough = stay on the current partitioning (pipelined, no
@@ -156,7 +178,11 @@ final class Pipeline[T] private[pipeline] (
     * ephemeralWindows(...).over(agg)`, or any custom [[StateInitializer]]. */
   def to[U: Encoder](init: StateInitializer[T, U]): Pipeline[U] = {
     val kf = keyFn.getOrElse(throw new IllegalArgumentException(
-      s"${init.name}: key_by is required before a stateful stage"))
+      s"${init.name}: key_by is required IMMEDIATELY before a stateful stage " +
+        "— stateless stages (to/map/filter) change the element type, so a " +
+        "key extractor from before them cannot be recomputed; re-key after " +
+        "the last stateless stage (the reference carries key_by through " +
+        "stateless stages; this engine makes the re-key explicit)"))
     val out = if (stamped.isStreaming) streamingStateful(kf, init) else batchStateful(kf, init)
     new Pipeline[U](spark, out, None, name)
   }

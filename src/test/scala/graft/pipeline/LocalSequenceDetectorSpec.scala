@@ -23,6 +23,10 @@ object LocalSequenceFixtures {
     }
   }
 
+  /** A row carrying its stable origin, for the streaming local_key_by
+    * workaround (origin embedded in the key). */
+  final case class Tagged(origin: Long, key: String, value: Long, seq: Long)
+
   /** SeqValueGenerator (:110-140): keys a..d round-robin, per-key values
     * stepping by 2 from the worker's offset — every value a worker emits
     * keeps the worker's parity. */
@@ -70,6 +74,49 @@ class LocalSequenceDetectorSpec extends AnyFunSuite {
     // Both parities flowed through separate states for the same keys.
     assert(out.map(_._3).toSet == Set(0L, 1L))
     assert(out.map(_._1).toSet == Set("a", "b", "c", "d"))
+  }
+
+  test("streaming local_key_by fails fast (micro-batch partition ids are not a worker identity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SeqValue]
+    val p = Graft.source("local-seq-stream",
+      DatasetSource(mem.toDS(), (sv: SeqValue) => sv.seq * 1000000000L))
+    val ex = intercept[IllegalArgumentException](p.localKeyBy(_.key))
+    assert(ex.getMessage.contains("stable"))
+    intercept[IllegalArgumentException](p.localCollect())
+  }
+
+  test("streaming equivalent: key_by with an origin tag keeps per-origin state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The documented workaround: the element carries its origin (here the
+    // generator's parity offset), and the key embeds it. Two micro-batches
+    // interleave both origins — state must stay per-(origin, key) even
+    // though batch-2 rows land on arbitrary task partitions.
+    val mem = MemoryStream[Tagged]
+    val handle = Graft.source("tagged-seq",
+        DatasetSource(mem.toDS(), (t: Tagged) => t.seq * 1000000000L))
+      .map(t => SeqValue(t.origin + ":" + t.key, t.value, t.seq))(Encoders.product[SeqValue])
+      .keyBy(_.key)
+      .to(CheckSequence)(Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+      .toSink(MemorySink("tagged_seq_out"))
+    val (w0a, w0b) = workerStream(0, 100).splitAt(50)
+    val (w1a, w1b) = workerStream(1, 100).splitAt(50)
+    def tag(svs: Seq[SeqValue]): Seq[Tagged] =
+      svs.map(sv => Tagged(sv.value % 2, sv.key, sv.value, sv.seq))
+    mem.addData(tag(w0a ++ w1a))
+    handle.processAllAvailable()
+    mem.addData(tag(w0b ++ w1b))
+    handle.processAllAvailable()
+    val got = spark.sql("SELECT _1._1, _1._2, _1._3 FROM tagged_seq_out")
+      .as[(String, Long, Long)].collect()
+    handle.stop()
+    // every message passed its parity check, across both micro-batches
+    assert(got.length == 200)
+    assert(got.map(_._3).toSet == Set(0L, 1L))
   }
 
   test("control: a global key_by WOULD merge the workers' streams") {
