@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import java.io.{DataInputStream, EOFException}
+import java.net.Socket
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-v2 micro-batch source speaking the reference's framed TCP
+  * protocol: 4-byte big-endian length header + payload per message
+  * (core/source/tcp_source/framed_source_notify.pony:91-133 — the
+  * reference's primary ingress). Spark-first shape: like Spark's own
+  * socket source, the driver CONNECTS to the endpoint and drains frames
+  * into an in-memory buffer on a daemon thread; micro-batch offsets are
+  * frame indices over that buffer, trimmed on commit.
+  *
+  * Same caveat as Spark's socket source (and the reference's raw TCP
+  * source, whose resilience comes from the connector protocol, not the
+  * transport): a socket is not replayable, so this source is
+  * at-most-once across restarts — for resumable ingress use
+  * [[FramedLogSource]] (frame-aligned byte offsets) or [[KafkaSource]].
+  * One connection = one ordered stream; parallelize the reference's way
+  * by running N sources and `merge`.
+  */
+object FramedSocket {
+  val ShortName = "graft-framed-socket"
+  val Schema: StructType = FramedLog.Schema // offset BIGINT, payload BINARY
+}
+
+final class FramedSocketTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = FramedSocket.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new FramedSocketTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class FramedSocketTable(options: Map[String, String]) extends Table with SupportsRead {
+  private def req(k: String): String = options.getOrElse(k,
+    throw new IllegalArgumentException(s"${FramedSocket.ShortName} requires a '$k' option"))
+  override def name(): String = s"${FramedSocket.ShortName}:${req("host")}:${req("port")}"
+  override def schema(): StructType = FramedSocket.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = FramedSocket.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new FramedSocketMicroBatchStream(req("host"), req("port").toInt,
+            options.get("maxFramesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue))
+      }
+    }
+}
+
+/** Offset = count of frames received since connect. */
+final case class FrameCount(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+final class FramedSocketMicroBatchStream(host: String, port: Int, maxFramesPerTrigger: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Driver-side frame buffer: frames[i] holds absolute frame (base + i);
+  // commit() trims delivered frames and advances base.
+  private val lock = new Object
+  private val frames = ArrayBuffer.empty[Array[Byte]]
+  private var base = 0L
+  @volatile private var availableNowCap: Option[Long] = None
+
+  private val socket = new Socket(host, port)
+  private val reader = new Thread(s"${FramedSocket.ShortName}:$host:$port") {
+    override def run(): Unit = {
+      val in = new DataInputStream(socket.getInputStream)
+      try {
+        while (true) {
+          val len = in.readInt() // big-endian u32 — the TcpSink framing
+          require(len >= 0, s"negative frame length $len from $host:$port")
+          val payload = new Array[Byte](len)
+          in.readFully(payload)
+          lock.synchronized { frames += payload }
+        }
+      } catch {
+        case _: EOFException | _: java.net.SocketException => // sender done
+      }
+    }
+  }
+  reader.setDaemon(true)
+  reader.start()
+
+  private def total: Long = lock.synchronized(base + frames.length)
+
+  override def initialOffset(): Offset = FrameCount(0L)
+  override def deserializeOffset(json: String): Offset = FrameCount(json.toLong)
+  override def prepareForTriggerAvailableNow(): Unit = availableNowCap = Some(total)
+  override def reportLatestOffset(): Offset = FrameCount(total)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("latestOffset(start, limit) is used")
+  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[FrameCount].n
+    // saturating add: from + Long.MaxValue must not wrap past `total`
+    val end = from + math.min(maxFramesPerTrigger, math.max(0L, total - from))
+    FrameCount(math.max(from, availableNowCap.fold(end)(math.min(end, _))))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FrameCount].n
+    val e = end.asInstanceOf[FrameCount].n
+    if (e <= s) Array.empty
+    else lock.synchronized {
+      val slice = frames.slice((s - base).toInt, (e - base).toInt).toArray
+      Array(FramedSocketPartition(s, slice))
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new FramedSocketReaderFactory
+
+  override def commit(end: Offset): Unit = lock.synchronized {
+    val e = end.asInstanceOf[FrameCount].n
+    if (e > base) { frames.dropInPlace((e - base).toInt); base = e }
+  }
+  override def stop(): Unit = {
+    try socket.close() catch { case _: java.io.IOException => }
+  }
+}
+
+final case class FramedSocketPartition(startIdx: Long, payloads: Array[Array[Byte]])
+    extends InputPartition
+
+final class FramedSocketReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FramedSocketPartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.payloads.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](p.startIdx + i, p.payloads(i)))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** DSL SourceConfig over the framed TCP transport: decode each frame with
+  * the same [[FramedDecoder]] contract the file/log sources use (the
+  * transport owns the reference-default 4-byte big-endian framing; the
+  * decoder sees whole payloads). */
+final case class FramedSocketSource[T](
+    host: String,
+    port: Int,
+    decoder: FramedDecoder[T],
+    maxFramesPerTrigger: Long = Long.MaxValue)(implicit enc: Encoder[T])
+    extends SourceConfig[T] {
+  def load(spark: SparkSession): Dataset[(T, Long)] = {
+    val reader = spark.readStream
+      .format(classOf[FramedSocketTableProvider].getName)
+      .option("host", host).option("port", port.toString)
+    val df = (if (maxFramesPerTrigger != Long.MaxValue)
+      reader.option("maxFramesPerTrigger", maxFramesPerTrigger.toString) else reader).load()
+    val dec = decoder
+    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
+    df.select("payload").as[Array[Byte]](Encoders.BINARY)
+      .map { bytes => val t = dec.decode(bytes); (t, dec.eventTimeNs(t)) }(tupEnc)
+  }
+}

@@ -69,4 +69,51 @@ class FramedSourceSpec extends AnyFunSuite {
     val it = FramedDecoder.frames(StringFrames, bytes)
     assertThrows[IllegalArgumentException](it.next())
   }
+
+  test("framed TCP transport: frames arrive in order across micro-batches over a real socket") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    // The test plays the sender: a server that, once the source connects,
+    // writes length-framed messages in two bursts.
+    val server = new java.net.ServerSocket(0)
+    val firstBurstSent = new java.util.concurrent.CountDownLatch(1)
+    val sendSecondBurst = new java.util.concurrent.CountDownLatch(1)
+    val sender = new Thread("framed-test-sender") {
+      override def run(): Unit = {
+        val conn = server.accept()
+        val out = new DataOutputStream(conn.getOutputStream)
+        def send(msgs: Seq[String]): Unit = {
+          msgs.foreach { m =>
+            val payload = m.getBytes(UTF_8)
+            out.writeInt(payload.length)
+            out.write(payload)
+          }
+          out.flush()
+        }
+        send(Seq("m1", "m2", "m3"))
+        firstBurstSent.countDown()
+        sendSecondBurst.await()
+        send(Seq("m4", "m5"))
+        conn.close()
+      }
+    }
+    sender.start()
+    val view = s"framed_socket_out_${System.nanoTime()}"
+    val h = Graft.source("framed-tcp",
+        FramedSocketSource("127.0.0.1", server.getLocalPort, StringFrames))
+      .toSink(MemorySink(view))
+    firstBurstSent.await()
+    Thread.sleep(200) // let the reader thread drain the burst
+    h.processAllAvailable()
+    val afterFirst = spark.table(view).collect().map(_.getString(0)).toSeq
+    sendSecondBurst.countDown()
+    sender.join()
+    Thread.sleep(200)
+    h.processAllAvailable()
+    val got = spark.table(view).collect().map(_.getString(0)).toSeq
+    h.stop()
+    server.close()
+    assert(afterFirst === Seq("m1", "m2", "m3")) // first burst in its own batch(es)
+    assert(got === Seq("m1", "m2", "m3", "m4", "m5")) // order preserved across batches
+  }
 }
