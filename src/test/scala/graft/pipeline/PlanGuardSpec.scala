@@ -14,7 +14,8 @@ class PlanGuardSpec extends AnyFunSuite {
     * the broadcast side is a BOUNDED set by construction (ANN query
     * vectors / IVF centroids / a 1-row corpus count), so the "nested
     * loop" is a per-row loop over a constant-size array. */
-  private val allowedBnlj = Set("s_ann_brute", "s_ann_ivf", "d_ngram_jaccard")
+  private val allowedBnlj =
+    Set("s_ann_brute", "s_ann_ivf", "s_ann_ivf_trained", "d_ngram_jaccard")
 
   test("no query plan contains a cartesian product") {
     for ((name, fn) <- graft.SparkEntry.queries) {
