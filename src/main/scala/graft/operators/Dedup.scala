@@ -79,33 +79,58 @@ object Dedup {
     * Σ df² ≤ maxDf · Σ df — linear-ish in corpus size, never quadratic
     * in one hot shingle's posting list. */
   def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(s, dir)
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val sh = docs.select(col("doc_id"),
-      explode(expr(Portable.sparkShingles("text", 3))).as("sh"))
-    // shingles are distinct per doc, so count(*) per shingle = df
-    val kept = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // Collapse exact-duplicate texts first (VERDICT r2: dup-heavy corpora
+    // made the posting-list self-join output-quadratic in clique size):
+    // shingling, the df cutoff, the self-join, and the jaccard all run
+    // over DISTINCT texts; doc-level pairs expand afterwards, and only
+    // for text pairs that survived the threshold. The output set is
+    // identical — identical texts have identical shingle sets, so every
+    // intra-clique pair is jaccard 1.0 exactly (n/n) and every cross
+    // pair inherits its text pair's jaccard — so the doc-level oracle
+    // stands unchanged.
+    val m = docs.select(col("doc_id"), expr("md5(text)").as("tfp")).persist(mad)
+    val reps = m.groupBy("tfp").agg(min("doc_id").as("rep_id"), count(lit(1)).as("cnt"))
+    val sh = reps.join(docs, col("rep_id") === col("doc_id"))
+      .select(col("tfp"), col("cnt"),
+        explode(expr(Portable.sparkShingles("text", 3))).as("sh"))
+    // df counts DOCS (not distinct texts) per shingle: weight by cnt
+    val kept = sh.groupBy("sh").agg(sum("cnt").as("df"))
       .crossJoin(broadcast(total))
       .filter(col("df") <= col("n_docs") * MaxDfFrac)
       .select("sh")
-    // (doc_id, shingle) post-cutoff feeds three branches (per-doc sizes +
+    // (tfp, shingle) post-cutoff feeds three branches (per-text sizes +
     // both sides of the self-join); persist instead of re-exploding and
-    // re-hashing the corpus three times. Spills at scale; still far
-    // cheaper than 3 corpus scans.
-    val shk = sh.join(kept, "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = shk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // re-hashing three times. Spills at scale; still far cheaper than 3
+    // corpus scans.
+    val shk = sh.select("tfp", "sh").join(kept, "sh").persist(mad)
+    val cnt = shk.groupBy("tfp").agg(count(lit(1)).as("n"))
     val common = shk.as("a").join(shk.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("a.sh") === col("b.sh") && col("a.tfp") < col("b.tfp"))
+      .groupBy(col("a.tfp").as("ta"), col("b.tfp").as("tb"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    val textPairs = common
+      .join(cnt.withColumnRenamed("tfp", "ta").withColumnRenamed("n", "na"), "ta")
+      .join(cnt.withColumnRenamed("tfp", "tb").withColumnRenamed("n", "nb"), "tb")
       .withColumn("jaccard",
         expr("cast(n_common as double) / (na + nb - n_common)"))
       .filter(col("jaccard") >= 0.2)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
+    // identical-text cliques: jaccard 1.0 over their (non-empty) kept set
+    val intra = m.as("x").join(m.as("y"),
+        col("x.tfp") === col("y.tfp") && col("x.doc_id") < col("y.doc_id"))
+      // cnt only has texts with kept shingles
+      .join(cnt.withColumnRenamed("tfp", "ctfp"), col("x.tfp") === col("ctfp"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("n").as("n_common"), lit(1.0).as("jaccard"))
+    val cross = textPairs
+      .join(m.as("ma"), col("ma.tfp") === col("ta"))
+      .join(m.as("mb"), col("mb.tfp") === col("tb"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("n_common"), col("jaccard"))
+    intra.unionByName(cross)
   }
 
   val dNgramJaccardSql: String =
