@@ -91,11 +91,14 @@ object Dedup {
     // intra-clique pair is jaccard 1.0 exactly (n/n) and every cross
     // pair inherits its text pair's jaccard — so the doc-level oracle
     // stands unchanged.
-    val m = docs.select(col("doc_id"), expr("md5(text)").as("tfp")).persist(mad)
-    val reps = m.groupBy("tfp").agg(min("doc_id").as("rep_id"), count(lit(1)).as("cnt"))
-    val sh = reps.join(docs, col("rep_id") === col("doc_id"))
-      .select(col("tfp"), col("cnt"),
-        explode(expr(Portable.sparkShingles("text", 3))).as("sh"))
+    val base = docs.select(col("doc_id"), expr("md5(text)").as("tfp"), col("text"))
+    val m = base.select("doc_id", "tfp").persist(mad)
+    // first(text) is value-deterministic within a group: every member of
+    // a tfp group carries the identical text (md5 groups exact bytes)
+    val reps = base.groupBy("tfp")
+      .agg(count(lit(1)).as("cnt"), first("text").as("text"))
+    val sh = reps.select(col("tfp"), col("cnt"),
+      explode(expr(Portable.sparkShingles("text", 3))).as("sh"))
     // df counts DOCS (not distinct texts) per shingle: weight by cnt
     val kept = sh.groupBy("sh").agg(sum("cnt").as("df"))
       .crossJoin(broadcast(total))
