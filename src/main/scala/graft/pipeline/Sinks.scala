@@ -89,6 +89,112 @@ final case class IdempotentParquetSink[T](path: String) extends SinkConfig[T] {
       .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeOne(d, id)).start()
 }
 
+/** Transactional manifest-commit sink — the reference's connector-sink
+  * two-phase commit (core/sink/connector_sink/connector_sink.pony:128-135,
+  * 1293-1356: prepare against the barrier, commit on checkpoint-complete,
+  * roll back in-flight transactions at restart) mapped onto an
+  * append-only external directory that does NOT support
+  * overwrite-by-batch (the case [[IdempotentParquetSink]] can't cover):
+  *
+  *  - phase 1 (prepare): the micro-batch's rows land under
+  *    `staging/batch-<id>/` — invisible to readers;
+  *  - phase 2 (commit): a manifest listing the staged files is written
+  *    to `commits/.tmp-<id>` and ATOMICALLY RENAMED to `commits/<id>`
+  *    — the single visibility point. Readers resolve data through
+  *    manifests only ([[TwoPhaseCommitSink.readCommitted]]).
+  *  - retry rule: a replayed batchId whose manifest exists is skipped
+  *    whole (Spark re-delivers the same data for the same id, so the
+  *    committed output already holds it);
+  *  - abort rule: a staging dir with no manifest is an in-flight
+  *    transaction that died — [[TwoPhaseCommitSink.recover]] rolls it
+  *    back, the reference's restart reconciliation.
+  *
+  * Uses the Hadoop FS API, so the same protocol runs on HDFS/local;
+  * object stores without atomic rename need their native conditional-put
+  * as the phase-2 primitive (same shape, different syscall). */
+final case class TwoPhaseCommitSink[T](path: String) extends SinkConfig[T] {
+  import TwoPhaseCommitSink._
+
+  private def writeOne(ds: Dataset[(T, Long)], batchId: Long): Unit = {
+    val spark = ds.sparkSession
+    val fs = fsFor(spark, path)
+    val commit = commitFile(path, batchId)
+    if (fs.exists(commit)) return // replayed batch: already visible
+    val staging = stagingDir(path, batchId)
+    if (fs.exists(staging)) fs.delete(staging, true) // crashed attempt
+    ds.write.mode("overwrite").parquet(staging.toString)
+    val files = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).map(_.toString).sorted
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/commits/.tmp-$batchId")
+    fs.mkdirs(tmp.getParent)
+    val out = fs.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, commit) || fs.exists(commit),
+      s"2pc commit rename failed for batch $batchId")
+  }
+
+  def writeBatch(ds: Dataset[(T, Long)]): Unit = writeOne(ds, 0L)
+  def writeStream(ds: Dataset[(T, Long)], name: String,
+      checkpoint: Option[String], trigger: Trigger): StreamingQuery =
+    SinkConfig.streamWriter(ds, name, checkpoint, trigger)
+      .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeOne(d, id)).start()
+}
+
+object TwoPhaseCommitSink {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def stagingDir(path: String, batchId: Long) =
+    new Path(s"$path/staging/batch-$batchId")
+  private def commitFile(path: String, batchId: Long) =
+    new Path(s"$path/commits/$batchId")
+
+  /** Files made visible by phase-2 commits, in batch order. */
+  def committedFiles(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsFor(spark, path)
+    val dir = new Path(s"$path/commits")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => !p.getName.startsWith("."))
+      .sortBy(_.getName.toLong)
+      .flatMap { p =>
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }.filter(_.nonEmpty).toSeq
+  }
+
+  /** The exactly-once view: only manifest-listed files. */
+  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+    val files = committedFiles(spark, path)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Restart reconciliation (the reference's abort path): delete staged
+    * transactions that never reached phase 2, plus orphaned tmp
+    * manifests. Returns the rolled-back batch ids. */
+  def recover(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsFor(spark, path)
+    val stag = new Path(s"$path/staging")
+    val aborted = if (!fs.exists(stag)) Seq.empty[Long] else
+      fs.listStatus(stag).map(_.getPath)
+        .filter(_.getName.startsWith("batch-"))
+        .map(p => p.getName.stripPrefix("batch-").toLong)
+        .filterNot(id => fs.exists(commitFile(path, id)))
+        .toSeq
+    aborted.foreach(id => fs.delete(stagingDir(path, id), true))
+    val commits = new Path(s"$path/commits")
+    if (fs.exists(commits))
+      fs.listStatus(commits).map(_.getPath)
+        .filter(_.getName.startsWith(".tmp-"))
+        .foreach(fs.delete(_, false))
+    aborted.sorted
+  }
+}
+
 /** Kafka sink (core/sink/kafka_sink/kafka_sink.pony — at-least-once
   * produce; Spark's Kafka sink has the same contract). */
 final case class KafkaSinkConfig[T](
