@@ -116,4 +116,38 @@ class FramedSourceSpec extends AnyFunSuite {
     assert(afterFirst === Seq("m1", "m2", "m3")) // first burst in its own batch(es)
     assert(got === Seq("m1", "m2", "m3", "m4", "m5")) // order preserved across batches
   }
+
+  test("maxFramesPerTrigger paces admission without losing or reordering frames") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val server = new java.net.ServerSocket(0)
+    val sender = new Thread("framed-paced-sender") {
+      override def run(): Unit = {
+        val conn = server.accept()
+        val out = new DataOutputStream(conn.getOutputStream)
+        (0 until 10).foreach { i =>
+          val payload = s"f$i".getBytes(UTF_8)
+          out.writeInt(payload.length)
+          out.write(payload)
+        }
+        out.flush()
+        conn.close()
+      }
+    }
+    sender.start()
+    val view = s"framed_paced_out_${System.nanoTime()}"
+    val h = Graft.source("framed-paced",
+        FramedSocketSource("127.0.0.1", server.getLocalPort, StringFrames,
+          maxFramesPerTrigger = 3))
+      .toSink(MemorySink(view))
+    sender.join()
+    Thread.sleep(200)
+    h.processAllAvailable()
+    val got = spark.table(view).collect().map(_.getString(0)).toSeq
+    val batches = h.query.get.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows)
+    h.stop()
+    server.close()
+    assert(got === (0 until 10).map(i => s"f$i")) // all frames, in order
+    assert(batches.forall(_ <= 3) && batches.length >= 4, s"batches: ${batches.toSeq}")
+  }
 }
