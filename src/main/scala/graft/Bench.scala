@@ -40,9 +40,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed ::= name
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // drop any caches the query persisted so the next timing is clean
+      // (outside the timed window — teardown isn't the query's cost)
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val (streamSecs, streamRps) = StreamBench.run(spark, sfDir)
     val qs = (results ++ streamSecs)

@@ -59,7 +59,8 @@ final class FramedSocketTable(options: Map[String, String]) extends Table with S
         override def readSchema(): StructType = FramedSocket.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new FramedSocketMicroBatchStream(req("host"), req("port").toInt,
-            options.get("maxFramesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue))
+            options.get("maxFramesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue),
+            options.get("maxBufferedFrames").map(_.toInt).getOrElse(1 << 20))
       }
     }
 }
@@ -69,15 +70,23 @@ final case class FrameCount(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-final class FramedSocketMicroBatchStream(host: String, port: Int, maxFramesPerTrigger: Long)
+final class FramedSocketMicroBatchStream(host: String, port: Int,
+    maxFramesPerTrigger: Long, maxBufferedFrames: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Driver-side frame buffer: frames[i] holds absolute frame (base + i);
-  // commit() trims delivered frames and advances base.
+  // commit() trims delivered frames and advances base. On restart a fresh
+  // connection knows nothing about the old stream's counts, so the first
+  // offset Spark hands us REBASES the buffer: new frames take indices
+  // from the checkpointed position onward — the data that was in flight
+  // at the crash is acknowledged lost (at-most-once, see class doc)
+  // rather than silently skipping that many NEW frames.
   private val lock = new Object
   private val frames = ArrayBuffer.empty[Array[Byte]]
   private var base = 0L
+  private var rebased = false
   @volatile private var availableNowCap: Option[Long] = None
+  @volatile private var readerError: Throwable = _
 
   private val socket = new Socket(host, port)
   private val reader = new Thread(s"${FramedSocket.ShortName}:$host:$port") {
@@ -89,10 +98,19 @@ final class FramedSocketMicroBatchStream(host: String, port: Int, maxFramesPerTr
           require(len >= 0, s"negative frame length $len from $host:$port")
           val payload = new Array[Byte](len)
           in.readFully(payload)
-          lock.synchronized { frames += payload }
+          lock.synchronized {
+            // bounded buffer: park until the query drains — TCP flow
+            // control then backpressures the sender (the reference's
+            // connector-source behavior under a slow pipeline)
+            while (frames.length >= maxBufferedFrames) lock.wait()
+            frames += payload
+          }
         }
       } catch {
         case _: EOFException | _: java.net.SocketException => // sender done
+        case _: InterruptedException => // stop()
+        case t: Throwable =>
+          readerError = t // surfaced to the query at the next trigger
       }
     }
   }
@@ -100,6 +118,14 @@ final class FramedSocketMicroBatchStream(host: String, port: Int, maxFramesPerTr
   reader.start()
 
   private def total: Long = lock.synchronized(base + frames.length)
+  private def checkHealthyAndRebase(from: Long): Unit = {
+    if (readerError != null)
+      throw new IllegalStateException(
+        s"framed-socket reader for $host:$port died", readerError)
+    lock.synchronized {
+      if (!rebased) { if (from > base) base = from; rebased = true }
+    }
+  }
 
   override def initialOffset(): Offset = FrameCount(0L)
   override def deserializeOffset(json: String): Offset = FrameCount(json.toLong)
@@ -109,6 +135,7 @@ final class FramedSocketMicroBatchStream(host: String, port: Int, maxFramesPerTr
     throw new UnsupportedOperationException("latestOffset(start, limit) is used")
   override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FrameCount].n
+    checkHealthyAndRebase(from)
     // saturating add: from + Long.MaxValue must not wrap past `total`
     val end = from + math.min(maxFramesPerTrigger, math.max(0L, total - from))
     FrameCount(math.max(from, availableNowCap.fold(end)(math.min(end, _))))
@@ -118,20 +145,30 @@ final class FramedSocketMicroBatchStream(host: String, port: Int, maxFramesPerTr
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FrameCount].n
     val e = end.asInstanceOf[FrameCount].n
+    checkHealthyAndRebase(s)
     if (e <= s) Array.empty
     else lock.synchronized {
-      val slice = frames.slice((s - base).toInt, (e - base).toInt).toArray
-      Array(FramedSocketPartition(s, slice))
+      // a replayed-after-restart range may exceed what the fresh
+      // connection has buffered — deliver what exists (at-most-once)
+      val lo = math.max(0L, s - base).toInt
+      val hi = math.max(0L, math.min(e - base, frames.length.toLong)).toInt
+      val slice = frames.slice(lo, hi).toArray
+      Array(FramedSocketPartition(base + lo, slice))
     }
   }
   override def createReaderFactory(): PartitionReaderFactory = new FramedSocketReaderFactory
 
   override def commit(end: Offset): Unit = lock.synchronized {
     val e = end.asInstanceOf[FrameCount].n
-    if (e > base) { frames.dropInPlace((e - base).toInt); base = e }
+    if (e > base) {
+      frames.dropInPlace(math.min(e - base, frames.length.toLong).toInt)
+      base = e
+    }
+    lock.notifyAll() // wake a parked reader
   }
   override def stop(): Unit = {
     try socket.close() catch { case _: java.io.IOException => }
+    reader.interrupt()
   }
 }
 
@@ -159,12 +196,14 @@ final case class FramedSocketSource[T](
     host: String,
     port: Int,
     decoder: FramedDecoder[T],
-    maxFramesPerTrigger: Long = Long.MaxValue)(implicit enc: Encoder[T])
+    maxFramesPerTrigger: Long = Long.MaxValue,
+    maxBufferedFrames: Int = 1 << 20)(implicit enc: Encoder[T])
     extends SourceConfig[T] {
   def load(spark: SparkSession): Dataset[(T, Long)] = {
     val reader = spark.readStream
       .format(classOf[FramedSocketTableProvider].getName)
       .option("host", host).option("port", port.toString)
+      .option("maxBufferedFrames", maxBufferedFrames.toString)
     val df = (if (maxFramesPerTrigger != Long.MaxValue)
       reader.option("maxFramesPerTrigger", maxFramesPerTrigger.toString) else reader).load()
     val dec = decoder

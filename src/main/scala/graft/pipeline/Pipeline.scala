@@ -196,12 +196,12 @@ final class Pipeline[T] private[pipeline] (
     // pre-stateful late-row filter (rows older than watermark) fires
     // exactly at ts < maxEventTs − slack — the machine's own drop
     // threshold for drop-policy windows (late rows die BEFORE the
-    // shuffle, a scale win the reference can't get). Stages with
-    // InfiniteSlack never drop, so they don't need the event-time column
-    // past the watermark operator: the slim path below strips it
-    // pre-shuffle — the shuffle row shrinks and no per-row
-    // java.sql.Timestamp is materialized on either side (the DF-level
-    // expression computes the micros long directly).
+    // shuffle, a scale win the reference can't get); InfiniteSlack makes
+    // the filter a no-op for the other stages. (A slimmer element that
+    // drops the column for InfiniteSlack stages is blocked by two Spark
+    // constraints: the stateful operator's checker requires the
+    // watermark-tagged column in its child output, and tuple encoders
+    // bind positionally so extra columns can't ride along untyped.)
     val slack = init.watermarkSlackNs
     val byPartition = partitionScopedKey
     // Kryo, not Java serialization: the state store round-trips every
@@ -356,9 +356,9 @@ final class Pipeline[T] private[pipeline] (
     require(sinks.nonEmpty, "You must specify at least one sink when using toSinks()")
     if (stamped.isStreaming) {
       val q = SinkConfig.streamWriter(stamped, name, checkpointLocation, trigger)
-        .foreachBatch { (batch: Dataset[(T, Long)], _: Long) =>
+        .foreachBatch { (batch: Dataset[(T, Long)], batchId: Long) =>
           batch.persist()
-          try sinks.foreach(_.writeBatch(batch))
+          try sinks.foreach(_.writeMicroBatch(batch, batchId))
           finally { batch.unpersist(); () }
         }
         .start()

@@ -21,6 +21,10 @@ trait SinkConfig[T] extends Serializable {
   def writeBatch(ds: Dataset[(T, Long)]): Unit
   def writeStream(ds: Dataset[(T, Long)], name: String,
       checkpointLocation: Option[String], trigger: Trigger): StreamingQuery
+  /** One micro-batch of a multi-sink fan-out ([[Pipeline.toSinks]]).
+    * Sinks whose exactly-once story is keyed by batchId MUST override —
+    * the default discards the id (fine for append/at-least-once sinks). */
+  def writeMicroBatch(ds: Dataset[(T, Long)], batchId: Long): Unit = writeBatch(ds)
 }
 
 private[pipeline] object SinkConfig {
@@ -83,6 +87,8 @@ final case class IdempotentParquetSink[T](path: String) extends SinkConfig[T] {
   private def writeOne(ds: Dataset[(T, Long)], batchId: Long): Unit =
     ds.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
   def writeBatch(ds: Dataset[(T, Long)]): Unit = writeOne(ds, 0L)
+  override def writeMicroBatch(ds: Dataset[(T, Long)], batchId: Long): Unit =
+    writeOne(ds, batchId)
   def writeStream(ds: Dataset[(T, Long)], name: String,
       checkpoint: Option[String], trigger: Trigger): StreamingQuery =
     SinkConfig.streamWriter(ds, name, checkpoint, trigger)
@@ -115,7 +121,7 @@ final case class IdempotentParquetSink[T](path: String) extends SinkConfig[T] {
 final case class TwoPhaseCommitSink[T](path: String) extends SinkConfig[T] {
   import TwoPhaseCommitSink._
 
-  private def writeOne(ds: Dataset[(T, Long)], batchId: Long): Unit = {
+  private[pipeline] def writeOne(ds: Dataset[(T, Long)], batchId: Long): Unit = {
     val spark = ds.sparkSession
     val fs = fsFor(spark, path)
     val commit = commitFile(path, batchId)
@@ -134,7 +140,13 @@ final case class TwoPhaseCommitSink[T](path: String) extends SinkConfig[T] {
       s"2pc commit rename failed for batch $batchId")
   }
 
+  /** Batch mode commits as transaction 0: re-running a batch job into
+    * the same directory is a REPLAY by the protocol's rules (the
+    * committed manifest stands; the write is skipped). Use a fresh
+    * directory for a genuinely new batch output. */
   def writeBatch(ds: Dataset[(T, Long)]): Unit = writeOne(ds, 0L)
+  override def writeMicroBatch(ds: Dataset[(T, Long)], batchId: Long): Unit =
+    writeOne(ds, batchId)
   def writeStream(ds: Dataset[(T, Long)], name: String,
       checkpoint: Option[String], trigger: Trigger): StreamingQuery =
     SinkConfig.streamWriter(ds, name, checkpoint, trigger)
@@ -157,7 +169,7 @@ object TwoPhaseCommitSink {
     val dir = new Path(s"$path/commits")
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).map(_.getPath)
-      .filter(p => !p.getName.startsWith("."))
+      .filter(_.getName.matches("\\d+")) // manifests only: skip tmp/crc/strays
       .sortBy(_.getName.toLong)
       .flatMap { p =>
         val in = fs.open(p)
@@ -166,7 +178,9 @@ object TwoPhaseCommitSink {
       }.filter(_.nonEmpty).toSeq
   }
 
-  /** The exactly-once view: only manifest-listed files. */
+  /** The exactly-once view: only manifest-listed files. Before the first
+    * commit this is the zero-column `emptyDataFrame` — check
+    * [[committedFiles]] first if a stable schema matters. */
   def readCommitted(spark: SparkSession, path: String): DataFrame = {
     val files = committedFiles(spark, path)
     if (files.isEmpty) spark.emptyDataFrame

@@ -34,20 +34,41 @@ class TwoPhaseCommitSinkSpec extends AnyFunSuite {
     assert(TwoPhaseCommitSink.recover(spark, dir).isEmpty) // nothing in flight
   }
 
+  test("toSinks fan-out delivers every micro-batch to batchId-keyed sinks") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // regression: toSinks used to call writeBatch (batchId discarded), so
+    // a 2PC sink saw every micro-batch as a replay of batch 0 and
+    // silently dropped all rows after the first trigger
+    val dir2pc = Files.createTempDirectory("twopc-fanout").toString
+    val dirIdem = Files.createTempDirectory("idem-fanout").toString
+    val mem = MemoryStream[(Long, Long)]
+    val handle = Graft.source("fanout-src", DatasetSource(mem.toDS(), (t: (Long, Long)) => t._2))
+      .toSinks(Seq(TwoPhaseCommitSink(dir2pc), IdempotentParquetSink(dirIdem)))
+    (0 until 3).foreach { b =>
+      mem.addData((0 until 50).map(i => (b * 50L + i, i.toLong)))
+      handle.processAllAvailable()
+    }
+    handle.stop()
+    val got2pc = TwoPhaseCommitSink.readCommitted(spark, dir2pc)
+      .select("_1._1").as[Long].collect().sorted
+    assert(got2pc.toSeq == (0L until 150L))
+    val gotIdem = spark.read.parquet(dirIdem)
+      .select("_1._1").as[Long].collect().sorted
+    assert(gotIdem.toSeq == (0L until 150L))
+  }
+
   test("a replayed batchId is skipped whole (phase-2 manifest is the truth)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("twopc-replay").toString
     val sink = TwoPhaseCommitSink[(Long, Long)](dir)
     def ds(rows: Seq[(Long, Long)]) =
-      spark.createDataset(rows).map(identity) // stamped shape (T, ts)
+      spark.createDataset(rows).map(r => (r, r._2)) // stamped shape (T, ts)
     // foreachBatch path: same batchId re-delivered after a restart
-    val w = classOf[TwoPhaseCommitSink[(Long, Long)]]
-      .getDeclaredMethods.find(_.getName == "writeOne").get
-    w.setAccessible(true)
-    w.invoke(sink, ds(Seq((1L, 1L), (2L, 2L))), Long.box(7L))
-    w.invoke(sink, ds(Seq((99L, 99L))), Long.box(7L)) // replay: must not double-write
+    sink.writeOne(ds(Seq((1L, 1L), (2L, 2L))), 7L)
+    sink.writeOne(ds(Seq((99L, 99L))), 7L) // replay: must not double-write
     val got = TwoPhaseCommitSink.readCommitted(spark, dir)
-      .select("_1").as[Long].collect().sorted
+      .select("_1._1").as[Long].collect().sorted
     assert(got.toSeq == Seq(1L, 2L))
   }
 
@@ -55,18 +76,15 @@ class TwoPhaseCommitSinkSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = Files.createTempDirectory("twopc-abort").toString
     val sink = TwoPhaseCommitSink[(Long, Long)](dir)
-    val w = classOf[TwoPhaseCommitSink[(Long, Long)]]
-      .getDeclaredMethods.find(_.getName == "writeOne").get
-    w.setAccessible(true)
-    w.invoke(sink, spark.createDataset(Seq((1L, 1L))).map(identity), Long.box(0L))
+    sink.writeOne(spark.createDataset(Seq((1L, 1L))).map(r => (r, r._2)), 0L)
     // died in phase 1: staged parquet, no manifest
-    spark.createDataset(Seq((666L, 0L))).map(identity)
+    spark.createDataset(Seq((666L, 0L))).map(r => (r, r._2))
       .write.parquet(s"$dir/staging/batch-5")
     // died between phases: tmp manifest never renamed
     Files.write(java.nio.file.Paths.get(s"$dir/commits/.tmp-6"), "ghost".getBytes)
     assert(TwoPhaseCommitSink.recover(spark, dir) == Seq(5L))
     val got = TwoPhaseCommitSink.readCommitted(spark, dir)
-      .select("_1").as[Long].collect().toSeq
+      .select("_1._1").as[Long].collect().toSeq
     assert(got == Seq(1L)) // aborted rows never became visible
     assert(!new java.io.File(s"$dir/staging/batch-5").exists())
     assert(!new java.io.File(s"$dir/commits/.tmp-6").exists())
