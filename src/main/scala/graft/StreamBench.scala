@@ -87,6 +87,15 @@ object StreamBench {
     // (application.pony:149-150 `parallelism`).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
+    // STREAM_BENCH_PROVIDER=rocksdb benches the disk-spilling provider a
+    // large deployment runs (changelog checkpointing keeps the per-batch
+    // commit an append, not a full SST upload).
+    if (sys.env.get("STREAM_BENCH_PROVIDER").contains("rocksdb")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
 
     def bench(name: String)(build: SourceConfig[(Long, Long, Long)] => Pipeline[_]): (String, Double, Double) = {
       val t0 = System.nanoTime()
