@@ -262,7 +262,13 @@ final class Pipeline[T] private[pipeline] (
         // Spark only folds into its global watermark at batch
         // boundaries; riding the per-key event time restores the
         // per-message trigger cadence and makes the streaming and
-        // batch-replay paths anchor windows identically.
+        // batch-replay paths anchor windows identically. (Removal
+        // cadence can still differ: between micro-batches the GLOBAL
+        // watermark may pass a key's remove point and the timer drops
+        // its state — the reference's live behavior — where a batch
+        // replay, whose watermark only advances with the key's own
+        // events, would have fed the next event to the old window as
+        // late data. EphemeralWindowsSpec pins both outcomes.)
         val buf = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
         rows.foreach(r => buf += r.asInstanceOf[AnyRef])
         val arr = buf.toArray
