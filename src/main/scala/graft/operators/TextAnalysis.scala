@@ -228,10 +228,60 @@ object TextAnalysis {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------ t_sample_stratified
+  /** Deterministic stratified sampling with a per-stratum cap — the
+    * per-domain/per-language cap every large-corpus mixing recipe applies
+    * before training (bound any one source's share of the corpus).
+    *
+    * Selection is rank-by-portable-hash: within each (lang, source)
+    * stratum, docs are ordered by (H(doc_id, "sample"), doc_id) and the
+    * first [[SampleCapPerStratum]] are kept — a uniform-without-
+    * replacement sample that is a pure function of the doc ids, so it is
+    * reproducible run-to-run, stable under corpus re-partitioning, and
+    * bit-exact in the oracle (no RNG state anywhere).
+    *
+    * Scale shape: one shuffle on the stratum key for the window rank.
+    * Spark's window sort is spill-safe, but a pathologically hot stratum
+    * still sorts all its rows to keep k — at 100 TB pre-filter with an
+    * approximate hash threshold (keep H < cap/stratum_count scaled, a
+    * PER-ROW predicate off a broadcast count table) and rank only the
+    * ~cap survivors. The cap-tail refinement is the same top-k shape
+    * AQE-style two-phase limits use. */
+  val SampleCapPerStratum = 6
+
+  def tSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(Portable.sparkHash("cast(doc_id as string)", "sample")).as("h"))
+      .withColumn("samp_rank", row_number().over(w).cast("long"))
+      .withColumn("stratum_n",
+        count(lit(1)).over(Window.partitionBy(col("lang"), col("source"))))
+      .filter(col("samp_rank") <= SampleCapPerStratum)
+      .select("doc_id", "lang", "source", "samp_rank", "stratum_n")
+  }
+
+  val tSampleStratifiedSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, source,
+       |    ${Portable.duckHash("CAST(doc_id AS VARCHAR)", "sample")} AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+       |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS samp_rank,
+       |    COUNT(*) OVER (PARTITION BY lang, source) AS stratum_n
+       |  FROM h)
+       |SELECT doc_id, lang, source, samp_rank, stratum_n
+       |FROM r WHERE samp_rank <= $SampleCapPerStratum""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "t_token_count" -> ((tTokenCount _, Some(tTokenCountSql))),
     "t_quality" -> ((tQuality _, Some(tQualitySql))),
     "t_langid" -> ((tLangid _, Some(tLangidSql))),
     "t_fingerprint" -> ((tFingerprint _, Some(tFingerprintSql))),
-    "t_clean_corpus" -> ((tCleanCorpus _, Some(tCleanCorpusSql))))
+    "t_clean_corpus" -> ((tCleanCorpus _, Some(tCleanCorpusSql))),
+    "t_sample_stratified" -> ((tSampleStratified _, Some(tSampleStratifiedSql))))
 }
