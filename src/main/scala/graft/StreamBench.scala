@@ -96,6 +96,16 @@ object StreamBench {
       spark.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     }
+    // STREAM_BENCH_HOST=tws benches the transformWithState host
+    // (WrapperProcessor, real per-key timers) — implies RocksDB (a Spark
+    // restriction on that API).
+    if (sys.env.get("STREAM_BENCH_HOST").contains("tws")) {
+      spark.conf.set("graft.streaming.stateHost", "transformWithState")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
 
     def bench(name: String)(build: SourceConfig[(Long, Long, Long)] => Pipeline[_]): (String, Double, Double) = {
       val t0 = System.nanoTime()

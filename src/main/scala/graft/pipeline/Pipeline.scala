@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, TimeMode, Trigger}
 
 /** The pipeline DSL — `source → to → key_by → to(windows/state) → merge →
   * to_sink` (lib/wallaroo/application.pony:40-263), re-expressed over
@@ -213,7 +213,7 @@ final class Pipeline[T] private[pipeline] (
     val enc3 = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong)
     val rowEnc = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong, Encoders.TIMESTAMP)
 
-    stamped
+    val grouped = stamped
       .map { case (t, ts) =>
         val key = if (byPartition)
           "part-" + org.apache.spark.TaskContext.getPartitionId() + ":" + kf(t)
@@ -228,15 +228,32 @@ final class Pipeline[T] private[pipeline] (
       .withWatermark("_4", s"${slack / 1000000L} milliseconds")
       .as[(String, T, Long, java.sql.Timestamp)](rowEnc)
       .groupByKey(_._1)(Encoders.STRING)
-      .flatMapGroupsWithState[KeyState[T, U], (U, Long)](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        statefulGroupFunc[(String, T, Long, java.sql.Timestamp), U](init, armTimer, _._2, _._3))(
-        stateEnc, tup[U])
+
+    // Host selection: flatMapGroupsWithState (default — any state store
+    // provider) or transformWithState (Spark 4 StatefulProcessor with
+    // first-class per-key timers; requires RocksDB — see [[WrapperProcessor]]).
+    spark.conf.getOption("graft.streaming.stateHost").getOrElse("flatMapGroups") match {
+      case "transformWithState" =>
+        grouped.transformWithState(new WrapperProcessor[T, U](init, armTimer),
+          TimeMode.EventTime(), OutputMode.Append)(tup[U])
+      case _ =>
+        grouped.flatMapGroupsWithState[KeyState[T, U], (U, Long)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          statefulGroupFunc[(String, T, Long, java.sql.Timestamp), U](init, armTimer, _._2, _._3))(
+          stateEnc, tup[U])
+    }
   }
 
-  /** The per-key replay host shared by both streaming layouts: sort the
-    * micro-batch's rows for this key in event-time order, feed the state
-    * machine, handle timeout/removal/re-arm. */
+  /** flatMapGroupsWithState adapter over the shared [[StatefulReplay]]
+    * core: route timeout firings vs input replay, map the retain verdict
+    * onto GroupState update/remove, re-arm the timeout (the reference's
+    * per-step timer, runner.pony:465-501). Removal cadence vs batch
+    * replay can differ: between micro-batches the GLOBAL watermark may
+    * pass a key's remove point and the timer drops its state — the
+    * reference's live behavior — where a batch replay, whose watermark
+    * only advances with the key's own events, would have fed the next
+    * event to the old window as late data. EphemeralWindowsSpec pins
+    * both outcomes. */
   private def statefulGroupFunc[R, U](
       init: StateInitializer[T, U], armTimer: Boolean,
       value: R => T, ts: R => Long): (
@@ -244,63 +261,16 @@ final class Pipeline[T] private[pipeline] (
     (key: String, rows: Iterator[R], state: GroupState[KeyState[T, U]]) => {
       val wmMs = state.getCurrentWatermarkMs()
       val wmNs = if (wmMs <= 0) 0L else wmMs * 1000000L
-      var ks = state.getOption.getOrElse(KeyState[T, U](init.stateWrapper(key), 0L))
-      val outs = Vector.newBuilder[(U, Long)]
-      var retain = true
-      if (state.hasTimedOut) {
-        val (os, ow, r) = ks.wrapper.onTimeout(wmNs, ks.outputWm)
-        outs ++= os
-        ks.outputWm = math.max(ks.outputWm, ow)
-        retain = r
-      } else {
-        // Within a micro-batch, replay this key's rows in event-time
-        // order (stable for ties). The watermark presented to the state
-        // machine rides max(query watermark, max event ts processed so
-        // far) — the reference's sources stamp each message's event
-        // time into the stage watermark as it flows
-        // (core/source/source_handler.pony:28, watermarks.pony), which
-        // Spark only folds into its global watermark at batch
-        // boundaries; riding the per-key event time restores the
-        // per-message trigger cadence and makes the streaming and
-        // batch-replay paths anchor windows identically. (Removal
-        // cadence can still differ: between micro-batches the GLOBAL
-        // watermark may pass a key's remove point and the timer drops
-        // its state — the reference's live behavior — where a batch
-        // replay, whose watermark only advances with the key's own
-        // events, would have fed the next event to the old window as
-        // late data. EphemeralWindowsSpec pins both outcomes.)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
-        rows.foreach(r => buf += r.asInstanceOf[AnyRef])
-        val arr = buf.toArray
-        java.util.Arrays.sort(arr, new java.util.Comparator[AnyRef] {
-          def compare(a: AnyRef, b: AnyRef): Int =
-            java.lang.Long.compare(ts(a.asInstanceOf[R]), ts(b.asInstanceOf[R]))
-        })
-        var rideWm = wmNs
-        var i = 0
-        while (i < arr.length) {
-          val r = arr(i).asInstanceOf[R]
-          if (!retain) { // state was dropped mid-batch: fresh wrapper
-            ks = KeyState[T, U](init.stateWrapper(key), ks.outputWm)
-            retain = true
-          }
-          val t = ts(r)
-          rideWm = math.max(rideWm, t)
-          val (os, ow, ret) = ks.wrapper(value(r), t, rideWm)
-          outs ++= os
-          ks.outputWm = math.max(ks.outputWm, ow)
-          retain = ret
-          i += 1
-        }
+      val (outs, next) =
+        if (state.hasTimedOut) StatefulReplay.fireTimeout(state.get, wmNs)
+        else StatefulReplay.replayInput(init, key, rows, wmNs, state.getOption, value, ts)
+      next match {
+        case Some(ks) =>
+          state.update(ks)
+          if (armTimer) state.setTimeoutTimestamp(math.max(wmMs, 0L) + 1)
+        case None => state.remove()
       }
-      if (!retain) state.remove()
-      else {
-        state.update(ks)
-        // Re-arm so the next watermark advance re-triggers this key
-        // (the reference's per-step timer, runner.pony:465-501).
-        if (armTimer) state.setTimeoutTimestamp(math.max(wmMs, 0L) + 1)
-      }
-      outs.result().iterator
+      outs.iterator
     }
 
   private def batchStateful[U: Encoder](
