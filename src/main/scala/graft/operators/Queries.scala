@@ -346,6 +346,47 @@ object Queries {
       |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------------- q_events_session_native
+  /** Sessionization on Spark's BUILT-IN `session_window` — the scale path
+    * for [[qEventsSessionize]]: where the window-function form sorts every
+    * user's history (one global sort-shuffle, no partial aggregation, and
+    * batch-only), `session_window` is a hash aggregation with map-side
+    * session merging, one shuffle on (user, overlapping-window), AND runs
+    * unchanged under Structured Streaming with a watermark (merging
+    * sessions across micro-batches in the state store) — at 100 TB this
+    * is the difference between sorting 100 TB and streaming it.
+    *
+    * Boundary semantics: `session_window` opens a NEW session when the
+    * gap is ≥ the 30 min threshold (an event at exactly start+gap falls
+    * outside the half-open window); the window-function form used `>`.
+    * The oracle mirrors the built-in exactly, so the two queries would
+    * differ on an exact-30:00 gap (none exist in the testdata, but the
+    * oracle would catch an engine divergence regardless). Session bounds
+    * are reported as min/max EVENT time in integer µs (not window
+    * start/end — `session_window.end` adds the gap). */
+  def qEventsSessionNative(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"), max(col("ts_us")).as("session_end_us"))
+      .select("user_id", "n_events", "session_start_us", "session_end_us")
+
+  val qEventsSessionNativeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   // ---------------------------------------------------------------- q_strings_dates
   /** String + date function exercise: monthly order stats with string ops
     * on priority. */
@@ -474,6 +515,7 @@ object Queries {
     "q_setops" -> ((qSetOps _, Some(qSetOpsSql))),
     "q_events_tumbling" -> ((qEventsTumbling _, Some(qEventsTumblingSql))),
     "q_events_sessionize" -> ((qEventsSessionize _, Some(qEventsSessionizeSql))),
+    "q_events_session_native" -> ((qEventsSessionNative _, Some(qEventsSessionNativeSql))),
     "q_strings_dates" -> ((qStringsDates _, Some(qStringsDatesSql))),
     "q_merge_union" -> ((qMergeUnion _, Some(qMergeUnionSql))),
     "q17_small_qty" -> ((q17SmallQty _, Some(q17SmallQtySql))),
