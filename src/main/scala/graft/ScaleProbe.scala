@@ -29,7 +29,7 @@ object ScaleProbe {
 
     val probes = Seq("d_exact", "d_ngram_jaccard", "d_minhash_lsh",
       "d_simhash_pairs", "s_cosine_dups", "s_cosine_dups_scale",
-      "s_ann_lsh", "t_clean_corpus")
+      "s_ann_lsh", "t_clean_corpus", "d_semantic_scale")
     probes.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

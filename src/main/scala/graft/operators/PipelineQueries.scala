@@ -317,7 +317,34 @@ object PipelineQueries {
        |GROUP BY w.user_id, w.rn""".stripMargin
   }
 
+  // ---------------------------------------------------------- p_dedup
+  /** The DSL dedup stage ([[Pipeline.dedupBy]]) batch-replayed over the
+    * documents corpus: fingerprint = md5 of normalized text, event time =
+    * doc_id (unique, so "first in event time" is exactly min doc_id and
+    * the replay is deterministic). The streaming form of the same stage
+    * is Spark's dropDuplicates[WithinWatermark] (DedupStreamSpec). */
+  def pDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    implicit val longStrEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"md5($norm)").as("fp"))
+      .as[(Long, String)]
+    Graft.source("dedup", DatasetSource(docs, (d: (Long, String)) => d._1))
+      .dedupBy(_._2)
+      .dataset
+      .select(col("_1._1").as("doc_id"), col("_1._2").as("fp"))
+  }
+
+  val pDedupSql: String = {
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    s"""SELECT MIN(doc_id) AS doc_id, md5($norm) AS fp
+       |FROM documents GROUP BY 2""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "p_dedup" -> ((pDedup _, Some(pDedupSql))),
     "p_wordcount" -> ((pWordcount _, Some(pWordcountSql))),
     "p_alphabet" -> ((pAlphabet _, Some(pAlphabetSql))),
     "p_countwin" -> ((pCountwin _, Some(pCountwinSql))),

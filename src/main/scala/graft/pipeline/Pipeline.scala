@@ -307,6 +307,57 @@ final class Pipeline[T] private[pipeline] (
       }(tup[U])
   }
 
+  // ------------------------------------------------------------ dedup
+  /** Exact dedup: keep the FIRST occurrence per fingerprint.
+    *
+    * Spark-native on both paths (no custom state machine):
+    *  - streaming: `dropDuplicates` — one state-store entry per distinct
+    *    fingerprint, first arrival wins. State grows with distinct count
+    *    forever; use [[dedupByWithin]] on an unbounded stream.
+    *  - batch: first occurrence in EVENT-TIME order per fingerprint via
+    *    a spill-safe sorted-group head (deterministic whenever (fp, ts)
+    *    pairs are unique — ties fall to encounter order).
+    *
+    * The reference has no dedup operator; this is part of the
+    * training-data family (the streaming half of d_exact's hash dedup —
+    * at 100 TB the fingerprint is the 8-byte portable hash, so the
+    * dedup state is ~16 bytes/distinct doc in RocksDB). */
+  def dedupBy(fp: T => String): Pipeline[T] = {
+    val enc3 = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong)
+    val keyed = stamped.map { case (t, ts) => (fp(t), t, ts) }(enc3)
+    val kept =
+      if (stamped.isStreaming) keyed.dropDuplicates("_1")
+      else keyed.groupByKey(_._1)(Encoders.STRING)
+        .flatMapSortedGroups(org.apache.spark.sql.functions.col("_3")) {
+          (_: String, rows: Iterator[(String, T, Long)]) => rows.take(1)
+        }(enc3)
+    new Pipeline[T](spark, kept.map(r => (r._2, r._3))(tup[T]), None, name)
+  }
+
+  /** Bounded-state streaming dedup: duplicates are only suppressed while
+    * their first occurrence is younger than `withinNs` relative to the
+    * event-time watermark — `dropDuplicatesWithinWatermark`, whose state
+    * store EXPIRES fingerprints the watermark has passed (the only dedup
+    * a 100 TB unbounded stream can run). A duplicate arriving after its
+    * fingerprint expired is re-emitted — that's the documented trade.
+    * Batch: identical to [[dedupBy]] (a batch replay sees everything
+    * inside one "window"). */
+  def dedupByWithin(fp: T => String, withinNs: Long): Pipeline[T] = {
+    if (!stamped.isStreaming) dedupBy(fp)
+    else {
+      val enc3 = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong)
+      val rowEnc = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong, Encoders.TIMESTAMP)
+      val kept = stamped
+        .map { case (t, ts) => (fp(t), t, ts) }(enc3)
+        .withColumn("_4", org.apache.spark.sql.functions.expr(
+          "timestamp_millis(_3 div 1000000)"))
+        .withWatermark("_4", s"${withinNs / 1000000L} milliseconds")
+        .as[(String, T, Long, java.sql.Timestamp)](rowEnc)
+        .dropDuplicatesWithinWatermark("_1")
+      new Pipeline[T](spark, kept.map(r => (r._2, r._3))(tup[T]), None, name)
+    }
+  }
+
   // ------------------------------------------------------------ merge/sink
   /** Union with another pipeline of the same element type
     * (application.pony:118-147). The reference's `Pipeline[(A|B)]` type

@@ -16,7 +16,8 @@ class PlanGuardSpec extends AnyFunSuite {
     * loop" is a per-row loop over a constant-size array. */
   private val allowedBnlj =
     Set("s_ann_brute", "s_ann_ivf", "s_ann_ivf_trained", "d_ngram_jaccard",
-      "d_semantic") // centroid assignment: 8-row broadcast side, like s_ann_ivf
+      // centroid assignment: bounded broadcast side, like s_ann_ivf
+      "d_semantic", "d_semantic_scale")
 
   test("no query plan contains a cartesian product") {
     for ((name, fn) <- graft.SparkEntry.queries) {
