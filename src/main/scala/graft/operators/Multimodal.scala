@@ -134,8 +134,61 @@ object Multimodal {
        |  ${Portable.duckHash("substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32)", "frame")} AS frame_hash
        |FROM f WHERE frame_idx % 4 = 0""".stripMargin
 
+  // ------------------------------------------------------------ m_text_vec
+  /** Cross-modal join: the text side (documents) and the embedding side
+    * (embeddings) keyed by the shared id, rolled up per embedding-space
+    * label — the "join features from one modality onto another" shape
+    * every multimodal pipeline runs (e.g. caption-quality stats per image
+    * cluster). Counts/token sums are exact integers; the norm sum goes
+    * through a DECIMAL(25,12) cast on both engines so the double
+    * aggregation is order-independent (the q_events_sliding pattern).
+    *
+    * Scale shape: id⋈id is a co-partitionable fact-fact join — sort-merge
+    * on the shared key (or zero-exchange if both sides are bucketed on
+    * it, see sources/Bucketing.scala); the text blob is projected to its
+    * two integer features BEFORE the join, so the shuffle never carries
+    * the blob. */
+  def mTextVec(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr(s"size(${Portable.sparkTokens("text")})").cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+    val vecs = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label").cast("long").as("label"),
+      expr("sqrt(vec_dot(transform(embedding, x -> cast(x as double)), " +
+        "transform(embedding, x -> cast(x as double))))").as("nrm"))
+    docs.join(vecs, col("doc_id") === col("vec_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"),
+        sum("n_chars").as("n_chars_total"),
+        sum(col("nrm").cast("decimal(25,12)")).cast("double").as("norm_sum"))
+  }
+
+  val mTextVecSql: String = {
+    val vd = "CAST(embedding AS DOUBLE[])"
+    val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform($vd, (p, i) -> p * ($vd)[i])), (x, y) -> x + y)"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(${Portable.duckTokens("text")}) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |v AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, sqrt($dot) AS nrm
+       |  FROM embeddings)
+       |SELECT label, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(SUM(CAST(nrm AS DECIMAL(25,12))) AS DOUBLE) AS norm_sum
+       |FROM d JOIN v ON doc_id = vec_id
+       |GROUP BY label""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "m_media_meta" -> ((mMediaMeta _, Some(mMediaMetaSql))),
     "m_frame_sample" -> ((mFrameSample _, Some(mFrameSampleSql))),
-    "m_decode" -> ((mDecode _, Some(mDecodeSql))))
+    "m_decode" -> ((mDecode _, Some(mDecodeSql))),
+    "m_text_vec" -> ((mTextVec _, Some(mTextVecSql))))
 }
