@@ -99,6 +99,44 @@ class TransformWithStateSpec extends AnyFunSuite {
       _.keyBy(_.k).to(Graft.countWindows(3).over(SumEv)))
   }
 
+  test("TWS host restarts from its checkpoint (state + timers in RocksDB)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevHost = spark.conf.getOption(HostKey)
+    val prevProv = spark.conf.getOption(ProviderKey)
+    spark.conf.set(HostKey, "transformWithState")
+    spark.conf.set(ProviderKey, Provider)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tws_out").toString
+    try {
+      val words = MemoryStream[String]
+      def pipeline() = Graft
+        .source("twsr", DatasetSource(words.toDS(), (_: String) => 0L))
+        .keyBy(identity)
+        .to(CountWord)
+      val h1 = pipeline().toSink(IdempotentParquetSink(out), checkpointLocation = Some(ckpt))
+      words.addData("a", "b", "a")
+      h1.processAllAvailable()
+      h1.stop()
+
+      val h2 = pipeline().toSink(IdempotentParquetSink(out), checkpointLocation = Some(ckpt))
+      words.addData("a", "c")
+      h2.processAllAvailable()
+      h2.stop()
+
+      val rows = spark.read.parquet(out)
+        .selectExpr("_1._1 AS word", "_1._2 AS cnt").as[(String, Long)]
+        .collect().toSeq.sorted
+      // Running totals resumed across the restart: a → 1,2 then 3.
+      assert(rows == Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L), ("c", 1L)))
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v match { case Some(p) => spark.conf.set(k, p); case None => spark.conf.unset(k) }
+      restore(HostKey, prevHost)
+      restore(ProviderKey, prevProv)
+    }
+  }
+
   test("ephemeral windows: hosts agree (timer removal + reopen)") {
     import spark.implicits._
     val chunks = Seq(
