@@ -90,17 +90,13 @@ object StreamBench {
     // STREAM_BENCH_PROVIDER=rocksdb benches the disk-spilling provider a
     // large deployment runs (changelog checkpointing keeps the per-batch
     // commit an append, not a full SST upload).
-    if (sys.env.get("STREAM_BENCH_PROVIDER").contains("rocksdb")) {
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    }
     // STREAM_BENCH_HOST=tws benches the transformWithState host
     // (WrapperProcessor, real per-key timers) — implies RocksDB (a Spark
-    // restriction on that API).
-    if (sys.env.get("STREAM_BENCH_HOST").contains("tws")) {
-      spark.conf.set("graft.streaming.stateHost", "transformWithState")
+    // restriction on that API); the identical provider confs keep the
+    // PROVIDER=rocksdb and HOST=tws rows comparable.
+    val twsHost = sys.env.get("STREAM_BENCH_HOST").contains("tws")
+    if (twsHost) spark.conf.set("graft.streaming.stateHost", "transformWithState")
+    if (twsHost || sys.env.get("STREAM_BENCH_PROVIDER").contains("rocksdb")) {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       spark.conf.set(

@@ -168,8 +168,8 @@ object Multimodal {
 
   val mTextVecSql: String = {
     val vd = "CAST(embedding AS DOUBLE[])"
-    val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform($vd, (p, i) -> p * ($vd)[i])), (x, y) -> x + y)"
+    // the one authoritative cross-engine dot-product fold
+    val dot = Similarity.duckDot(vd, vd)
     s"""WITH d AS (
        |  SELECT doc_id,
        |    CAST(len(${Portable.duckTokens("text")}) AS BIGINT) AS n_tokens,

@@ -33,9 +33,12 @@ import graft.functions.Portable
   */
 object Skew {
 
-  /** Deterministic salt in [0, nSalts) from a row-id expression. */
+  /** Deterministic salt in [0, nSalts) from a row-id expression. NULL ids
+    * salt as the empty string — concat would otherwise null the whole
+    * hash and the salted using-join would DROP the row (the plain join
+    * keeps it: its join key, not the id, decides matching). */
   def saltExpr(idExpr: String, nSalts: Int): String =
-    s"pmod(${Portable.sparkHash(idExpr, "salt")}, $nSalts)"
+    s"pmod(${Portable.sparkHash(s"coalesce(cast(($idExpr) as string), '')", "salt")}, $nSalts)"
 
   /** Salted equi-join: `big ⋈ small ON key` rewritten to route the big
     * side's hot keys across `nSalts` shuffle partitions. `idExpr` is any

@@ -232,15 +232,19 @@ final class Pipeline[T] private[pipeline] (
     // Host selection: flatMapGroupsWithState (default — any state store
     // provider) or transformWithState (Spark 4 StatefulProcessor with
     // first-class per-key timers; requires RocksDB — see [[WrapperProcessor]]).
+    // Unknown values fail fast: a typo silently benchmarked as the wrong
+    // host is worse than an error.
     spark.conf.getOption("graft.streaming.stateHost").getOrElse("flatMapGroups") match {
-      case "transformWithState" =>
+      case "transformWithState" | "tws" =>
         grouped.transformWithState(new WrapperProcessor[T, U](init, armTimer),
           TimeMode.EventTime(), OutputMode.Append)(tup[U])
-      case _ =>
+      case "flatMapGroups" | "fmgws" =>
         grouped.flatMapGroupsWithState[KeyState[T, U], (U, Long)](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
           statefulGroupFunc[(String, T, Long, java.sql.Timestamp), U](init, armTimer, _._2, _._3))(
           stateEnc, tup[U])
+      case other => throw new IllegalArgumentException(
+        s"graft.streaming.stateHost='$other': use 'flatMapGroups' (default) or 'transformWithState'")
     }
   }
 
@@ -312,11 +316,19 @@ final class Pipeline[T] private[pipeline] (
     *
     * Spark-native on both paths (no custom state machine):
     *  - streaming: `dropDuplicates` — one state-store entry per distinct
-    *    fingerprint, first arrival wins. State grows with distinct count
-    *    forever; use [[dedupByWithin]] on an unbounded stream.
+    *    fingerprint, FIRST ARRIVAL wins (a stream cannot wait to see
+    *    whether an earlier-timestamped duplicate is still in flight
+    *    without holding every row back to the watermark). State grows
+    *    with distinct count forever; use [[dedupByWithin]] on an
+    *    unbounded stream.
     *  - batch: first occurrence in EVENT-TIME order per fingerprint via
     *    a spill-safe sorted-group head (deterministic whenever (fp, ts)
     *    pairs are unique — ties fall to encounter order).
+    *
+    * The two paths agree exactly when arrival order respects event-time
+    * order per fingerprint (replayed logs, p_dedup's replay); under
+    * out-of-order arrival they keep the same KEYS but may keep a
+    * different representative row — DedupStreamSpec pins both facts.
     *
     * The reference has no dedup operator; this is part of the
     * training-data family (the streaming half of d_exact's hash dedup —

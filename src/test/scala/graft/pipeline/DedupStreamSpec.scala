@@ -27,11 +27,12 @@ class DedupStreamSpec extends AnyFunSuite {
     val handle = Graft.source("dd", DatasetSource(in.toDS(), (p: (String, Long)) => p._2))
       .dedupBy(_._1)
       .toSink(MemorySink("dd_out"))
-    in.addData(("a", 1L), ("b", 2L), ("a", 3L))
-    handle.processAllAvailable()
-    in.addData(("a", 4L), ("c", 5L), ("b", 6L))
-    handle.processAllAvailable()
-    handle.stop()
+    try {
+      in.addData(("a", 1L), ("b", 2L), ("a", 3L))
+      handle.processAllAvailable()
+      in.addData(("a", 4L), ("c", 5L), ("b", 6L))
+      handle.processAllAvailable()
+    } finally handle.stop()
     val kept = spark.sql("SELECT _1._1, _1._2 FROM dd_out")
       .as[(String, Long)].collect().toSeq.sorted
     assert(kept == Seq(("a", 1L), ("b", 2L), ("c", 5L)))
@@ -44,22 +45,42 @@ class DedupStreamSpec extends AnyFunSuite {
     val handle = Graft.source("ddw", DatasetSource(in.toDS(), (p: (String, Long)) => p._2))
       .dedupByWithin(_._1, seconds(10))
       .toSink(MemorySink("ddw_out"))
-    in.addData(("a", seconds(1)), ("b", seconds(2)))
-    handle.processAllAvailable()
-    // dup inside the horizon: suppressed
-    in.addData(("a", seconds(5)))
-    handle.processAllAvailable()
-    // advance the watermark far past a's expiry...
-    in.addData(("z", seconds(60)))
-    handle.processAllAvailable()
-    // ...then a re-arrives: its entry expired, so it is re-emitted
-    in.addData(("a", seconds(65)))
-    handle.processAllAvailable()
-    handle.stop()
+    try {
+      in.addData(("a", seconds(1)), ("b", seconds(2)))
+      handle.processAllAvailable()
+      // dup inside the horizon: suppressed
+      in.addData(("a", seconds(5)))
+      handle.processAllAvailable()
+      // advance the watermark far past a's expiry...
+      in.addData(("z", seconds(60)))
+      handle.processAllAvailable()
+      // ...then a re-arrives: its entry expired, so it is re-emitted
+      in.addData(("a", seconds(65)))
+      handle.processAllAvailable()
+    } finally handle.stop()
     val kept = spark.sql("SELECT _1._1, _1._2 FROM ddw_out")
       .as[(String, Long)].collect().toSeq.sorted
     assert(kept == Seq(
       ("a", seconds(1)), ("a", seconds(65)), ("b", seconds(2)), ("z", seconds(60))))
+  }
+
+  test("out-of-order input: streaming keeps the KEY exactly once (representative may differ from batch)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val handle = Graft.source("ddo", DatasetSource(in.toDS(), (p: (String, Long)) => p._2))
+      .dedupBy(_._1)
+      .toSink(MemorySink("ddo_out"))
+    try {
+      in.addData(("x", 30L), ("x", 10L)) // later event time arrives first
+      handle.processAllAvailable()
+    } finally handle.stop()
+    val kept = spark.sql("SELECT _1._1, _1._2 FROM ddo_out")
+      .as[(String, Long)].collect().toSeq
+    // Streaming keeps exactly one x — first ARRIVAL, so possibly ts=30;
+    // the batch replay (next test) would keep ts=10. Same key set, maybe
+    // a different representative: the documented divergence.
+    assert(kept.map(_._1) == Seq("x"))
   }
 
   test("batch dedupBy keeps the event-time-first occurrence") {

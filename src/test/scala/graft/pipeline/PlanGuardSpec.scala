@@ -19,9 +19,17 @@ class PlanGuardSpec extends AnyFunSuite {
       // centroid assignment: bounded broadcast side, like s_ann_ivf
       "d_semantic", "d_semantic_scale")
 
+  /** Build the plan string, then drop whatever the query persisted —
+    * d_semantic registers a cached subtree at CONSTRUCTION time, and an
+    * accumulated CacheManager would substitute InMemoryRelation into
+    * later queries' plans, perturbing exactly these assertions. */
+  private def planOf(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String =
+    try fn(spark, dir).queryExecution.sparkPlan.toString
+    finally spark.catalog.clearCache()
+
   test("no query plan contains a cartesian product") {
     for ((name, fn) <- graft.SparkEntry.queries) {
-      val plan = fn(spark, dir).queryExecution.sparkPlan.toString
+      val plan = planOf(fn)
       assert(!plan.contains("CartesianProduct"),
         s"$name has a cartesian product:\n$plan")
     }
@@ -29,7 +37,7 @@ class PlanGuardSpec extends AnyFunSuite {
 
   test("nested-loop joins appear only where a bounded side is broadcast") {
     for ((name, fn) <- graft.SparkEntry.queries if !allowedBnlj(name)) {
-      val plan = fn(spark, dir).queryExecution.sparkPlan.toString
+      val plan = planOf(fn)
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name has an unexpected nested-loop join:\n$plan")
     }

@@ -46,8 +46,8 @@ class TransformWithStateSpec extends AnyFunSuite {
       val in = MemoryStream[T]
       val handle = build(
         Graft.source(table, DatasetSource(in.toDS(), tsOf))).toSink(MemorySink(table))
-      chunks.foreach { c => in.addData(c); handle.processAllAvailable() }
-      handle.stop()
+      try chunks.foreach { c => in.addData(c); handle.processAllAvailable() }
+      finally handle.stop() // a failed run must not leak a live query into the shared session
       spark.table(table).collect().map(_.toString).toSeq.sorted
     } finally {
       def restore(k: String, v: Option[String]): Unit =
