@@ -135,25 +135,54 @@ object StreamBench {
       (name, sec, sustained)
     }
 
-    val results = Seq(
+    def statecomp(src: SourceConfig[(Long, Long, Long)]) =
+      Graft.source("bench-statecomp", src)
+        .keyBy(_._1.toString)
+        .to(SpreadCheck)(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    def sliding(src: SourceConfig[(Long, Long, Long)]) =
+      Graft.source("bench-sliding", src)
+        .keyBy(_._1.toString)
+        .to(Graft.rangeWindows(1800L * 1000000000L).withSlide(600L * 1000000000L)
+          .over(PipelineQueries.WindowCents))(
+          Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+
+    val base = Seq(
       bench("stream_stateless") { src =>
         Graft.source("bench-stateless", src)
           .filter(_._2 >= 100)
           .map(e => (e._1, e._2 * 2, e._3))
       },
-      bench("stream_statecomp") { src =>
-        Graft.source("bench-statecomp", src)
-          .keyBy(_._1.toString)
-          .to(SpreadCheck)(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-      },
-      bench("stream_sliding") { src =>
-        Graft.source("bench-sliding", src)
-          .keyBy(_._1.toString)
-          .to(Graft.rangeWindows(1800L * 1000000000L).withSlide(600L * 1000000000L)
-            .over(PipelineQueries.WindowCents))(
-            Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
-      })
+      bench("stream_statecomp")(statecomp),
+      bench("stream_sliding")(sliding))
 
+    // The same stateful pipelines on the transformWithState host
+    // (RocksDB-backed, real per-key timers) — reported side by side so
+    // the per-round JSON carries both hosts' sustained rates. Skipped
+    // when the whole run was already pinned to one host/provider combo.
+    val twsRows = if (twsHost) Seq.empty else {
+      val prevHost = spark.conf.getOption("graft.streaming.stateHost")
+      val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("graft.streaming.stateHost", "transformWithState")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      try Seq(
+        bench("stream_statecomp_tws")(statecomp),
+        bench("stream_sliding_tws")(sliding))
+      finally {
+        prevHost match {
+          case Some(h) => spark.conf.set("graft.streaming.stateHost", h)
+          case None    => spark.conf.unset("graft.streaming.stateHost")
+        }
+        prevProv match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+
+    val results = base ++ twsRows
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     (results.map(r => (r._1, r._2)), results.map(r => (r._1, r._3)))
   }
