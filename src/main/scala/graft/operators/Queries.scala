@@ -387,6 +387,86 @@ object Queries {
       |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- q_asof_join
+  /** AS-OF join — each purchase matched to the user's most recent view at
+    * or before it (point-in-time attribution; the feature-store lookup
+    * shape). Spark has no native as-of join; the scale-correct
+    * composition is union + ordered carry-forward: tag both sides, ONE
+    * shuffle on the key, ONE per-key sort on (ts, side), then
+    * `last(view, ignoreNulls)` over the preceding frame — O(n log n)
+    * total, no point-in-time row explosion, and the window sort spills.
+    * (The naive range-join formulation explodes to pairs and re-ranks:
+    * quadratic per hot key.) Ties: a view at exactly the purchase ts
+    * sorts BEFORE it (side 0 < 1), matching the oracle's `v.ts <= p.ts`;
+    * per-user timestamps are unique in the testdata, so the carried row
+    * is deterministic.
+    *
+    * The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — the two engines
+    * reach the semantics by entirely different algorithms, which is the
+    * strongest kind of cross-check. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("vid"), lit(0).as("side"),
+        lit(null).cast("long").as("pid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        lit(null).cast("long").as("vid"), lit(1).as("side"),
+        col("event_id").as("pid"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.union(purchases)
+      .withColumn("view_event_id", last(col("vid"), ignoreNulls = true).over(w))
+      .withColumn("view_ts_us",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("pid").as("event_id"), col("user_id"),
+        col("ts_us").as("pts_us"), col("view_event_id"), col("view_ts_us"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS pts_us,
+      |  v.event_id AS view_event_id, epoch_us(v.ts) AS view_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
+
+  // ------------------------------------------------------- q_events_interval_join
+  /** Interval (range) join — click→purchase conversions: every purchase
+    * by the same user within 30 minutes AFTER a click. The predicate is
+    * equality on user_id plus a time range, so Catalyst plans a
+    * sort-merge join on the EQUI key with the range as a join condition
+    * — never a cartesian (PlanGuard asserts this); output size is
+    * bounded by true conversions, not the cross product. The same
+    * pipeline runs as a Spark stream-stream interval join with
+    * watermarks bounding both sides' state (StreamStreamJoinSpec). */
+  def qEventsIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("cts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_us").as("pts_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("pts_us") >= col("cts_us") &&
+        col("pts_us") < col("cts_us") + 1800L * 1000000L)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("pts_us") - col("cts_us")).as("gap_us"))
+  }
+
+  val qEventsIntervalJoinSql: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) < epoch_us(c.ts) + 1800 * 1000000""".stripMargin
+
   // ---------------------------------------------------------------- q_strings_dates
   /** String + date function exercise: monthly order stats with string ops
     * on priority. */
@@ -516,6 +596,8 @@ object Queries {
     "q_events_tumbling" -> ((qEventsTumbling _, Some(qEventsTumblingSql))),
     "q_events_sessionize" -> ((qEventsSessionize _, Some(qEventsSessionizeSql))),
     "q_events_session_native" -> ((qEventsSessionNative _, Some(qEventsSessionNativeSql))),
+    "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
+    "q_events_interval_join" -> ((qEventsIntervalJoin _, Some(qEventsIntervalJoinSql))),
     "q_strings_dates" -> ((qStringsDates _, Some(qStringsDatesSql))),
     "q_merge_union" -> ((qMergeUnion _, Some(qMergeUnionSql))),
     "q17_small_qty" -> ((q17SmallQty _, Some(q17SmallQtySql))),
