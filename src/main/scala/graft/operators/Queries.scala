@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Portable
 
 /** Batch analytical query pack over the driver's TPC-H-ish star schema.
   *
@@ -467,6 +468,55 @@ object Queries {
       | AND epoch_us(p.ts) >= epoch_us(c.ts)
       | AND epoch_us(p.ts) < epoch_us(c.ts) + 1800 * 1000000""".stripMargin
 
+  // ---------------------------------------------------------------- q_sketch_distinct
+  /** KMV (k-minimum-values) distinct-count sketch — approximate
+    * COUNT(DISTINCT) from the k smallest hash values per group
+    * (Bar-Yossef et al. 2002; the theta-sketch family's core estimator):
+    * if the k-th smallest of n uniform hashes in [0, M) is h_k, then
+    * n ≈ (k−1)·M/h_k. The sketch is tiny (k longs), MERGEABLE (union =
+    * merge the min-sets, take k smallest — so map-side partial
+    * aggregation applies), and one-pass — at 100 TB this replaces the
+    * full (group, value)-pair shuffle of an exact distinct with k longs
+    * per group. Spark's own approx_count_distinct (HLL++) is the
+    * production choice but is engine-private bits; KMV over the
+    * PORTABLE hash is computable bit-identically in DuckDB, so this is
+    * the sketch whose whole estimate — not just its error bound — sits
+    * behind the strict oracle gate. Emits exact count alongside, so the
+    * row also documents the observed error. */
+  val KmvK = 32
+
+  def qSketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = Portable.sparkHash("cast(user_id as string)", "kmv")
+    Tables.events(s, dir)
+      .select(col("event_type"), expr(h).as("h"), col("user_id"))
+      .groupBy("event_type")
+      .agg(
+        expr(s"slice(array_sort(collect_set(h)), 1, $KmvK)").as("kmin"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      .select(col("event_type"), col("exact_distinct"),
+        expr(s"size(kmin)").cast("long").as("k_actual"),
+        // fewer than k distinct hashes → the sketch IS the exact set
+        expr(s"""case when size(kmin) < $KmvK then cast(size(kmin) as double)
+                 else (cast($KmvK as double) - 1.0) * cast(281474976710656 as double) / cast(element_at(kmin, $KmvK) as double)
+                 end""").as("kmv_estimate"))
+  }
+
+  val qSketchDistinctSql: String = {
+    val h = Portable.duckHash("CAST(user_id AS VARCHAR)", "kmv")
+    s"""WITH e AS (SELECT event_type, $h AS h, user_id FROM events),
+       |g AS (
+       |  SELECT event_type,
+       |    list_sort(list(DISTINCT h))[1:$KmvK] AS kmin,
+       |    COUNT(DISTINCT user_id) AS exact_distinct
+       |  FROM e GROUP BY event_type)
+       |SELECT event_type, exact_distinct,
+       |  CAST(len(kmin) AS BIGINT) AS k_actual,
+       |  CASE WHEN len(kmin) < $KmvK THEN CAST(len(kmin) AS DOUBLE)
+       |       ELSE (CAST($KmvK AS DOUBLE) - 1.0) * CAST(281474976710656 AS DOUBLE) / CAST(kmin[$KmvK] AS DOUBLE)
+       |  END AS kmv_estimate
+       |FROM g""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q_strings_dates
   /** String + date function exercise: monthly order stats with string ops
     * on priority. */
@@ -598,6 +648,7 @@ object Queries {
     "q_events_session_native" -> ((qEventsSessionNative _, Some(qEventsSessionNativeSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
     "q_events_interval_join" -> ((qEventsIntervalJoin _, Some(qEventsIntervalJoinSql))),
+    "q_sketch_distinct" -> ((qSketchDistinct _, Some(qSketchDistinctSql))),
     "q_strings_dates" -> ((qStringsDates _, Some(qStringsDatesSql))),
     "q_merge_union" -> ((qMergeUnion _, Some(qMergeUnionSql))),
     "q17_small_qty" -> ((q17SmallQty _, Some(q17SmallQtySql))),
