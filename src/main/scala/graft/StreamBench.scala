@@ -155,30 +155,28 @@ object StreamBench {
       bench("stream_statecomp")(statecomp),
       bench("stream_sliding")(sliding))
 
-    // The same stateful pipelines on the transformWithState host
-    // (RocksDB-backed, real per-key timers) — reported side by side so
-    // the per-round JSON carries both hosts' sustained rates. Skipped
-    // when the whole run was already pinned to one host/provider combo.
+    // The same stateful pipelines on the transformWithState host —
+    // reported side by side so the per-round JSON carries both hosts'
+    // sustained rates. NOTE: the _tws rows are tws+RocksDB (a Spark
+    // restriction on that API); the base rows use whatever provider the
+    // run is configured with (HDFS-backed by default), so in a default
+    // run the pair differs in host AND provider — set
+    // STREAM_BENCH_PROVIDER=rocksdb for a host-only comparison. Skipped
+    // when STREAM_BENCH_HOST already pinned the whole run to tws.
     val twsRows = if (twsHost) Seq.empty else {
-      val prevHost = spark.conf.getOption("graft.streaming.stateHost")
-      val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      spark.conf.set("graft.streaming.stateHost", "transformWithState")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      val confs = Seq(
+        "graft.streaming.stateHost" -> "transformWithState",
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+      val prev = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+      confs.foreach { case (key, v) => spark.conf.set(key, v) }
       try Seq(
         bench("stream_statecomp_tws")(statecomp),
         bench("stream_sliding_tws")(sliding))
-      finally {
-        prevHost match {
-          case Some(h) => spark.conf.set("graft.streaming.stateHost", h)
-          case None    => spark.conf.unset("graft.streaming.stateHost")
-        }
-        prevProv match {
-          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
+      finally prev.foreach {
+        case (key, Some(v)) => spark.conf.set(key, v)
+        case (key, None)    => spark.conf.unset(key)
       }
     }
 

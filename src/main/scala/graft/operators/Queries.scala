@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Portable
@@ -470,34 +470,35 @@ object Queries {
 
   // ---------------------------------------------------------------- q_sketch_distinct
   /** KMV (k-minimum-values) distinct-count sketch — approximate
-    * COUNT(DISTINCT) from the k smallest hash values per group
+    * COUNT(DISTINCT) from the k smallest DISTINCT hash values per group
     * (Bar-Yossef et al. 2002; the theta-sketch family's core estimator):
     * if the k-th smallest of n uniform hashes in [0, M) is h_k, then
-    * n ≈ (k−1)·M/h_k. The sketch is tiny (k longs), MERGEABLE (union =
-    * merge the min-sets, take k smallest — so map-side partial
-    * aggregation applies), and one-pass — at 100 TB this replaces the
-    * full (group, value)-pair shuffle of an exact distinct with k longs
-    * per group. Spark's own approx_count_distinct (HLL++) is the
-    * production choice but is engine-private bits; KMV over the
-    * PORTABLE hash is computable bit-identically in DuckDB, so this is
-    * the sketch whose whole estimate — not just its error bound — sits
-    * behind the strict oracle gate. Emits exact count alongside, so the
-    * row also documents the observed error. */
+    * n ≈ (k−1)·M/h_k. The sketch runs as the BOUNDED typed
+    * [[graft.functions.KmvSketch]] Aggregator — ≤ k longs per group in
+    * every partial buffer, mergeable, so map-side partial aggregation
+    * applies and the shuffle carries k longs per group instead of the
+    * full (group, value) pair set an exact distinct moves. Spark's own
+    * approx_count_distinct (HLL++) is the production choice but its bits
+    * are engine-private; KMV over the PORTABLE hash is computable
+    * bit-identically in DuckDB, so the whole estimate — not just its
+    * error bound — sits behind the strict oracle gate. The exact count
+    * rides along (for error visibility); drop it at scale — it is the
+    * expensive half of this query. */
   val KmvK = 32
 
   def qSketchDistinct(s: SparkSession, dir: String): DataFrame = {
     val h = Portable.sparkHash("cast(user_id as string)", "kmv")
+    val kmv = udaf(new graft.functions.KmvSketch(KmvK), Encoders.scalaLong)
     Tables.events(s, dir)
       .select(col("event_type"), expr(h).as("h"), col("user_id"))
       .groupBy("event_type")
-      .agg(
-        expr(s"slice(array_sort(collect_set(h)), 1, $KmvK)").as("kmin"),
+      .agg(kmv(col("h")).as("sk"),
         countDistinct(col("user_id")).as("exact_distinct"))
       .select(col("event_type"), col("exact_distinct"),
-        expr(s"size(kmin)").cast("long").as("k_actual"),
+        col("sk._1").cast("long").as("k_actual"),
         // fewer than k distinct hashes → the sketch IS the exact set
-        expr(s"""case when size(kmin) < $KmvK then cast(size(kmin) as double)
-                 else (cast($KmvK as double) - 1.0) * cast(281474976710656 as double) / cast(element_at(kmin, $KmvK) as double)
+        expr(s"""case when sk._1 < $KmvK then cast(sk._1 as double)
+                 else (cast($KmvK as double) - 1.0) * cast(281474976710656 as double) / cast(sk._2 as double)
                  end""").as("kmv_estimate"))
   }
 

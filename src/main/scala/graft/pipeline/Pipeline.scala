@@ -244,7 +244,8 @@ final class Pipeline[T] private[pipeline] (
           statefulGroupFunc[(String, T, Long, java.sql.Timestamp), U](init, armTimer, _._2, _._3))(
           stateEnc, tup[U])
       case other => throw new IllegalArgumentException(
-        s"graft.streaming.stateHost='$other': use 'flatMapGroups' (default) or 'transformWithState'")
+        s"graft.streaming.stateHost='$other': use 'flatMapGroups'/'fmgws' (default) " +
+          "or 'transformWithState'/'tws'")
     }
   }
 

@@ -72,7 +72,8 @@ private[pipeline] object StatefulReplay {
 /** Streaming host #2: Spark 4's `transformWithState` (SPARK-46815) — the
   * same unit-tested [[StateWrapper]] machines on a [[StatefulProcessor]]
   * with FIRST-CLASS per-key event-time timers, selected per session via
-  * `spark.conf.set("graft.streaming.stateHost", "transformWithState")`.
+  * `spark.conf.set("graft.streaming.stateHost", "transformWithState")`
+  * (alias `"tws"`; the default host accepts `"flatMapGroups"`/`"fmgws"`).
   *
   * Why two hosts: `flatMapGroupsWithState` models the reference's
   * per-step timer (runner.pony:465-501) as a GroupStateTimeout — it fires

@@ -115,14 +115,12 @@ class TransformWithStateSpec extends AnyFunSuite {
         .keyBy(identity)
         .to(CountWord)
       val h1 = pipeline().toSink(IdempotentParquetSink(out), checkpointLocation = Some(ckpt))
-      words.addData("a", "b", "a")
-      h1.processAllAvailable()
-      h1.stop()
+      try { words.addData("a", "b", "a"); h1.processAllAvailable() }
+      finally h1.stop()
 
       val h2 = pipeline().toSink(IdempotentParquetSink(out), checkpointLocation = Some(ckpt))
-      words.addData("a", "c")
-      h2.processAllAvailable()
-      h2.stop()
+      try { words.addData("a", "c"); h2.processAllAvailable() }
+      finally h2.stop()
 
       val rows = spark.read.parquet(out)
         .selectExpr("_1._1 AS word", "_1._2 AS cnt").as[(String, Long)]
