@@ -46,18 +46,21 @@ object Bench {
       spark.catalog.clearCache()
       name -> elapsed
     }
-    val (streamSecs, streamRps) = StreamBench.run(spark, sfDir)
+    val (streamSecs, streamRps, streamLat) = StreamBench.run(spark, sfDir)
     val qs = (results ++ streamSecs)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rps = streamRps.map { case (k, v) => "\"" + k + "\":" + v.round }
       .mkString("{", ",", "}")
+    val lat = streamLat.map { case (k, (p50, mx)) =>
+      "\"" + k + "\":{\"p50_ms\":" + p50 + ",\"max_ms\":" + mx + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // A query that threw still contributes its (tiny) elapsed time to
     // queries/total; the failed list makes that visible in the JSON
     // instead of reading as a speedup (ADVICE r2).
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"stream_rows_per_sec":$rps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_batch_latency":$lat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

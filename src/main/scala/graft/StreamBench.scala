@@ -28,9 +28,9 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-stream-bench")
-    val (secs, rps) = run(spark, sfDir)
-    secs.zip(rps).foreach { case ((n, s), (_, r)) =>
-      println(f"[stream] $n%-18s $s%7.2f s  ${r.round}%9d rows/s")
+    val (secs, rps, lat) = run(spark, sfDir)
+    secs.zip(rps).zip(lat).foreach { case (((n, s), (_, r)), (_, (p50, mx))) =>
+      println(f"[stream] $n%-22s $s%7.2f s  ${r.round}%9d rows/s  batch p50/max $p50%5d/$mx%5d ms")
     }
     spark.stop()
   }
@@ -53,7 +53,8 @@ object StreamBench {
     }
   }
 
-  def run(spark: SparkSession, sfDir: String): (Seq[(String, Double)], Seq[(String, Double)]) = {
+  def run(spark: SparkSession, sfDir: String):
+      (Seq[(String, Double)], Seq[(String, Double)], Seq[(String, (Long, Long))]) = {
     implicit val ss: SparkSession = spark
     // Stage (user_id, cents, ts_ns) as a 32-file parquet dir so the file
     // source replays it as micro-batches of 16 parallel file-read tasks.
@@ -103,7 +104,7 @@ object StreamBench {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     }
 
-    def bench(name: String)(build: SourceConfig[(Long, Long, Long)] => Pipeline[_]): (String, Double, Double) = {
+    def bench(name: String)(build: SourceConfig[(Long, Long, Long)] => Pipeline[_]): (String, Double, Double, (Long, Long)) = {
       val t0 = System.nanoTime()
       val handle = build(source()) match {
         case p: Pipeline[t] => p.toSink(EmptySink[t](),
@@ -119,20 +120,31 @@ object StreamBench {
       // seconds are still reported per query above.
       if (sys.env.contains("STREAM_BENCH_DEBUG"))
         handle.query.foreach(_.recentProgress.foreach(p => System.err.println(s"[$name] ${p.json}")))
-      val sustained = handle.query.map { q =>
+      val (sustained, latency) = handle.query.map { q =>
         // Steady state = all data batches after the first: batch 0 pays
         // one-time JIT/codegen/state-store-format costs that a
         // long-running stream amortizes to zero (the reference's figure
         // is likewise measured at steady state over minutes).
         val all = q.recentProgress.filter(_.numInputRows > 0)
         val ps = if (all.length > 1) all.drop(1) else all
-        val ms = ps.map { p =>
+        val durs = ps.map { p =>
           Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
-        }.sum
+        }
+        val ms = durs.sum
         val rows = ps.map(_.numInputRows).sum
-        if (ms > 0) rows * 1000.0 / ms else nRows / sec
-      }.getOrElse(nRows / sec)
-      (name, sec, sustained)
+        val rate = if (ms > 0) rows * 1000.0 / ms else nRows / sec
+        // Batch-latency summary (median + max over steady-state batches)
+        // — the micro-batch analogue of the reference's per-computation
+        // latency histograms (core/metrics/histogram.pony; the engine
+        // also ships the power-of-2 LatencyHistogram + listener for live
+        // queries — Metrics.scala).
+        val sorted = durs.sorted
+        val lat =
+          if (sorted.isEmpty) (0L, 0L)
+          else (sorted(sorted.length / 2), sorted.last)
+        (rate, lat)
+      }.getOrElse((nRows / sec, (0L, 0L)))
+      (name, sec, sustained, latency)
     }
 
     def statecomp(src: SourceConfig[(Long, Long, Long)]) =
@@ -182,6 +194,7 @@ object StreamBench {
 
     val results = base ++ twsRows
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    (results.map(r => (r._1, r._2)), results.map(r => (r._1, r._3)))
+    (results.map(r => (r._1, r._2)), results.map(r => (r._1, r._3)),
+      results.map(r => (r._1, r._4)))
   }
 }
