@@ -56,6 +56,24 @@ class SkewSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
   }
 
+  test("salted join keeps rows whose salt id is NULL") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // props is NULL-able in events? Manufacture one: null id for even event_ids.
+      val ev = skewed.withColumn("maybe_id",
+        when(col("event_id") % 2 === 0, col("event_id").cast("string")))
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_n"))
+      val plain = ev.join(dim, "user_id").select("event_id", "user_n")
+        .collect().map(_.toString).sorted.toSeq
+      val salted = Skew.saltedJoin(ev, dim, "user_id", "maybe_id", Salts)
+        .select("event_id", "user_n")
+        .collect().map(_.toString).sorted.toSeq
+      // regression: a NULL id must salt as '' and keep the row, never drop it
+      assert(salted == plain && plain.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
+
   test("salted distinct count is exact") {
     val ev = skewed
     val plain = ev.groupBy("user_id")
