@@ -79,7 +79,6 @@ object Dedup {
     * Σ df² ≤ maxDf · Σ df — linear-ish in corpus size, never quadratic
     * in one hot shingle's posting list. */
   def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(s, dir)
     val total = docs.agg(count(lit(1)).as("n_docs"))
     // Collapse exact-duplicate texts first (VERDICT r2: dup-heavy corpora
@@ -92,7 +91,7 @@ object Dedup {
     // pair inherits its text pair's jaccard — so the doc-level oracle
     // stands unchanged.
     val base = docs.select(col("doc_id"), expr("md5(text)").as("tfp"), col("text"))
-    val m = base.select("doc_id", "tfp").persist(mad)
+    val m = Caching.reuse(base.select("doc_id", "tfp"))
     // first(text) is value-deterministic within a group: every member of
     // a tfp group carries the identical text (md5 groups exact bytes)
     val reps = base.groupBy("tfp")
@@ -105,10 +104,11 @@ object Dedup {
       .filter(col("df") <= col("n_docs") * MaxDfFrac)
       .select("sh")
     // (tfp, shingle) post-cutoff feeds three branches (per-text sizes +
-    // both sides of the self-join); persist instead of re-exploding and
-    // re-hashing three times. Spills at scale; still far cheaper than 3
-    // corpus scans.
-    val shk = sh.select("tfp", "sh").join(kept, "sh").persist(mad)
+    // both sides of the self-join); cache instead of re-exploding and
+    // re-hashing three times ([[Caching.reuse]]: blocks die with the
+    // result, nothing pinned in the CacheManager). Spills at scale;
+    // still far cheaper than 3 corpus scans.
+    val shk = Caching.reuse(sh.select("tfp", "sh").join(kept, "sh"))
     val cnt = shk.groupBy("tfp").agg(count(lit(1)).as("n"))
     val common = shk.as("a").join(shk.as("b"),
         col("a.sh") === col("b.sh") && col("a.tfp") < col("b.tfp"))
@@ -186,11 +186,11 @@ object Dedup {
     * (band_idx, band_key, doc_id) — the 16-long signature arrays are
     * re-attached by id join after the candidate pairs are deduped, so
     * the band shuffle and the distinct() never carry them (VERDICT r1).
-    * The signature stage is persisted: it is a shuffle-agg subtree used
-    * by three plan branches and is ~16 longs/doc — tiny vs the corpus. */
+    * The signature stage is cached ([[Caching.reuse]]): it is a
+    * shuffle-agg subtree used by three plan branches and is ~16 longs/doc
+    * — tiny vs the corpus. */
   def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = dMinhash(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = Caching.reuse(dMinhash(s, dir))
     val r = NumHashes / Bands
     val bandExpr = (0 until Bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(k => s"mh$k")
@@ -311,8 +311,7 @@ object Dedup {
     * The output set is identical to banding raw docs, so the DuckDB
     * oracle keeps the straightforward doc-level formulation. */
   def dSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = dSimhash(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = Caching.reuse(dSimhash(s, dir))
     // hamming-0 cliques: one equi-join keyed by the signature itself
     val intra = sig.as("a").join(sig.as("b"),
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
@@ -364,52 +363,125 @@ object Dedup {
     * near-dup pair graph (est_sim ≥ [[ClusterSimThreshold]]); every doc
     * gets cluster_id = min doc_id in its component (singletons keep their
     * own id) — the canonical-representative step a training-data dedup
-    * pipeline runs after candidate generation.
-    *
-    * Spark-side: iterative min-label propagation to a fixpoint. Each
-    * round is one join + one shuffle-agg; near-dup components are
-    * clique-ish (diameter ≤ ~3), so 3–5 rounds converge. The driver-side
-    * loop only checks a convergence COUNT per round (the standard CC
-    * pattern — an O(log n) small-star/large-star variant swaps in here
-    * at web-graph scale, same contract). Label state is persisted per
-    * round and unpersisted after the next round materializes. */
+    * pipeline runs after candidate generation. */
   val ClusterSimThreshold = 0.5
   val ClusterMaxIters = 20
 
-  def dCluster(s: SparkSession, dir: String): DataFrame = {
+  /** Connected components over an undirected edge list via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each alternation is two join +
+    * shuffle-agg rounds, and the edge set converges in O(log² n)
+    * alternations on ANY graph shape — a diameter-D chain needs ~log D,
+    * where plain min-label propagation needs D rounds and, at
+    * maxIters=20, would silently return split clusters for D > 20
+    * (VERDICT r3). Non-convergence now THROWS instead of returning wrong
+    * labels.
+    *
+    * Convergence detection: the edge set is a deterministic function of
+    * the previous round's edge set, so an unchanged (count, exact sum of
+    * per-edge xxhash64) across one full alternation is a fixpoint of the
+    * composition — which for these operators is the forest-of-stars
+    * state (every edge = (member, component-min)).
+    *
+    * Each round is materialized to a persisted RDD and rebuilt as a
+    * LogicalRDD-leaf DataFrame ([[Caching.reuse]] applied per round):
+    * without the cut, round k's logical plan embeds round k−1's ~6 times
+    * (sym/mins/join branches) and Catalyst re-ANALYSIS grows 6^k — the
+    * execution was cached but the driver planned for hours. With the cut,
+    * plan depth is constant per round and only the RDD lineage (cheap,
+    * linear) accumulates. Per-round blocks are explicitly released as
+    * soon as the next round materializes; the final labels are computed
+    * eagerly so the last round's cache is released before returning —
+    * nothing stays registered in the CacheManager.
+    *
+    * @param edges0 undirected edges, two columns `(a, b)`; self-loops and
+    *               duplicate/reversed pairs are normalized away
+    * @return (node, label) — component-min label for every edge endpoint
+    *         (isolated nodes don't appear; callers left-join + coalesce)
+    */
+  def connectedComponents(edges0: DataFrame, maxIters: Int = ClusterMaxIters): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = dMinhashLsh(s, dir)
-      .filter(col("est_sim") >= ClusterSimThreshold)
-      .select("doc_a", "doc_b")
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(MEMORY_AND_DISK)
-    var labels = Tables.documents(s, dir)
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .persist(MEMORY_AND_DISK)
-    // Convergence check: labels only DECREASE under min-propagation, so
-    // the exact label sum strictly decreases until the fixpoint — one
-    // narrow aggregate per round instead of a join-compare. DECIMAL(38)
-    // so the sum is exact at any id magnitude.
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // Canonical orientation (a > b), no self-loops, no duplicates.
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct()
+    // (count, exact hash sum) — DECIMAL(38) keeps the sum exact, so an
+    // unchanged checksum means an unchanged edge multiset (up to a
+    // 2^-64-scale collision, which the oracle + spec would catch).
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    // large-star: every node connects its LARGER neighbors to the min of
+    // its closed neighborhood; output edges (v, m) already satisfy v > m.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a").as("u"), least(col("a"), col("mb")).as("m"))
+      sym.join(mins, sym("a") === mins("u"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // small-star: every node connects its SMALLER neighbors (and itself)
+    // to the min of its neighborhood; with edges oriented a > b the
+    // grouping key is simply `a`, and m = min(N) < a ≤ every emitted v.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy("a").agg(min("b").as("m"))
+      edges.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct()
+    }
+    val spark = edges0.sparkSession
+    val schema = canon(edges0).schema
+    var eRdd = canon(edges0).rdd
+    eRdd.persist(MEMORY_AND_DISK)
+    var e = spark.createDataFrame(eRdd, schema)
+    var (cnt, chk) = checksum(e)
     var iters = 0
     var converged = false
-    while (!converged && iters < ClusterMaxIters) {
-      val prop = edges.join(labels, edges("doc_a") === labels("doc_id"))
-        .select(col("doc_b").as("doc_id"), col("label"))
-      val next = labels.select("doc_id", "label").union(prop)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .persist(MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+    while (!converged && iters < maxIters) {
+      val nextRdd = smallStar(largeStar(e)).rdd
+      nextRdd.persist(MEMORY_AND_DISK)
+      val next = spark.createDataFrame(nextRdd, schema)
+      val (ncnt, nchk) = checksum(next) // materializes nextRdd
+      eRdd.unpersist()
+      eRdd = nextRdd
+      e = next
+      converged = ncnt == cnt && nchk.compareTo(chk) == 0
+      cnt = ncnt; chk = nchk
       iters += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    if (!converged) {
+      eRdd.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters " +
+          "large-star/small-star alternations — returning partial labels " +
+          "would silently split clusters; raise maxIters")
+    }
+    // Fixpoint = forest of stars: every edge is (member, component-min).
+    val labels = e.select(col("a").as("node"), col("b").as("label"))
+      .union(e.select(col("b").as("node"), col("b").as("label")))
+      .groupBy("node").agg(min("label").as("label"))
+    val out = Caching.reuseEager(labels)
+    eRdd.unpersist()
+    out
+  }
+
+  def dCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dMinhashLsh(s, dir)
+      .filter(col("est_sim") >= ClusterSimThreshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(pairs)
+    Tables.documents(s, dir).select("doc_id")
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   /** Oracle: transitive closure of the same pair graph via a recursive
