@@ -310,6 +310,15 @@ object Queries {
     * gap. lag + conditional cumulative sum — the batch analogue of the
     * reference's ephemeral windows.
     *
+    * ORACLE-PINNED TWIN — the window-function form sorts every user's
+    * full history in one batch shuffle with no partial aggregation and
+    * cannot stream. It exists as the oracle-reproducible formulation;
+    * production pipelines use [[qEventsSessionNative]] (registered as
+    * `q_events_session_native`): Spark's built-in `session_window`, with
+    * map-side session merging and a streaming-capable plan — same rows,
+    * proven by both queries passing the same-shaped oracle. (README
+    * "Oracle-pinned twins".)
+    *
     * Gap arithmetic and session bounds are in integer MICROSECONDS on both
     * engines (unix_micros here, epoch_us in the oracle): the events parquet
     * column is TIMESTAMP(NANOS), which Spark reads at µs and DuckDB at ns,
@@ -399,8 +408,10 @@ object Queries {
     * (The naive range-join formulation explodes to pairs and re-ranks:
     * quadratic per hot key.) Ties: a view at exactly the purchase ts
     * sorts BEFORE it (side 0 < 1), matching the oracle's `v.ts <= p.ts`;
-    * per-user timestamps are unique in the testdata, so the carried row
-    * is deterministic.
+    * two views at the SAME (user, ts) are broken by `vid` ascending
+    * (highest event_id wins the carry-forward), so the result is
+    * deterministic run-to-run even on tie-heavy data — absent in the
+    * testdata, real at scale (ADVICE r3).
     *
     * The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — the two engines
     * reach the semantics by entirely different algorithms, which is the
@@ -417,7 +428,7 @@ object Queries {
         lit(null).cast("long").as("vid"), lit(1).as("side"),
         col("event_id").as("pid"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us").asc, col("side").asc)
+      .orderBy(col("ts_us").asc, col("side").asc, col("vid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     views.union(purchases)
       .withColumn("view_event_id", last(col("vid"), ignoreNulls = true).over(w))

@@ -115,10 +115,17 @@ private[pipeline] final class WrapperProcessor[T, U](
     getHandle.registerTimer(math.max(tv.getCurrentWatermarkInMs, 0L) + 1L)
   }
 
+  /** Materialize the timer list BEFORE deleting: mutating the timer
+    * column family while iterating it relies on unspecified iterator
+    * snapshot semantics — safe today only because the invariant is a
+    * single timer, and this shouldn't break if that's ever relaxed or
+    * the provider's iterator changes (ADVICE r3). */
   private def clearTimers(): Unit = {
     val h = getHandle
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Long]
     val it = h.listTimers()
-    while (it.hasNext) h.deleteTimer(it.next().asInstanceOf[Long])
+    while (it.hasNext) pending += it.next().asInstanceOf[Long]
+    pending.foreach(h.deleteTimer)
   }
 
   override def handleInputRows(key: String,

@@ -30,13 +30,24 @@ object Bucketing {
 
   /** Write `df` as a bucketed, bucket-sorted external parquet table.
     * `saveAsTable` is required — bucket metadata lives in the catalog,
-    * plain `.parquet(path)` writes would lose it. */
+    * plain `.parquet(path)` writes would lose it.
+    *
+    * Any existing catalog entry is dropped first: `mode("overwrite")`
+    * alone reuses the existing table's path/bucket spec, so re-running
+    * with a different path or bucket count could fail or silently write
+    * under the old definition (ADVICE r3). Drop-then-create means last
+    * writer wins (single-writer assumed — concurrent writers to the same
+    * table name race, as with any catalog DDL). Note the drop removes
+    * METADATA only (external table): re-pointing `path` leaves the old
+    * location's files for the owner to reap. */
   def writeBucketed(df: DataFrame, table: String, path: String,
-      key: String, buckets: Int): Unit =
+      key: String, buckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
     df.write.mode("overwrite")
       .option("path", path)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 }
