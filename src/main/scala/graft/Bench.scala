@@ -43,8 +43,14 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // GRAFT_BENCH_ONLY="d_cluster,d_ngram_jaccard" benches a subset (and
+    // skips the streaming pack) — the iterate-on-one-operator loop.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = (1 to repeats).iterator.map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -56,8 +62,17 @@ object Bench {
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // drop any caches the query persisted so the next timing is clean
-        // (outside the timed window — teardown isn't the query's cost)
+        // (outside the timed window — teardown isn't the query's cost).
+        // Caching.reuse blocks live at the RDD layer, freed by GC in a
+        // user session; a back-to-back bench scavenges them explicitly so
+        // run N's leftovers can't pressure run N+1.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // Force a GC so the ContextCleaner reclaims the previous run's
+        // shuffle files/broadcasts NOW, not in the middle of the next
+        // timed run — the round-4 forensics saw 10x outliers whenever a
+        // prior query's cleanup landed inside a later query's window.
+        System.gc()
         (elapsed, ok)
       }.takeWhile(_._2).map(_._1).toVector match {
         case v if v.nonEmpty => v
@@ -66,7 +81,10 @@ object Bench {
       name -> runs
     }
     val medians = results.map { case (name, runs) => name -> median(runs) }
-    val (streamSecs, streamRps, streamLat, streamProviders) = StreamBench.run(spark, sfDir)
+    val (streamSecs, streamRps, streamLat, streamProviders) =
+      if (only.isDefined) (Seq.empty[(String, Double)], Seq.empty[(String, Double)],
+        Seq.empty[(String, (Long, Long))], Seq.empty[(String, String)])
+      else StreamBench.run(spark, sfDir)
     val qs = (medians ++ streamSecs)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -11,14 +11,27 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
 
   /** Confs every graft session needs, applied to a builder. */
-  def tune(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+  def tune(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder = {
+    // Shuffle/spill files on tmpfs when available: this rig's /tmp sits on
+    // a shared-host virtio disk whose IO stalls showed up as 5-40x swings
+    // on the shuffle-heavy operators (round-4 bench forensics); RAM is
+    // 128 GiB vs a few GiB of shuffle at bench scale. A real cluster
+    // points spark.local.dir at executor-local NVMe instead.
+    val localDir = {
+      val shm = new java.io.File("/dev/shm/graft-spark-local")
+      if (sys.env.contains("GRAFT_DISK_LOCAL_DIR")) None
+      else if (shm.isDirectory || shm.mkdirs()) Some(shm.getAbsolutePath)
+      else None
+    }
+    val tuned = b.config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS); Spark has no ns timestamp
       // type, so read the raw int64 (reference keeps u64 ns event time:
       // lib/wallaroo/core/source/source_handler.pony:28)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    localDir.fold(tuned)(tuned.config("spark.local.dir", _))
+  }
 
   /** local[n] session for Verify/Bench/tests; n from SPARK_GRAFT_CPUS,
     * defaulting to every available core (the target rig is local[32]);

@@ -13,10 +13,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Queries may persist() intermediates (LSH band tables, CC edge
-      // lists); scope those caches to the query so the session doesn't
-      // accumulate blocks across the run (ADVICE r2).
+      // Queries may cache intermediates (LSH band tables, CC edge lists);
+      // scope those to the query so the session doesn't accumulate blocks
+      // across the run (ADVICE r2). Caching.reuse blocks live at the RDD
+      // layer (freed by GC in a user session) — a tight bench/verify loop
+      // shouldn't wait for GC, so scavenge them explicitly too.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

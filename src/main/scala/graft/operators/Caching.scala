@@ -33,11 +33,34 @@ import org.apache.spark.storage.StorageLevel
 object Caching {
 
   /** Compute-once subtree reuse for a plan referenced by several
-    * downstream branches. Lazy — nothing runs until the result does. */
+    * downstream branches. Lazy — nothing runs until the result does.
+    *
+    * The cached rows are InternalRow (UnsafeRow byte arrays) via
+    * [[org.apache.spark.sql.GraftSqlBridge]], NOT external `Row` objects:
+    * the public `df.rdd` path deserializes every row into boxed objects
+    * whose block-store heap and per-read converter cost made the round-4
+    * bench's d_* family several times slower and bled GC pressure into
+    * unrelated queries. UnsafeRow copies are one compact allocation per
+    * row, read back with zero conversion. */
   def reuse(df: DataFrame): DataFrame = {
-    val rdd = df.rdd
+    val spark = df.sparkSession
+    val schema = df.schema
+    val rdd = org.apache.spark.sql.GraftSqlBridge.toInternalRowRdd(df)
+      .map(_.copy()) // the scan reuses one mutable buffer per partition
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    df.sparkSession.createDataFrame(rdd, df.schema)
+    org.apache.spark.sql.GraftSqlBridge.fromInternalRowRdd(spark, rdd, schema)
+  }
+
+  /** [[reuse]] that also returns the persisted RDD for explicit lifecycle
+    * control — iterative loops (d_cluster) unpersist the previous round
+    * the moment the next one materializes instead of waiting for GC. */
+  def reuseWithHandle(df: DataFrame): (org.apache.spark.rdd.RDD[_], DataFrame) = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val rdd = org.apache.spark.sql.GraftSqlBridge.toInternalRowRdd(df)
+      .map(_.copy())
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    (rdd, org.apache.spark.sql.GraftSqlBridge.fromInternalRowRdd(spark, rdd, schema))
   }
 
   /** [[reuse]] + eager materialization, for iterative operators

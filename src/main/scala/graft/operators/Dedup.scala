@@ -400,7 +400,6 @@ object Dedup {
     *         (isolated nodes don't appear; callers left-join + coalesce)
     */
   def connectedComponents(edges0: DataFrame, maxIters: Int = ClusterMaxIters): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Canonical orientation (a > b), no self-loops, no duplicates.
     def canon(df: DataFrame): DataFrame = df
       .filter(col("a") =!= col("b"))
@@ -438,18 +437,12 @@ object Dedup {
         .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
         .distinct()
     }
-    val spark = edges0.sparkSession
-    val schema = canon(edges0).schema
-    var eRdd = canon(edges0).rdd
-    eRdd.persist(MEMORY_AND_DISK)
-    var e = spark.createDataFrame(eRdd, schema)
+    var (eRdd, e) = Caching.reuseWithHandle(canon(edges0))
     var (cnt, chk) = checksum(e)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val nextRdd = smallStar(largeStar(e)).rdd
-      nextRdd.persist(MEMORY_AND_DISK)
-      val next = spark.createDataFrame(nextRdd, schema)
+      val (nextRdd, next) = Caching.reuseWithHandle(smallStar(largeStar(e)))
       val (ncnt, nchk) = checksum(next) // materializes nextRdd
       eRdd.unpersist()
       eRdd = nextRdd

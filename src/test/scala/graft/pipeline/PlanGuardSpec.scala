@@ -25,7 +25,12 @@ class PlanGuardSpec extends AnyFunSuite {
     * later queries' plans, perturbing exactly these assertions. */
   private def planOf(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String =
     try fn(spark, dir).queryExecution.sparkPlan.toString
-    finally spark.catalog.clearCache()
+    finally {
+      spark.catalog.clearCache()
+      // Caching.reuse blocks are RDD-layer (GC-scoped in a user session);
+      // 54 back-to-back constructions shouldn't wait for GC
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
 
   test("no query plan contains a cartesian product") {
     for ((name, fn) <- graft.SparkEntry.queries) {
