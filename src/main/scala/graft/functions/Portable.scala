@@ -52,4 +52,15 @@ object Portable {
   def duckShingles(text: String, n: Int): String =
     s"list_distinct(list_transform(range(1, greatest(len(${duckTokens(text)}) - ${n - 2}, 1)), " +
       s"i -> array_to_string(list_slice(${duckTokens(text)}, i, i + ${n - 1}), ' ')))"
+
+  /** Word n-grams WITH multiplicity (the shingle helpers above are
+    * distinct sets for Jaccard/minhash; repetition signals need the
+    * occurrence counts). */
+  def sparkNgrams(text: String, n: Int): String =
+    s"(case when size(${sparkTokens(text)}) < $n then array() " +
+      s"else transform(sequence(1, size(${sparkTokens(text)}) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice(${sparkTokens(text)}, i, $n))) end)"
+  def duckNgrams(text: String, n: Int): String =
+    s"list_transform(range(1, greatest(len(${duckTokens(text)}) - ${n - 2}, 1)), " +
+      s"i -> array_to_string(list_slice(${duckTokens(text)}, i, i + ${n - 1}), ' '))"
 }

@@ -277,7 +277,129 @@ object TextAnalysis {
        |SELECT doc_id, lang, source, samp_rank, stratum_n
        |FROM r WHERE samp_rank <= $SampleCapPerStratum""".stripMargin
 
+  // ------------------------------------------------------------ t_repetition
+  /** Repetition-based quality signals — the Gopher-rules family (Rae et
+    * al. 2021, "Scaling Language Models", table A1): heavily repetitive
+    * documents (boilerplate, SEO spam, degenerate generations) are the
+    * single biggest volume of junk a web-scale corpus carries.
+    *  - `top_bigram_frac`: occurrences of the most frequent word 2-gram /
+    *    total 2-grams (Gopher rejects > 0.18-0.20);
+    *  - `dup_trigram_frac`: fraction of 3-gram OCCURRENCES whose 3-gram
+    *    appears more than once (their duplicate-n-gram fraction);
+    *  - `distinct_token_ratio`: distinct / total tokens (the line-based
+    *    signals don't apply — this corpus is single-line);
+    *  - `keep`: the composite verdict at the documented thresholds.
+    *
+    * Shape at 100 TB: per-n-gram counting is explode → two-level
+    * hash agg keyed by doc_id. Spark's partial aggregation combines
+    * (doc_id, gram) counts map-side BEFORE the shuffle, so the exchange
+    * carries ~distinct grams per doc, not token count; per-doc state is
+    * O(distinct grams). This beats the per-row higher-order-function
+    * formulation (no shuffle but interpreted, non-codegen, and O(len²)
+    * per doc — fatal on 100k-token documents). */
+  def tRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val top2 = docs
+      .select(col("doc_id"), explode(expr(Portable.sparkNgrams("text", 2))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c").cast("double") / sum("c")).as("top_bigram_frac"))
+    val dup3 = docs
+      .select(col("doc_id"), explode(expr(Portable.sparkNgrams("text", 3))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") / sum("c"))
+        .as("dup_trigram_frac"))
+    val toks = Portable.sparkTokens("text")
+    docs.select(col("doc_id"),
+        expr(s"cast(size(array_distinct($toks)) as double) / size($toks)")
+          .as("distinct_token_ratio"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac"),
+        col("distinct_token_ratio"),
+        (coalesce(col("top_bigram_frac") <= 0.2, lit(true)) &&
+          coalesce(col("dup_trigram_frac") <= 0.5, lit(true))).as("keep"))
+  }
+
+  val tRepetitionSql: String =
+    s"""WITH g2 AS (
+       |  SELECT doc_id, unnest(${Portable.duckNgrams("text", 2)}) AS g FROM documents),
+       |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+       |a2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+       |       FROM c2 GROUP BY 1),
+       |g3 AS (
+       |  SELECT doc_id, unnest(${Portable.duckNgrams("text", 3)}) AS g FROM documents),
+       |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+       |a3 AS (SELECT doc_id,
+       |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+       |           AS dup_trigram_frac
+       |       FROM c3 GROUP BY 1)
+       |SELECT d.doc_id, a2.top_bigram_frac, a3.dup_trigram_frac,
+       |  CAST(len(list_distinct(${Portable.duckTokens("text")})) AS DOUBLE)
+       |    / len(${Portable.duckTokens("text")}) AS distinct_token_ratio,
+       |  (COALESCE(a2.top_bigram_frac <= 0.2, TRUE)
+       |    AND COALESCE(a3.dup_trigram_frac <= 0.5, TRUE)) AS keep
+       |FROM documents d
+       |LEFT JOIN a2 USING (doc_id)
+       |LEFT JOIN a3 USING (doc_id)""".stripMargin
+
+  // ------------------------------------------------------------ t_length_percentiles
+  /** Exact nearest-rank token-length percentiles per source — the corpus
+    * length profile every mixing/packing pipeline reads before choosing
+    * sequence lengths and truncation budgets.
+    *
+    * Scale shape (why NOT a per-key sort): order statistics over raw rows
+    * need a full sort shuffle per key with parallelism = #keys. Lengths
+    * are small integers, so count by (source, len) FIRST — map-side
+    * partial agg collapses the corpus to #distinct-lengths rows per
+    * source — then one tiny cumulative window over distinct lengths picks
+    * the nearest-rank values: p_q = min{ len : cum(len) ≥ ⌈q·n⌉ }. The
+    * only full-data exchange is the partial-agg shuffle; the window runs
+    * over ~thousands of rows regardless of corpus size. For true
+    * continuous values (distinct ≈ rows) use `approx_percentile`'s
+    * sketch instead — integer lengths keep this one exact AND cheap. */
+  def tLengthPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir).select(col("source"),
+      expr(s"size(${Portable.sparkTokens("text")})").cast("long").as("len"))
+    val cnt = base.groupBy("source", "len").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("source").orderBy(col("len").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cnt
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    val qs = Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99)
+    cum.groupBy("source").agg(
+      max("n").as("n_docs"),
+      qs.map { case (nm, q) =>
+        min(when(col("cum") >= ceil(lit(q) * col("n")), col("len"))).as(nm)
+      }: _*)
+  }
+
+  val tLengthPercentilesSql: String = {
+    val picks = Seq("p50" -> "0.50", "p90" -> "0.90", "p99" -> "0.99").map {
+      case (nm, q) =>
+        s"MIN(CASE WHEN cum >= CEIL($q * n) THEN len END) AS $nm"
+    }.mkString(",\n  ")
+    s"""WITH base AS (
+       |  SELECT source, CAST(len(${Portable.duckTokens("text")}) AS BIGINT) AS len
+       |  FROM documents),
+       |cnt AS (SELECT source, len, COUNT(*) AS c FROM base GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, len,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n
+       |  FROM cnt)
+       |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       |  $picks
+       |FROM cum GROUP BY source""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_length_percentiles" -> ((tLengthPercentiles _, Some(tLengthPercentilesSql))),
+    "t_repetition" -> ((tRepetition _, Some(tRepetitionSql))),
     "t_token_count" -> ((tTokenCount _, Some(tTokenCountSql))),
     "t_quality" -> ((tQuality _, Some(tQualitySql))),
     "t_langid" -> ((tLangid _, Some(tLangidSql))),
