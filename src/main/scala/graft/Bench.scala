@@ -43,6 +43,20 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Calibration: a fixed CPU+shuffle workload, timed like a query. The
+    // host is shared — identical full runs 40 min apart differed 3x in
+    // round 4 — so a run's absolute numbers are only interpretable
+    // against its calibration time: if calibration_sec is 2x another
+    // run's, discount the whole run accordingly.
+    val calibration = {
+      import org.apache.spark.sql.functions.{avg, expr, max, sum}
+      val t0 = System.nanoTime()
+      spark.range(1L << 26).selectExpr("id % 1024 as k", "id as v")
+        .groupBy("k").agg(sum("v"), avg("v"), max(expr("xxhash64(v)")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // GRAFT_BENCH_ONLY="d_cluster,d_ngram_jaccard" benches a subset (and
     // skips the streaming pack) — the iterate-on-one-operator loop.
     val only = sys.env.get("GRAFT_BENCH_ONLY")
@@ -105,7 +119,7 @@ object Bench {
     // instead of reading as a speedup (ADVICE r2).
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val streamRepeats = sys.env.getOrElse("GRAFT_STREAM_REPEATS", "3").toInt.max(1)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"stream_repeats":$streamRepeats,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_batch_latency":$lat,"stream_state_provider":$providers,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_batch_latency":$lat,"stream_state_provider":$providers,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
