@@ -28,14 +28,16 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$staged/embeddings.parquet")
 
     val probes = Seq("d_exact", "d_ngram_jaccard", "d_minhash_lsh",
-      "d_simhash_pairs", "s_cosine_dups", "s_cosine_dups_scale",
-      "s_ann_lsh", "t_clean_corpus", "d_semantic_scale")
+      "d_cluster", "d_simhash_pairs", "s_cosine_dups", "s_cosine_dups_scale",
+      "s_ann_lsh", "t_clean_corpus", "t_repetition", "d_semantic_scale")
     probes.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       fn(spark, staged).write.format("noop").mode("overwrite").save()
       println(f"[probe x$n] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc() // same teardown hygiene as Bench: cleanup outside the timed window
     }
     // The scale-sized variant: 12-bit bands → 4096 buckets per band.
     val t0 = System.nanoTime()

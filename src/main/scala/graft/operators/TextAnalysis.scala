@@ -397,7 +397,82 @@ object TextAnalysis {
        |FROM cum GROUP BY source""".stripMargin
   }
 
+  // ------------------------------------------------------------ t_pack
+  /** Sequence packing: lay the corpus out as ONE deterministic token
+    * stream (docs ordered by portable hash — a shuffle of the corpus
+    * without an RNG) and cut fixed [[PackBudget]]-token training
+    * sequences; each doc gets its global token offset and the sequence
+    * (bin) containing its first token. This is the standard pretraining
+    * packing where documents cross sequence boundaries — the op every
+    * batch-assembly pipeline runs last.
+    *
+    * The interesting part at 100 TB is the EXACT GLOBAL running sum. A
+    * window over a global ORDER BY is a single-partition sort — dead at
+    * scale. This is the classic two-phase parallel prefix sum instead:
+    *   1. range-partition + sort by (key, doc_id) — the one full-data
+    *      shuffle, order-preserving across partitions;
+    *   2. per-partition token totals to the driver — ONE LONG PER
+    *      PARTITION (bounded by the partition count, not the data; the
+    *      only driver-side collect in the operator);
+    *   3. broadcast the exclusive prefix of those totals as per-partition
+    *      base offsets; a narrow mapPartitions adds the running sum.
+    * The sorted stage is computed once ([[Caching.reuse]]) and read by
+    * both passes; partition ids are stable because both passes read the
+    * same materialized RDD. */
+  val PackBudget = 2048L
+
+  def tPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr(s"size(${Portable.sparkTokens("text")})").cast("long").as("n_toks"),
+      expr(Portable.sparkHash("cast(doc_id as string)", "pack")).as("key"))
+    val parts = Caching.reuse(
+      base.repartitionByRange(col("key"), col("doc_id"))
+        .sortWithinPartitions("key", "doc_id"))
+    val tup3 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    // pass 1: per-partition totals (one long per partition)
+    val partSums = parts.select("doc_id", "n_toks", "key")
+      .mapPartitions { it =>
+        var sum = 0L
+        it.foreach(r => sum += r.getLong(1))
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId().toLong, sum, 0L))
+      }(tup3)
+      .collect().map { case (pid, sum, _) => pid.toInt -> sum }.toMap
+    val nParts = (partSums.keys ++ Seq(-1)).max + 1
+    val bases = (0 until nParts).scanLeft(0L)((acc, pid) => acc + partSums.getOrElse(pid, 0L))
+    val bc = s.sparkContext.broadcast(bases.toArray)
+    // pass 2: narrow running sum from the broadcast base offsets
+    parts.select("doc_id", "n_toks", "key")
+      .mapPartitions { it =>
+        var off = bc.value(org.apache.spark.TaskContext.getPartitionId())
+        it.map { r =>
+          val start = off
+          off += r.getLong(1)
+          (r.getLong(0), start, r.getLong(1))
+        }
+      }(tup3)
+      .select(col("_1").as("doc_id"), col("_2").as("start_tok"),
+        expr(s"_2 div $PackBudget").as("bin"), col("_3").as("n_toks"))
+  }
+
+  val tPackSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(${Portable.duckTokens("text")}) AS BIGINT) AS n_toks,
+       |    ${Portable.duckHash("cast(doc_id as varchar)", "pack")} AS key
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, n_toks,
+       |    CAST(SUM(n_toks) OVER (ORDER BY key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+       |      AS BIGINT) AS start_tok
+       |  FROM base)
+       |SELECT doc_id, start_tok, start_tok // $PackBudget AS bin, n_toks
+       |FROM cum""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_pack" -> ((tPack _, Some(tPackSql))),
     "t_length_percentiles" -> ((tLengthPercentiles _, Some(tLengthPercentilesSql))),
     "t_repetition" -> ((tRepetition _, Some(tRepetitionSql))),
     "t_token_count" -> ((tTokenCount _, Some(tTokenCountSql))),
