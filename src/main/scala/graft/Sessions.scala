@@ -17,11 +17,16 @@ object Sessions {
     // on the shuffle-heavy operators (round-4 bench forensics); RAM is
     // 128 GiB vs a few GiB of shuffle at bench scale. A real cluster
     // points spark.local.dir at executor-local NVMe instead.
-    val localDir = {
-      val shm = new java.io.File("/dev/shm/graft-spark-local")
-      if (sys.env.contains("GRAFT_DISK_LOCAL_DIR")) None
-      else if (shm.isDirectory || shm.mkdirs()) Some(shm.getAbsolutePath)
-      else None
+    // GRAFT_DISK_LOCAL_DIR=<path> points spark.local.dir at that path
+    // (e.g. executor-local NVMe); GRAFT_DISK_LOCAL_DIR= (empty) just opts
+    // out of the tmpfs default and leaves Spark's /tmp default (ADVICE r4:
+    // the value used to be ignored, which surprised anyone setting a path).
+    val localDir = sys.env.get("GRAFT_DISK_LOCAL_DIR") match {
+      case Some(dir) if dir.nonEmpty => Some(dir)
+      case Some(_)                   => None
+      case None =>
+        val shm = new java.io.File("/dev/shm/graft-spark-local")
+        if (shm.isDirectory || shm.mkdirs()) Some(shm.getAbsolutePath) else None
     }
     val tuned = b.config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")

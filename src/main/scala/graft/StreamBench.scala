@@ -28,10 +28,10 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-stream-bench")
-    val (secs, rps, lat, prov) = run(spark, sfDir)
-    secs.zip(rps).zip(lat).zip(prov).foreach {
-      case ((((n, s), (_, r)), (_, (p50, mx))), (_, p)) =>
-        println(f"[stream] $n%-22s $s%7.2f s  ${r.round}%9d rows/s  batch p50/max $p50%5d/$mx%5d ms  [$p]")
+    val (secs, rps, lat, prov, state) = run(spark, sfDir)
+    secs.zip(rps).zip(lat).zip(prov).zip(state).foreach {
+      case (((((n, s), (_, r)), (_, (p50, mx))), (_, p)), (_, st)) =>
+        println(f"[stream] $n%-22s $s%7.2f s  ${r.round}%9d rows/s  batch p50/max $p50%5d/$mx%5d ms  [$p] state=$st")
     }
     spark.stop()
   }
@@ -68,7 +68,8 @@ object StreamBench {
   }
 
   def run(spark: SparkSession, sfDir: String):
-      (Seq[(String, Double)], Seq[(String, Double)], Seq[(String, (Long, Long))], Seq[(String, String)]) = {
+      (Seq[(String, Double)], Seq[(String, Double)], Seq[(String, (Long, Long))],
+        Seq[(String, String)], Seq[(String, String)]) = {
     implicit val ss: SparkSession = spark
     // Stage (user_id, cents, ts_ns) as a 32-file parquet dir so the file
     // source replays it as micro-batches of 16 parallel file-read tasks.
@@ -150,7 +151,25 @@ object StreamBench {
         (rate, lat)
       }.getOrElse((nRows / fallbackSec, (0L, 0L)))
 
-    def trial(name: String)(build: SourceConfig[(Long, Long, Long)] => Pipeline[_]): (Double, Double, (Long, Long)) = {
+    // Per-trial state-store telemetry (VERDICT r4 #6): rows held, memory,
+    // and commit time from the query's StateOperatorProgress, summed over
+    // steady-state batches (commit ms) / taken at the last batch (rows,
+    // memory). A contended run shows up as commit_ms blowing up while
+    // rows/memory stay flat — readable from the JSON without a re-run.
+    def stateOf(q: Option[org.apache.spark.sql.streaming.StreamingQuery]): (Long, Long, Long) =
+      q.map { query =>
+        val all = query.recentProgress.filter(_.numInputRows > 0)
+        val ps = if (all.length > 1) all.drop(1) else all
+        val ops = ps.flatMap(_.stateOperators)
+        if (ops.isEmpty) (0L, 0L, 0L)
+        else {
+          val last = ps.last.stateOperators
+          (last.map(_.numRowsTotal).sum, last.map(_.memoryUsedBytes).sum,
+            ops.map(_.commitTimeMs).sum)
+        }
+      }.getOrElse((0L, 0L, 0L))
+
+    def trial(name: String)(build: SourceConfig[(Long, Long, Long)] => Pipeline[_]): (Double, Double, (Long, Long), (Long, Long, Long)) = {
       val t0 = System.nanoTime()
       val handle = build(source()) match {
         case p: Pipeline[t] => p.toSink(EmptySink[t](),
@@ -161,7 +180,7 @@ object StreamBench {
       if (sys.env.contains("STREAM_BENCH_DEBUG"))
         handle.query.foreach(_.recentProgress.foreach(p => System.err.println(s"[$name] ${p.json}")))
       val (sustained, latency) = sustainedOf(handle.query, sec)
-      (sec, sustained, latency)
+      (sec, sustained, latency, stateOf(handle.query))
     }
 
     // Two stateful stages in one topology: keyed state → durable handoff
@@ -172,25 +191,36 @@ object StreamBench {
     // the real pipelined chain, contention included. Stage 1 is
     // row-preserving (SpreadEnrich) so the downstream's numInputRows is
     // the full stream, not a trickle of alerts.
-    def twoStageTrial(): (Double, Double, (Long, Long)) = {
+    def twoStageTrial(): (Double, Double, (Long, Long), (Long, Long, Long)) = {
       val handoff = Files.createTempDirectory("graft_two_stage").toString
-      val t0 = System.nanoTime()
-      val (up, handedOff) = Graft.source("bench-two-stage", source())
-        .keyBy(_._1.toString)
-        .to(SpreadEnrich)(long3Enc)
-        .through(handoff)
-      val down = handedOff
-        .keyBy(_._1.toString)
-        .to(Graft.rangeWindows(1800L * 1000000000L).withSlide(600L * 1000000000L)
-          .over(PipelineQueries.WindowCents))(
-          Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
-        .toSink(EmptySink())
-      up.processAllAvailable()   // all input consumed, all handoff files committed
-      down.processAllAvailable() // chain drained
-      val sec = (System.nanoTime() - t0) / 1e9
-      val (sustained, latency) = sustainedOf(down.query, sec)
-      up.stop(); down.stop()
-      (sec, sustained, latency)
+      try {
+        val t0 = System.nanoTime()
+        val (up, handedOff) = Graft.source("bench-two-stage", source())
+          .keyBy(_._1.toString)
+          .to(SpreadEnrich)(long3Enc)
+          // checkpoint under the handoff dir (underscore-prefixed dirs are
+          // invisible to the downstream file source) so one delete covers
+          // data + checkpoint
+          .through(handoff, Some(s"$handoff/_ckpt"))
+        val down = handedOff
+          .keyBy(_._1.toString)
+          .to(Graft.rangeWindows(1800L * 1000000000L).withSlide(600L * 1000000000L)
+            .over(PipelineQueries.WindowCents))(
+            Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+          .toSink(EmptySink())
+        up.processAllAvailable()   // all input consumed, all handoff files committed
+        down.processAllAvailable() // chain drained
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (sustained, latency) = sustainedOf(down.query, sec)
+        val st = stateOf(down.query)
+        up.stop(); down.stop()
+        (sec, sustained, latency, st)
+      } finally {
+        // Each trial stages the full stream into the handoff dir; with
+        // GRAFT_STREAM_REPEATS trials per run these accumulate in /tmp
+        // unless deleted (ADVICE r4).
+        deleteRecursively(new java.io.File(handoff))
+      }
     }
 
     // Back-to-back repeated trials in one JVM with median reporting:
@@ -207,10 +237,15 @@ object StreamBench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def bench(name: String, provider: String)(
-        runTrial: () => (Double, Double, (Long, Long))): (String, Double, Double, (Long, Long), String) = {
+        runTrial: () => (Double, Double, (Long, Long), (Long, Long, Long))): (String, Double, Double, (Long, Long), String, String) = {
       val ts = (1 to repeats).map(_ => runTrial())
+      // State metrics stay per-trial (not medianed): the point is reading
+      // a contended run's trials individually (VERDICT r4 #6).
+      val stateJson = ts.map { case (_, _, _, (rows, mem, commitMs)) =>
+        s"""{"state_rows":$rows,"state_memory_bytes":$mem,"commit_ms":$commitMs}"""
+      }.mkString("[", ",", "]")
       (name, medianD(ts.map(_._1)), medianD(ts.map(_._2)),
-        (medianL(ts.map(_._3._1)), medianL(ts.map(_._3._2))), provider)
+        (medianL(ts.map(_._3._1)), medianL(ts.map(_._3._2))), provider, stateJson)
     }
 
     def statecomp(src: SourceConfig[(Long, Long, Long)]) =
@@ -272,7 +307,15 @@ object StreamBench {
 
     val results = base ++ twsRows
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    deleteRecursively(new java.io.File(staged))
     (results.map(r => (r._1, r._2)), results.map(r => (r._1, r._3)),
-      results.map(r => (r._1, r._4)), results.map(r => (r._1, r._5)))
+      results.map(r => (r._1, r._4)), results.map(r => (r._1, r._5)),
+      results.map(r => (r._1, r._6)))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
   }
 }

@@ -145,6 +145,8 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
   @volatile private var stopped = false
   @volatile private var readerError: Throwable = _
   @volatile private var availableNowCap: Option[Long] = None
+  @volatile private var availableNowPending = false
+  @volatile private var currentSocket: Socket = _
 
   private val outLock = new Object
   @volatile private var outStream: DataOutputStream = _
@@ -167,6 +169,7 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
         var socket: Socket = null
         try {
           socket = new Socket(host, port)
+          currentSocket = socket
           val in = new DataInputStream(socket.getInputStream)
           val out = new DataOutputStream(socket.getOutputStream)
           // ---- handshake (sender is the protocol's connector side)
@@ -226,6 +229,7 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
             lock.synchronized(lock.notifyAll())
         } finally {
           outLock.synchronized { outStream = null }
+          currentSocket = null
           if (socket != null) { try socket.close() catch { case _: java.io.IOException => } }
         }
         if (!stopped && !eos && readerError == null) Thread.sleep(1000L)
@@ -251,13 +255,39 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
 
   override def initialOffset(): Offset = FrameCount(0L)
   override def deserializeOffset(json: String): Offset = FrameCount(json.toLong)
-  override def prepareForTriggerAvailableNow(): Unit = availableNowCap = Some(total)
+  // The connection is lazy (it starts on the first offset-bearing call,
+  // which carries the resume point), so at prepare() time `total` is
+  // always 0 — capturing it here would clamp every batch to empty and an
+  // AvailableNow query would silently read nothing (ADVICE r4). Defer:
+  // flag the capture and resolve it on the first latestOffset after the
+  // handshake, once the sender has drained its backlog/replay to us.
+  override def prepareForTriggerAvailableNow(): Unit = availableNowPending = true
   override def reportLatestOffset(): Offset = FrameCount(total)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("latestOffset(start, limit) is used")
+
+  /** Resolve the deferred AvailableNow cap: wait for the handshake, then
+    * let the sender's backlog drain until the stream goes idle for one
+    * tick (no new frame in 250 ms), EOS, or `replayTimeoutMs` elapses.
+    * "Available now" over a socket = whatever the peer had queued at
+    * query start, which only becomes observable after it is sent. */
+  private def resolveAvailableNowCap(): Unit = {
+    val deadline = System.currentTimeMillis() + replayTimeoutMs
+    lock.synchronized {
+      var last = -1L
+      while (expectedNext != last && !eos && readerError == null &&
+          System.currentTimeMillis() < deadline) {
+        last = expectedNext
+        lock.wait(250L)
+      }
+      availableNowCap = Some(expectedNext)
+    }
+  }
+
   override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FrameCount].n
     ensureStarted(from)
+    if (availableNowPending) { availableNowPending = false; resolveAvailableNowCap() }
     val end = from + math.min(maxFramesPerTrigger, math.max(0L, total - from))
     FrameCount(math.max(from, availableNowCap.fold(end)(math.min(end, _))))
   }
@@ -317,6 +347,12 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
       }
     }
     manager.interrupt()
+    // interrupt() does not unblock a socket read — a manager parked in
+    // readFrame would leak the thread and fd if the peer ignores RESTART
+    // (ADVICE r4). Closing the socket forces readFrame to throw; `stopped`
+    // is already set so the loop exits instead of reconnecting.
+    val s = currentSocket
+    if (s != null) { try s.close() catch { case _: java.io.IOException => } }
   }
 }
 
