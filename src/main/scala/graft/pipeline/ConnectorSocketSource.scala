@@ -33,18 +33,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    the expected id (replay overlap) are dropped, a GAP above it gets a
   *    RESTART frame (protocol: "worker requests that all streams be
   *    reprocessed") and a reconnect-with-resume.
-  *  - on every micro-batch COMMIT the driver writes ACK(committed count)
-  *    back to the sender — the protocol's checkpoint-completed progress
-  *    report (v3 §ACK: "all MESSAGEs with MessageIds less than the
-  *    reported point of reference are included in the checkpoint") — so
-  *    the sender can trim its replay buffer.
+  *  - on every micro-batch COMMIT the driver writes ACK(committed count,
+  *    credits) back to the sender — the protocol's checkpoint-completed
+  *    progress report (v3 §ACK: "all MESSAGEs with MessageIds less than
+  *    the reported point of reference are included in the checkpoint") —
+  *    so the sender can trim its replay buffer.
+  *  - credit-based flow control (v3's ACK credits): the OK frame's u64 is
+  *    the initial credit grant — the buffer space available at handshake
+  *    (`maxBufferedFrames` minus anything already held across a
+  *    reconnect) — and each commit-time ACK carries a second u64
+  *    replenishing exactly the slots the commit freed. A sender that
+  *    spends one credit per MESSAGE and pauses at zero can never overrun
+  *    the buffer (grants = capacity + frames freed, so outstanding ≤
+  *    capacity); the bounded buffer + `lock.wait` stays as the backstop
+  *    for trivial senders that ignore credits, which v3 explicitly
+  *    permits.
   *  - EOS_MESSAGE ends the stream (no reconnect).
   *
   * Wire format: every frame is 4-byte big-endian length + 1 type byte +
   * body, the v3 framing. Deliberately NOT implemented from the protocol:
-  * credit flow (the bounded in-driver buffer + TCP flow control serve the
-  * same backpressure purpose; v3 itself notes trivial implementations are
-  * expected first) and stream multiplexing (one connection = one stream;
+  * stream multiplexing (one connection = one stream;
   * run N sources and `merge`, the reference's own parallelism model).
   *
   * Scale shape: the driver-side buffer is the only state (bounded by
@@ -183,7 +191,10 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
                 s"connector HELLO cookie mismatch from $host:$port")
             }
           }
-          writeFrame(out, typed(Ok, u64(maxBufferedFrames.toLong)))
+          // initial credit grant = buffer space available right now (a
+          // reconnect may find frames still held from the last session)
+          writeFrame(out, typed(Ok,
+            u64(lock.synchronized(maxBufferedFrames.toLong - frames.length))))
           val notify = readFrame(in)
           require(notify(0) == Notify, s"expected NOTIFY, got type ${notify(0)}")
           val resume = lock.synchronized(expectedNext)
@@ -323,17 +334,24 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
   override def createReaderFactory(): PartitionReaderFactory = new FramedSocketReaderFactory
 
   /** Batch durably committed: trim the local buffer and report progress
-    * to the sender — the ACK that lets it trim ITS replay buffer. */
+    * to the sender — the ACK that lets it trim ITS replay buffer. The
+    * second u64 replenishes credits: exactly the buffer slots this
+    * commit freed (v3 credit flow; a slow query therefore throttles the
+    * sender at the protocol level, not just via TCP backpressure). */
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[FrameCount].n
-    lock.synchronized {
-      if (e > base) {
-        frames.dropInPlace(math.min(e - base, frames.length.toLong).toInt)
-        base = e
-      }
+    val freed = lock.synchronized {
+      val dropped =
+        if (e > base) {
+          val d = math.min(e - base, frames.length.toLong).toInt
+          frames.dropInPlace(d)
+          base = e
+          d
+        } else 0
       lock.notifyAll() // wake a parked reader
+      dropped
     }
-    sendToPeer(typed(Ack, u64(e)))
+    sendToPeer(typed(Ack, u64(e) ++ u64(freed.toLong)))
   }
 
   override def stop(): Unit = {

@@ -149,6 +149,121 @@ class ConnectorSourceSpec extends AnyFunSuite {
     sender.close()
   }
 
+  /** v3 credit flow (VERDICT r4 #3): spends one credit per MESSAGE,
+    * pauses at zero, replenishes from the ACK frames' credit field. */
+  private final class CreditSender(payloads: IndexedSeq[Array[Byte]], cookie: String) {
+    val server = new ServerSocket(0)
+    @volatile var pauses = 0L
+    @volatile var maxOutstanding = 0L
+    @volatile var creditViolations = 0L
+    @volatile var sentAll = false
+    @volatile private var closed = false
+
+    private val acceptor = new Thread("credit-test-acceptor") {
+      override def run(): Unit =
+        try while (!closed) {
+          val conn = server.accept()
+          val t = new Thread(() => handle(conn))
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: java.io.IOException => }
+    }
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def handle(conn: Socket): Unit = {
+      val creditLock = new Object
+      var credits = 0L
+      var outstanding = 0L
+      @volatile var restart = false
+      try {
+        val in = new DataInputStream(conn.getInputStream)
+        val out = new DataOutputStream(conn.getOutputStream)
+        writeFrame(out, typed(Hello,
+          shortBytes(cookie) ++ shortBytes("graft-test") ++ shortBytes("events")))
+        val ok = readFrame(in)
+        assert(ok(0) == Ok, s"expected OK, got ${ok(0)}")
+        credits = readU64(ok, 1) // initial grant = available buffer space
+        writeFrame(out, typed(Notify, u64(0L)))
+        val na = readFrame(in)
+        assert(na(0) == NotifyAck, s"expected NOTIFY_ACK, got ${na(0)}")
+        val resume = readU64(na, 1)
+        val ctl = new Thread(() =>
+          try while (true) {
+            val f = readFrame(in)
+            f(0) match {
+              case Ack =>
+                val freed = if (f.length >= 17) readU64(f, 9) else 0L
+                creditLock.synchronized {
+                  credits += freed
+                  outstanding -= freed // freed slots = frames no longer buffered
+                  creditLock.notifyAll()
+                }
+              case Restart => restart = true
+              case _       =>
+            }
+          } catch { case _: Exception =>
+            restart = true
+            creditLock.synchronized(creditLock.notifyAll())
+          })
+        ctl.setDaemon(true)
+        ctl.start()
+        var i = resume
+        while (i < payloads.length && !restart) {
+          creditLock.synchronized {
+            if (credits <= 0) {
+              pauses += 1
+              while (credits <= 0 && !restart) creditLock.wait(5000L)
+            }
+            if (credits < 0) creditViolations += 1
+            credits -= 1
+            outstanding += 1
+            maxOutstanding = math.max(maxOutstanding, outstanding)
+          }
+          if (!restart) {
+            writeFrame(out, typed(Message, u64(i) ++ payloads(i.toInt)))
+            i += 1
+          }
+        }
+        if (!restart) { writeFrame(out, typed(EosMessage)); sentAll = true }
+        ctl.join()
+      } catch { case _: java.io.IOException => }
+      finally { try conn.close() catch { case _: java.io.IOException => } }
+    }
+
+    def close(): Unit = { closed = true; server.close() }
+  }
+
+  test("credit flow: a slow query pauses the sender at the credit limit, no overrun, drains fully") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val n = 120
+    val cap = 30
+    val payloads = (0 until n).map(i => s"c-$i".getBytes(UTF_8))
+    val sender = new CreditSender(payloads, cookie = "s3cret")
+    val h = Graft.source("connector-credit",
+        ConnectorSocketSource("127.0.0.1", sender.server.getLocalPort, StringFrames,
+          cookie = Some("s3cret"), maxFramesPerTrigger = 20, maxBufferedFrames = cap))
+      .toSink(MemorySink("connector_credit_out"))
+    // sender outruns the 20-frames-per-trigger query by design: it must
+    // hit the credit wall (cap << n), pause, and resume on commit ACKs
+    assert(awaitCond(60000)(sender.sentAll), "sender never drained its stream")
+    assert(awaitCond(30000)(
+      spark.table("connector_credit_out").count() == n.toLong),
+      s"sink saw ${spark.table("connector_credit_out").count()} of $n")
+    h.stop()
+    assert(sender.pauses > 0, "sender never paused: credit limit not exercised")
+    assert(sender.creditViolations == 0, "sender spent credit it did not have")
+    // grants = available-at-handshake + commit-freed slots, so honoring
+    // them bounds in-flight frames by the buffer capacity: zero overrun
+    assert(sender.maxOutstanding <= cap.toLong,
+      s"outstanding ${sender.maxOutstanding} exceeded buffer capacity $cap")
+    // exactly-once at the sink despite the stop-and-go pacing
+    val got = spark.table("connector_credit_out").collect().map(_.getString(0)).toSeq
+    assert(got.sorted == (0 until n).map(i => s"c-$i").sorted)
+    sender.close()
+  }
+
   test("cookie mismatch fails the handshake loudly") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
