@@ -15,7 +15,8 @@ class PlanGuardSpec extends AnyFunSuite {
     * vectors / IVF centroids / a 1-row corpus count), so the "nested
     * loop" is a per-row loop over a constant-size array. */
   private val allowedBnlj =
-    Set("s_ann_brute", "s_ann_ivf", "s_ann_ivf_trained", "d_ngram_jaccard",
+    Set("s_ann_brute", "s_ann_ivf", "s_ann_ivf_trained", "s_ann_ivf_probe",
+      "d_ngram_jaccard",
       // centroid assignment: bounded broadcast side, like s_ann_ivf
       "d_semantic", "d_semantic_scale")
 
