@@ -233,22 +233,79 @@ final case class KafkaSinkConfig[T](
 
 /** Length-framed TCP sink (core/sink/tcp_sink/tcp_sink.pony): 4-byte
   * big-endian length header then payload — the framing giles/receiver
-  * expects. Each executor partition opens its own connection. */
-final case class TcpSink[T](host: String, port: Int, encode: T => Array[Byte])
+  * expects. Each executor partition opens its own connection.
+  *
+  * A transient peer reset no longer fails the batch: the writer
+  * reconnects with capped backoff (`maxRetries` attempts, `backoffMs`
+  * apart — the same 1 s discipline as [[ConnectorSocketSource]],
+  * VERDICT r4 #7) and REPLAYS the partition's already-written frames
+  * before continuing. Raw TCP acknowledges nothing at the application
+  * level, so a reset's in-flight window is otherwise silently lost
+  * (write success ≠ delivery); replay-from-partition-start keeps the
+  * contract at-least-once — dups bounded by one partition, no loss —
+  * at the cost of buffering the partition's encoded frames (bounded by
+  * the micro-batch, the same unit [[ConnectorSocketSink]] buffers).
+  * Peers needing exactly-once take that sink's 2PC conversation. */
+final case class TcpSink[T](host: String, port: Int, encode: T => Array[Byte],
+    maxRetries: Int = 3, backoffMs: Long = 1000L)
     extends SinkConfig[T] {
   private def foreach: ForeachWriter[(T, Long)] = new ForeachWriter[(T, Long)] {
+    @transient private var socket: Socket = _
     @transient private var out: DataOutputStream = _
+    @transient private var sent: scala.collection.mutable.ArrayBuffer[Array[Byte]] = _
+
+    private def connect(): Unit = {
+      socket = new Socket(host, port)
+      out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+    }
+    private def closeQuietly(): Unit = {
+      if (socket != null) {
+        try socket.close() catch { case _: java.io.IOException => }
+      }
+      socket = null; out = null
+    }
+    private def writeFrame(payload: Array[Byte]): Unit = {
+      out.writeInt(payload.length)
+      out.write(payload)
+      // surface a dead peer at the next frame (small retry window), not
+      // at the buffer boundary thousands of frames later
+      out.flush()
+    }
+
     def open(partitionId: Long, epochId: Long): Boolean = {
-      out = new DataOutputStream(new BufferedOutputStream(
-        new Socket(host, port).getOutputStream))
+      sent = scala.collection.mutable.ArrayBuffer.empty
+      var attempt = 0
+      while (out == null) {
+        try connect()
+        catch {
+          case e: java.io.IOException =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            Thread.sleep(backoffMs)
+        }
+      }
       true
     }
     def process(value: (T, Long)): Unit = {
       val payload = encode(value._1)
-      out.writeInt(payload.length)
-      out.write(payload)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try {
+          if (out == null) { connect(); sent.foreach(writeFrame) } // replay
+          writeFrame(payload)
+          sent += payload
+          done = true
+        } catch {
+          case e: java.io.IOException =>
+            closeQuietly()
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            Thread.sleep(backoffMs)
+        }
+      }
     }
-    def close(errorOrNull: Throwable): Unit = if (out != null) out.close()
+    def close(errorOrNull: Throwable): Unit = closeQuietly()
   }
   def writeBatch(ds: Dataset[(T, Long)]): Unit = {
     val fw = foreach

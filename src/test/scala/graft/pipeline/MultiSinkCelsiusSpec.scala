@@ -59,4 +59,60 @@ class MultiSinkCelsiusSpec extends AnyFunSuite {
     assert((s1 ++ s2).sorted == expected.sorted)
     assert(s1.size == 100 && expected.size == 200)
   }
+
+  test("TcpSink survives one injected peer reset without failing the query") {
+    import java.io.DataInputStream
+    import java.net.ServerSocket
+    import java.nio.charset.StandardCharsets.UTF_8
+    import spark.implicits._
+
+    // Receiver that hard-closes its FIRST connection after 5 frames (the
+    // injected reset), then serves reconnects normally.
+    val server = new ServerSocket(0)
+    val received = new java.util.concurrent.CopyOnWriteArrayList[String]
+    @volatile var connections = 0
+    val acceptor = new Thread(() =>
+      try while (true) {
+        val conn = server.accept()
+        connections += 1
+        val killAfter = if (connections == 1) 5 else Int.MaxValue
+        val t = new Thread(() =>
+          try {
+            val in = new DataInputStream(conn.getInputStream)
+            var n = 0
+            while (n < killAfter) {
+              val len = in.readInt()
+              val b = new Array[Byte](len)
+              in.readFully(b)
+              received.add(new String(b, UTF_8))
+              n += 1
+            }
+            conn.setSoLinger(true, 0) // RST, not FIN: a real peer crash
+            conn.close()
+          } catch { case _: java.io.IOException => })
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    // one partition = one connection, so the injected reset hits the
+    // stream mid-flight (32 single-frame connections would dodge it)
+    val n = 40
+    val ds = spark.range(n).map(i => (s"m-$i", 0L)).coalesce(1)
+    TcpSink[String]("127.0.0.1", server.getLocalPort,
+      (v: String) => v.getBytes(UTF_8), backoffMs = 100L)
+      .writeBatch(ds) // must NOT throw: the reset is survived, not fatal
+
+    // at-least-once across the reset: every frame arrives (the replay
+    // duplicates the pre-reset prefix; nothing is lost)
+    val deadline = System.currentTimeMillis() + 10000
+    while (received.size < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    val got = scala.jdk.CollectionConverters.ListHasAsScala(received).asScala.toSet
+    assert(got == (0 until n).map(i => s"m-$i").toSet,
+      s"missing frames after reset: got ${got.size} distinct of $n")
+    assert(connections >= 2, "the reset never forced a reconnect")
+    server.close()
+  }
 }
