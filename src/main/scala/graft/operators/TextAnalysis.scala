@@ -536,7 +536,53 @@ object TextAnalysis {
        |  COALESCE(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE kept), '') AS kept_text
        |FROM flagged GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ t_decontaminate
+  /** Benchmark decontamination — the held-out-overlap pass every serious
+    * training run applies (GPT-3 appendix C; Dolma; FineWeb): flag any
+    * training document sharing an exact word n-gram with the benchmark
+    * set, so evaluation data can't leak into training. Here the first
+    * [[BenchDocs]] documents play the benchmark; real deployments feed
+    * the actual eval suites and 8–13-grams ([[ContamGram]] is 4 because
+    * the synthetic corpus has no longer cross-document runs).
+    *
+    * Scale shape: the benchmark side is SMALL by definition (eval suites,
+    * not corpora) — its distinct grams broadcast; the corpus side
+    * explodes to (doc_id, gram) map-side and semi-joins against the
+    * broadcast without shuffling text. The only exchange is the per-doc
+    * hit count, two longs per contaminated doc. At 100 TB this is one
+    * corpus scan + a broadcast, the same plan FineWeb's decontamination
+    * runs at web scale. */
+  val ContamGram = 4
+  val BenchDocs = 10
+
+  def tDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = Portable.sparkShingles("text", ContamGram)
+    val bench = docs.filter(col("doc_id") < BenchDocs)
+      .select(explode(expr(sh)).as("gram")).distinct()
+    val corpus = docs.filter(col("doc_id") >= BenchDocs)
+      .select(col("doc_id"), explode(expr(sh)).as("gram"))
+    val hits = corpus.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.filter(col("doc_id") >= BenchDocs).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  val tDecontaminateSql: String =
+    s"""WITH g AS (SELECT doc_id, unnest(${Portable.duckShingles("text", ContamGram)}) AS gram FROM documents),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < $BenchDocs),
+       |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |         FROM g JOIN bench USING (gram) WHERE doc_id >= $BenchDocs GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       COALESCE(h.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id >= $BenchDocs""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_decontaminate" -> ((tDecontaminate _, Some(tDecontaminateSql))),
     "t_line_dedup" -> ((tLineDedup _, Some(tLineDedupSql))),
     "t_pack" -> ((tPack _, Some(tPackSql))),
     "t_length_percentiles" -> ((tLengthPercentiles _, Some(tLengthPercentilesSql))),
