@@ -147,6 +147,7 @@ final case class ConnectorSocketSink[T](
     cookie: Option[String] = None,
     voteTimeoutMs: Long = 30000L,
     maxRetries: Int = 3,
+    commitOnStop: Boolean = true,
     afterPhase1: (String, Long) => Unit = (_, _) => ())
     extends SinkConfig[T] {
   import ConnectorProtocol._
@@ -312,8 +313,42 @@ final case class ConnectorSocketSink[T](
   override def writeMicroBatch(ds: Dataset[(T, Long)], batchId: Long): Unit =
     writeOne(ds, batchId)
 
+  /** Best-effort phase 2 for the open tail transaction at graceful query
+    * termination: once the query stops WITHOUT an exception, the last
+    * batch's commit-log entry is durable (foreachBatch returned before
+    * Spark wrote it, and no later failure occurred), so its transaction
+    * may commit — the reference's EOS discipline. A send failure here is
+    * harmless: the txn stays in doubt and reconnect recovery resolves it
+    * as commit (its epoch is below the next incarnation's). Disabled via
+    * `commitOnStop = false` when a test needs the in-doubt tail. */
+  private[pipeline] def finishPendingCommit(): Unit = pendingCommit.foreach { id =>
+    try {
+      sendTwoPc(TwoPcWire.phase2r(TwoPcWire.Phase2, id, commit = true))
+      out.flush()
+      lastOffset = txnEndOffset
+      currentOffset = 0L
+      pendingCommit = None
+    } catch { case _: IOException | _: NullPointerException => } // recovery's job
+  }
+
   def writeStream(ds: Dataset[(T, Long)], name: String,
-      checkpoint: Option[String], trigger: Trigger): StreamingQuery =
-    SinkConfig.streamWriter(ds, name, checkpoint, trigger)
+      checkpoint: Option[String], trigger: Trigger): StreamingQuery = {
+    val q = SinkConfig.streamWriter(ds, name, checkpoint, trigger)
       .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeOne(d, id)).start()
+    if (commitOnStop) {
+      val spark = ds.sparkSession
+      val qid = q.id
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            if (e.exception.isEmpty) finishPendingCommit()
+            spark.streams.removeListener(this)
+          }
+      })
+    }
+    q
+  }
 }

@@ -116,9 +116,12 @@ class TwoPhaseCommitSocketSpec extends AnyFunSuite {
     (0 until 4).foreach(k => addFile(inDir, k * 50 until (k + 1) * 50))
 
     @volatile var armed = true
+    // commitOnStop off: this test exercises the reconnect-recovery COMMIT
+    // path, which needs the tail txn left in doubt across a graceful stop
     def sink(hook: (String, Long) => Unit = (_, _) => ()) =
       ConnectorSocketSink[Long]("127.0.0.1", receiver.server.getLocalPort,
-        (v: Long) => s"v-$v".getBytes(UTF_8), afterPhase1 = hook)
+        (v: Long) => s"v-$v".getBytes(UTF_8), commitOnStop = false,
+        afterPhase1 = hook)
     def startQuery(s: ConnectorSocketSink[Long]) =
       Graft.source("twopc-src", ParquetReplaySource[Long](inDir,
           (r: Row) => r.getLong(0), (r: Row) => r.getLong(0),
@@ -174,6 +177,28 @@ class TwoPhaseCommitSocketSpec extends AnyFunSuite {
     assert(finalGot.toSet == (0 until 200).map(v => s"v-$v").toSet,
       "committed set != batches 0-3 exactly-once")
     assert(receiver.aborts == 1, "recovery must not abort a committed-checkpoint txn")
+    receiver.close()
+  }
+
+  test("graceful stop commits the tail transaction (commitOnStop default)") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    val receiver = new TwoPcReceiver
+    val inDir = Files.createTempDirectory("twopc_stop_in").toString
+    (0 until 2).foreach(k => addFile(inDir, k * 20 until (k + 1) * 20))
+    val h = Graft.source("twopc-stop-src", ParquetReplaySource[Long](inDir,
+        (r: Row) => r.getLong(0), (r: Row) => r.getLong(0),
+        maxFilesPerTrigger = 1)(Encoders.scalaLong))
+      .toSink(ConnectorSocketSink[Long]("127.0.0.1", receiver.server.getLocalPort,
+        (v: Long) => s"v-$v".getBytes(UTF_8)))
+    h.processAllAvailable()
+    h.stop()
+    // the termination listener phase-2-commits the open tail, so the peer
+    // holds everything with no transaction left in doubt
+    assert(awaitCond(10000)(receiver.committed.size == 40 && receiver.inDoubt.isEmpty),
+      s"tail not committed at graceful stop: ${receiver.committed.size} committed, " +
+        s"in doubt ${receiver.inDoubt.keySet()}")
+    assert(receiver.committed.asScala.toSet == (0 until 40).map(v => s"v-$v").toSet)
     receiver.close()
   }
 
