@@ -581,7 +581,65 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
        |WHERE d.doc_id >= $BenchDocs""".stripMargin
 
+  // ------------------------------------------------------------ t_pii_scrub
+  /** PII redaction — the scrubbing pass C4/Dolma-style cleaning applies
+    * before training: emails, URLs, IPv4 addresses and phone numbers are
+    * replaced by typed placeholder tokens, with a per-document redaction
+    * count. Patterns are deliberately lookaround-free so the SAME regex
+    * is valid Java regex (Spark, codegen'd `regexp_replace`) and RE2
+    * (DuckDB) — the portability rule every oracle here lives by.
+    *
+    * The synthetic corpus contains no PII, so the registered query's
+    * oracle checks the pipeline wiring (identity output, zero counts);
+    * the REDACTION behavior itself is pinned by PiiScrubSpec over
+    * injected fixtures. Order matters: URLs first (an email inside a URL
+    * belongs to the URL), then emails, phones, IPs.
+    *
+    * The patterns contain NO backslash escapes (character classes stand
+    * in for `\.` `\+` `\(`): Spark's SQL parser unescapes backslashes in
+    * string literals and DuckDB's does not, so a backslash-free pattern
+    * is the only string that embeds verbatim in both engines.
+    *
+    * Scale shape: a pure per-row projection — no shuffle at all; four
+    * regex passes inside one whole-stage-codegen'd projection. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^ ]+"                                        -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"  -> "<EMAIL>",
+    "([+]?[0-9]{1,3}[-. ])?[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
+    "([0-9]{1,3}[.]){3}[0-9]{1,3}"                          -> "<IP>")
+
+  /** Nested scrub expression over a text column — same string for Spark
+    * `expr` and (with the 'g' flag added) DuckDB. */
+  private[operators] def sparkScrub(textCol: String): String =
+    PiiPatterns.foldLeft(textCol) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep')"
+    }
+  private def duckScrub(textCol: String): String =
+    PiiPatterns.foldLeft(textCol) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+  private[operators] def sparkRedactionCount(textCol: String): String =
+    PiiPatterns.map { case (pat, _) =>
+      s"size(regexp_extract_all($textCol, '$pat', 0))"
+    }.mkString("cast(", " + ", " as bigint)")
+  private def duckRedactionCount(textCol: String): String =
+    PiiPatterns.map { case (pat, _) =>
+      s"len(regexp_extract_all($textCol, '$pat'))"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  def tPiiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr(sparkScrub("text")).as("scrubbed"),
+      expr(sparkRedactionCount("text")).as("n_redactions"))
+
+  val tPiiScrubSql: String =
+    s"""SELECT doc_id, ${duckScrub("text")} AS scrubbed,
+       |  ${duckRedactionCount("text")} AS n_redactions
+       |FROM documents""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_pii_scrub" -> ((tPiiScrub _, Some(tPiiScrubSql))),
     "t_decontaminate" -> ((tDecontaminate _, Some(tDecontaminateSql))),
     "t_line_dedup" -> ((tLineDedup _, Some(tLineDedupSql))),
     "t_pack" -> ((tPack _, Some(tPackSql))),
