@@ -638,7 +638,59 @@ object TextAnalysis {
        |  ${duckRedactionCount("text")} AS n_redactions
        |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------ t_top_terms
+  /** Per-document salient terms — the TF-IDF-style keyword pass: term
+    * frequency damped by corpus document frequency, top [[TopTerms]] per
+    * document. The weight is `tf / sqrt(df)` rather than the classic
+    * `tf·ln(N/df)`: sqrt is correctly-rounded IEEE in both engines while
+    * `ln` is not guaranteed to be, and the oracle gate is hash-exact —
+    * same damping direction, bit-identical math.
+    *
+    * Scale shape: explode → groupBy(doc_id, term) rides map-side combine
+    * (a document's tokens are partition-local, so tf collapses before
+    * the exchange and the shuffle carries one row per DISTINCT term per
+    * doc); document frequency is a second slim count over those rows;
+    * the df table is vocabulary-sized (Zipf-bounded ≪ corpus) and
+    * broadcasts back. The top-k window partitions by doc_id —
+    * WindowGroupLimit prunes to k per doc before the final sort. */
+  val TopTerms = 5
+
+  def tTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // tf has one row per (doc, term)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(docFreq), "term")
+      .withColumn("score", expr("tf / sqrt(cast(df as double))"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopTerms)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  val tTopTermsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(${Portable.duckTokens("text")}) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    tf.tf / sqrt(CAST(dfreq.df AS DOUBLE)) AS score
+       |  FROM tf JOIN dfreq USING (term)),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, score, rank FROM ranked
+       |WHERE rank <= $TopTerms""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_top_terms" -> ((tTopTerms _, Some(tTopTermsSql))),
     "t_pii_scrub" -> ((tPiiScrub _, Some(tPiiScrubSql))),
     "t_decontaminate" -> ((tDecontaminate _, Some(tDecontaminateSql))),
     "t_line_dedup" -> ((tLineDedup _, Some(tLineDedupSql))),
