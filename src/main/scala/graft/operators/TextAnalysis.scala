@@ -657,9 +657,12 @@ object TextAnalysis {
 
   def tTopTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(s, dir)
+    // tf feeds both the scored stream and the df count — cache it once
+    // ([[Caching.reuse]]: blocks die with the result) instead of paying
+    // the explode + (doc, term) aggregation twice
+    val tf = Caching.reuse(Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val docFreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // tf has one row per (doc, term)
     val w = Window.partitionBy(col("doc_id"))
