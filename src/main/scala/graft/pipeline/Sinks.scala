@@ -245,7 +245,11 @@ final case class KafkaSinkConfig[T](
   * contract at-least-once — dups bounded by one partition, no loss —
   * at the cost of buffering the partition's encoded frames (bounded by
   * the micro-batch, the same unit [[ConnectorSocketSink]] buffers).
-  * Peers needing exactly-once take that sink's 2PC conversation. */
+  * Inherent raw-TCP caveat: a dead peer is only DETECTED at the next
+  * write after the RST propagates, so frames sent in a final burst
+  * after which no write fails can still be lost — peers needing
+  * no-loss-by-contract take [[ConnectorSocketSink]]'s acknowledged
+  * 2PC conversation. */
 final case class TcpSink[T](host: String, port: Int, encode: T => Array[Byte],
     maxRetries: Int = 3, backoffMs: Long = 1000L)
     extends SinkConfig[T] {

@@ -97,11 +97,16 @@ class MultiSinkCelsiusSpec extends AnyFunSuite {
     acceptor.start()
 
     // one partition = one connection, so the injected reset hits the
-    // stream mid-flight (32 single-frame connections would dodge it)
+    // stream mid-flight (32 single-frame connections would dodge it).
+    // The encode pause paces the writes: raw TCP only surfaces a dead
+    // peer at the NEXT write after the RST propagates, so an unpaced
+    // 40-frame burst can fit entirely in the socket buffer before the
+    // reset arrives and dodge detection — the documented raw-TCP
+    // limitation this test must not race against.
     val n = 40
     val ds = spark.range(n).map(i => (s"m-$i", 0L)).coalesce(1)
     TcpSink[String]("127.0.0.1", server.getLocalPort,
-      (v: String) => v.getBytes(UTF_8), backoffMs = 100L)
+      (v: String) => { Thread.sleep(15); v.getBytes(UTF_8) }, backoffMs = 100L)
       .writeBatch(ds) // must NOT throw: the reset is survived, not fatal
 
     // at-least-once across the reset: every frame arrives (the replay
