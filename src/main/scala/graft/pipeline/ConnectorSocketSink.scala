@@ -298,7 +298,8 @@ final case class ConnectorSocketSink[T](
 
   /** Batch mode: one transaction (epoch 0), phase 2 immediately — a batch
     * job has no later trigger to piggyback on, and its "checkpoint" is
-    * the job's own success. */
+    * the job's own success. The connection closes after the commit: a
+    * batch job is done with it, and the next one re-handshakes. */
   def writeBatch(ds: Dataset[(T, Long)]): Unit = {
     writeOne(ds, 0L)
     pendingCommit.foreach { id =>
@@ -308,6 +309,7 @@ final case class ConnectorSocketSink[T](
       currentOffset = 0L
       pendingCommit = None
     }
+    closeQuietly()
   }
 
   override def writeMicroBatch(ds: Dataset[(T, Long)], batchId: Long): Unit =
@@ -335,20 +337,19 @@ final case class ConnectorSocketSink[T](
       checkpoint: Option[String], trigger: Trigger): StreamingQuery = {
     val q = SinkConfig.streamWriter(ds, name, checkpoint, trigger)
       .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeOne(d, id)).start()
-    if (commitOnStop) {
-      val spark = ds.sparkSession
-      val qid = q.id
-      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-          if (e.id == qid) {
-            if (e.exception.isEmpty) finishPendingCommit()
-            spark.streams.removeListener(this)
-          }
-      })
-    }
+    val spark = ds.sparkSession
+    val qid = q.id
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          if (commitOnStop && e.exception.isEmpty) finishPendingCommit()
+          closeQuietly() // the query owned the connection; don't leak the fd
+          spark.streams.removeListener(this)
+        }
+    })
     q
   }
 }
