@@ -264,6 +264,29 @@ class ConnectorSourceSpec extends AnyFunSuite {
     sender.close()
   }
 
+  test("Trigger.AvailableNow drains the sender's backlog and terminates") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val n = 80
+    val payloads = (0 until n).map(i => s"an-$i".getBytes(UTF_8))
+    val sender = new ReplaySender(payloads, cookie = "s3cret")
+    // The cap is resolved AFTER the handshake + backlog drain (ADVICE r4:
+    // it used to be captured before the lazy connection started, so an
+    // AvailableNow query read zero frames and terminated "successfully").
+    val h = Graft.source("connector-availablenow",
+        ConnectorSocketSource("127.0.0.1", sender.server.getLocalPort, StringFrames,
+          cookie = Some("s3cret")))
+      .toSink(MemorySink("connector_an_out"),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    h.awaitTermination() // AvailableNow must self-terminate once drained
+    val got = spark.table("connector_an_out").collect().map(_.getString(0)).toSeq
+    assert(got.nonEmpty, "AvailableNow read zero frames (cap captured pre-handshake)")
+    assert(got.sorted == (0 until got.length).map(i => s"an-$i").sorted.take(got.length))
+    assert(got.length == n,
+      s"backlog not fully drained before the cap settled: ${got.length} of $n")
+    sender.close()
+  }
+
   test("cookie mismatch fails the handshake loudly") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
