@@ -692,7 +692,97 @@ object TextAnalysis {
        |SELECT doc_id, term, tf, df, score, rank FROM ranked
        |WHERE rank <= $TopTerms""".stripMargin
 
+  // ------------------------------------------------------------ t_substring_dedup
+  /** Exact-substring deduplication with span REMOVAL — the Lee et al.
+    * 2022 pass ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): any [[SubstrWindow]]-token run that
+    * appears verbatim in more than one document is cut out of every
+    * document containing it, and the remainder reassembled. Unlike
+    * [[tLineDedup]]'s disjoint segments, windows OVERLAP (one per token
+    * position), so removal is a token-level kill mask: a token dies if
+    * ANY duplicated window covers it, and adjacent/overlapping dup spans
+    * merge naturally. The paper uses a ~50-token threshold over a suffix
+    * array; [[SubstrWindow]] is 15 here because the synthetic corpus has
+    * no longer cross-document runs — the windowed-hash formulation keeps
+    * the same O(tokens) work profile as their suffix sort, distributed.
+    *
+    * Scale shape — TEXT IS NEVER SHUFFLED AT ALL: the window stream
+    * carries (xxhash64(window), doc_id, start) — 24 bytes per token —
+    * into the document-frequency count; the duplicated-hash set
+    * broadcasts back onto the un-shuffled window stream; the per-doc
+    * kill list (doc_id, starts[]) — longs only — broadcasts onto the
+    * original documents scan, where a nested higher-order `filter` /
+    * `exists` drops covered tokens inside one codegen'd projection. If a
+    * dup-riddled corpus outgrows those broadcasts, both degrade to
+    * shuffle joins on 8-byte keys; the text still moves zero times. A
+    * 2⁻⁶⁴ hash collision could remove a span the oracle keeps — the
+    * same documented trade as [[tLineDedup]]. */
+  val SubstrWindow = 15
+
+  def tSubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val W = SubstrWindow
+    val docs = Tables.documents(s, dir)
+    // the window-hash stream feeds both the df count and the kill-list
+    // join and is deliberately NOT cached: it is a pure map-side
+    // projection (no shuffle above it), and recomputing two codegen'd
+    // scans measured 3× faster than materializing 3M cached rows —
+    // Caching.reuse pays off only when the reused subtree contains an
+    // exchange (t_pack, t_top_terms), not for cheap recomputes
+    val wins = docs
+      .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      .filter(expr(s"size(w) >= $W"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - $W + 1)," +
+          s" i -> xxhash64(array_join(slice(w, i, $W), ' ')))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+        col("col").as("wh"))
+    val badW = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("docs"))
+      .filter(col("docs") > 1).select(col("wh").as("bad_wh"))
+    val badStarts = wins.join(broadcast(badW), col("wh") === col("bad_wh"))
+      .groupBy(col("doc_id")).agg(collect_list(col("s")).as("starts"))
+    docs.join(broadcast(badStarts), Seq("doc_id"), "left")
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"),
+        expr("coalesce(starts, array())").as("st"))
+      .select(col("doc_id"), col("toks"), expr(
+        s"filter(toks, (t, i) -> NOT exists(st, v -> v <= i + 1 AND i + 1 < v + $W))")
+        .as("kept"))
+      .select(col("doc_id"),
+        expr("array_join(kept, ' ')").as("kept_text"),
+        expr("size(kept)").cast("long").as("n_kept_tokens"),
+        expr("size(toks) - size(kept)").cast("long").as("n_removed_tokens"))
+  }
+
+  val tSubstringDedupSql: String = {
+    val W = SubstrWindow
+    s"""WITH ws AS (SELECT doc_id, ${Portable.duckTokens("text")} AS w FROM documents),
+       |wins AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+       |         array_to_string(w[CAST(i AS BIGINT):CAST(i+${W - 1} AS BIGINT)], ' ') AS win
+       |  FROM ws, UNNEST(range(1, len(w) - $W + 2)) t(i) WHERE len(w) >= $W),
+       |bad AS (SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) > 1),
+       |badstarts AS (SELECT doc_id, s FROM wins JOIN bad USING (win)),
+       |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS i, w[CAST(i AS BIGINT)] AS tok
+       |         FROM ws, UNNEST(range(1, len(w)+1)) t(i)),
+       |killed AS (
+       |  SELECT DISTINCT t.doc_id, t.i
+       |  FROM toks t JOIN badstarts b
+       |    ON t.doc_id = b.doc_id AND t.i >= b.s AND t.i < b.s + $W),
+       |kept AS (
+       |  SELECT t.doc_id, t.i, t.tok
+       |  FROM toks t LEFT JOIN killed k ON t.doc_id = k.doc_id AND t.i = k.i
+       |  WHERE k.i IS NULL)
+       |SELECT d.doc_id,
+       |  COALESCE(kq.kept_text, '') AS kept_text,
+       |  CAST(COALESCE(kq.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+       |  CAST(len(${Portable.duckTokens("d.text")}) - COALESCE(kq.n_kept, 0) AS BIGINT) AS n_removed_tokens
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS kept_text, COUNT(*) AS n_kept
+       |  FROM kept GROUP BY doc_id) kq ON d.doc_id = kq.doc_id""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_substring_dedup" -> ((tSubstringDedup _, Some(tSubstringDedupSql))),
     "t_top_terms" -> ((tTopTerms _, Some(tTopTermsSql))),
     "t_pii_scrub" -> ((tPiiScrub _, Some(tPiiScrubSql))),
     "t_decontaminate" -> ((tDecontaminate _, Some(tDecontaminateSql))),
