@@ -30,7 +30,8 @@ object ScaleProbe {
     val probes = Seq("d_exact", "d_ngram_jaccard", "d_minhash_lsh",
       "d_cluster", "d_simhash_pairs", "s_cosine_dups", "s_cosine_dups_scale",
       "s_ann_lsh", "t_clean_corpus", "t_repetition", "d_semantic_scale",
-      "t_line_dedup", "s_ann_ivf_probe")
+      "t_line_dedup", "s_ann_ivf_probe", "t_substring_dedup",
+      "t_decontaminate", "t_top_terms", "t_pii_scrub")
     probes.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
