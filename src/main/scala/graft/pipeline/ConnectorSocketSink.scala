@@ -316,22 +316,27 @@ final case class ConnectorSocketSink[T](
     writeOne(ds, batchId)
 
   /** Best-effort phase 2 for the open tail transaction at graceful query
-    * termination: once the query stops WITHOUT an exception, the last
-    * batch's commit-log entry is durable (foreachBatch returned before
-    * Spark wrote it, and no later failure occurred), so its transaction
-    * may commit — the reference's EOS discipline. A send failure here is
-    * harmless: the txn stays in doubt and reconnect recovery resolves it
-    * as commit (its epoch is below the next incarnation's). Disabled via
+    * termination — the reference's EOS discipline. `committedEpoch` must
+    * be the last batch id Spark DURABLY COMMITTED (from the query's final
+    * progress): a stop() can land after foreachBatch(k) returned but
+    * before the commit-log entry for k was written, and committing txn k
+    * then would double-deliver the epoch when the restart re-runs it.
+    * An ineligible or failed send is harmless either way: the txn stays
+    * in doubt and reconnect recovery resolves it correctly (commit if
+    * the epoch logged, abort-and-rewrite if not). Disabled via
     * `commitOnStop = false` when a test needs the in-doubt tail. */
-  private[pipeline] def finishPendingCommit(): Unit = pendingCommit.foreach { id =>
-    try {
-      sendTwoPc(TwoPcWire.phase2r(TwoPcWire.Phase2, id, commit = true))
-      out.flush()
-      lastOffset = txnEndOffset
-      currentOffset = 0L
-      pendingCommit = None
-    } catch { case _: IOException | _: NullPointerException => } // recovery's job
-  }
+  private[pipeline] def finishPendingCommit(committedEpoch: Long): Unit =
+    pendingCommit
+      .filter(id => TwoPcWire.txnEpoch(id).exists(_ <= committedEpoch))
+      .foreach { id =>
+        try {
+          sendTwoPc(TwoPcWire.phase2r(TwoPcWire.Phase2, id, commit = true))
+          out.flush()
+          lastOffset = txnEndOffset
+          currentOffset = 0L
+          pendingCommit = None
+        } catch { case _: IOException | _: NullPointerException => } // recovery's job
+      }
 
   def writeStream(ds: Dataset[(T, Long)], name: String,
       checkpoint: Option[String], trigger: Trigger): StreamingQuery = {
@@ -345,7 +350,10 @@ final case class ConnectorSocketSink[T](
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == qid) {
-          if (commitOnStop && e.exception.isEmpty) finishPendingCommit()
+          if (commitOnStop && e.exception.isEmpty)
+            // lastProgress is finalized AFTER the batch's commit-log
+            // write, so its batchId is the durable-commit frontier
+            finishPendingCommit(Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
           closeQuietly() // the query owned the connection; don't leak the fd
           spark.streams.removeListener(this)
         }

@@ -17,70 +17,6 @@ class ConnectorSourceSpec extends AnyFunSuite {
   import FramedFixtures.StringFrames
   private lazy val spark = TestSpark.spark
 
-  /** Plays the protocol's connector (sender) side: HELLO → (OK) →
-    * NOTIFY → (NOTIFY_ACK resume) → MESSAGE from `resume` → EOS.
-    * Tracks the worker's ACKed points of reference (its replay-buffer
-    * trim signal) and every resume point it was asked for. */
-  private final class ReplaySender(payloads: IndexedSeq[Array[Byte]], cookie: String) {
-    val server = new ServerSocket(0)
-    @volatile var lastAck = 0L
-    val resumes = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]
-    @volatile private var closed = false
-
-    private val acceptor = new Thread("connector-test-acceptor") {
-      override def run(): Unit =
-        try while (!closed) {
-          val conn = server.accept()
-          val t = new Thread(() => handle(conn))
-          t.setDaemon(true)
-          t.start()
-        } catch { case _: java.io.IOException => } // server closed
-    }
-    acceptor.setDaemon(true)
-    acceptor.start()
-
-    private def handle(conn: Socket): Unit = {
-      @volatile var restart = false
-      try {
-        val in = new DataInputStream(conn.getInputStream)
-        val out = new DataOutputStream(conn.getOutputStream)
-        writeFrame(out, typed(Hello,
-          shortBytes(cookie) ++ shortBytes("graft-test") ++ shortBytes("events")))
-        val ok = readFrame(in)
-        if (ok(0) == Error) return // worker rejected the handshake (cookie test)
-        assert(ok(0) == Ok, s"expected OK, got ${ok(0)}")
-        writeFrame(out, typed(Notify, u64(0L)))
-        val na = readFrame(in)
-        assert(na(0) == NotifyAck, s"expected NOTIFY_ACK, got ${na(0)}")
-        val resume = readU64(na, 1)
-        resumes.add(resume)
-        // control channel: ACK advances the trim point, RESTART aborts
-        val ctl = new Thread(() =>
-          try while (true) {
-            val f = readFrame(in)
-            f(0) match {
-              case Ack     => lastAck = math.max(lastAck, readU64(f, 1))
-              case Restart => restart = true
-              case _       =>
-            }
-          } catch { case _: Exception => restart = true })
-        ctl.setDaemon(true)
-        ctl.start()
-        // ALO replay: everything from the requested point of reference
-        var i = resume
-        while (i < payloads.length && !restart) {
-          writeFrame(out, typed(Message, u64(i) ++ payloads(i.toInt)))
-          i += 1
-        }
-        if (!restart) writeFrame(out, typed(EosMessage))
-        ctl.join() // drain trailing ACKs until the worker closes
-      } catch { case _: java.io.IOException => }
-      finally { try conn.close() catch { case _: java.io.IOException => } }
-    }
-
-    def close(): Unit = { closed = true; server.close() }
-  }
-
   private def awaitCond(timeoutMs: Long)(cond: => Boolean): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
@@ -92,7 +28,7 @@ class ConnectorSourceSpec extends AnyFunSuite {
     import spark.implicits._
     val n = 200
     val payloads = (0 until n).map(i => s"msg-$i".getBytes(UTF_8))
-    val sender = new ReplaySender(payloads, cookie = "s3cret")
+    val sender = new ProtocolPeers.ReplaySender(payloads, cookie = "s3cret")
     val ckpt = Files.createTempDirectory("connector_ckpt").toString
     val outDir = Files.createTempDirectory("connector_out").toString
 
@@ -269,7 +205,7 @@ class ConnectorSourceSpec extends AnyFunSuite {
     import spark.implicits._
     val n = 80
     val payloads = (0 until n).map(i => s"an-$i".getBytes(UTF_8))
-    val sender = new ReplaySender(payloads, cookie = "s3cret")
+    val sender = new ProtocolPeers.ReplaySender(payloads, cookie = "s3cret")
     // The cap is resolved AFTER the handshake + backlog drain (ADVICE r4:
     // it used to be captured before the lazy connection started, so an
     // AvailableNow query read zero frames and terminated "successfully").
@@ -290,7 +226,7 @@ class ConnectorSourceSpec extends AnyFunSuite {
   test("cookie mismatch fails the handshake loudly") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
-    val sender = new ReplaySender(IndexedSeq("x".getBytes(UTF_8)), cookie = "right")
+    val sender = new ProtocolPeers.ReplaySender(IndexedSeq("x".getBytes(UTF_8)), cookie = "right")
     val h = Graft.source("connector-bad-cookie",
         ConnectorSocketSource("127.0.0.1", sender.server.getLocalPort, StringFrames,
           cookie = Some("wrong"), replayTimeoutMs = 5000))

@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import ConnectorProtocol._
+
+/** Shared protocol test peers: the connector-protocol SENDER (feeds
+  * [[ConnectorSocketSource]]; at-least-once with a replay buffer) and the
+  * 2PC RECEIVER (consumes [[ConnectorSocketSink]]; stage → in-doubt →
+  * apply/discard). Used by ConnectorSourceSpec, TwoPhaseCommitSocketSpec
+  * and the end-to-end ProtocolRelaySpec. */
+object ProtocolPeers {
+
+  /** Plays the protocol's connector (sender) side: HELLO → (OK) →
+    * NOTIFY → (NOTIFY_ACK resume) → MESSAGE from `resume` → EOS. Tracks
+    * the worker's ACKed points of reference (its replay-buffer trim
+    * signal) and every resume point it was asked for. */
+  final class ReplaySender(payloads: IndexedSeq[Array[Byte]], cookie: String) {
+    val server = new ServerSocket(0)
+    @volatile var lastAck = 0L
+    val resumes = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]
+    @volatile private var closed = false
+
+    private val acceptor = new Thread("connector-test-acceptor") {
+      override def run(): Unit =
+        try while (!closed) {
+          val conn = server.accept()
+          val t = new Thread(() => handle(conn))
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: java.io.IOException => } // server closed
+    }
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def handle(conn: Socket): Unit = {
+      @volatile var restart = false
+      try {
+        val in = new DataInputStream(conn.getInputStream)
+        val out = new DataOutputStream(conn.getOutputStream)
+        writeFrame(out, typed(Hello,
+          shortBytes(cookie) ++ shortBytes("graft-test") ++ shortBytes("events")))
+        val ok = readFrame(in)
+        if (ok(0) == Error) return // worker rejected the handshake (cookie test)
+        assert(ok(0) == Ok, s"expected OK, got ${ok(0)}")
+        writeFrame(out, typed(Notify, u64(0L)))
+        val na = readFrame(in)
+        assert(na(0) == NotifyAck, s"expected NOTIFY_ACK, got ${na(0)}")
+        val resume = readU64(na, 1)
+        resumes.add(resume)
+        // control channel: ACK advances the trim point, RESTART aborts
+        val ctl = new Thread(() =>
+          try while (true) {
+            val f = readFrame(in)
+            f(0) match {
+              case Ack     => lastAck = math.max(lastAck, readU64(f, 1))
+              case Restart => restart = true
+              case _       =>
+            }
+          } catch { case _: Exception => restart = true })
+        ctl.setDaemon(true)
+        ctl.start()
+        // ALO replay: everything from the requested point of reference
+        var i = resume
+        while (i < payloads.length && !restart) {
+          writeFrame(out, typed(Message, u64(i) ++ payloads(i.toInt)))
+          i += 1
+        }
+        if (!restart) writeFrame(out, typed(EosMessage))
+        ctl.join() // drain trailing ACKs until the worker closes
+      } catch { case _: java.io.IOException => }
+      finally { try conn.close() catch { case _: java.io.IOException => } }
+    }
+
+    def close(): Unit = { closed = true; server.close() }
+  }
+
+  /** Plays the protocol's receiving side the way the reference's external
+    * sink processes do: data frames staged per connection, promoted to the
+    * in-doubt map at PHASE1 (with the where-list's end offset), applied to
+    * `committed` or discarded at PHASE2. In-doubt transactions survive
+    * reconnects; staged-but-unprepared bytes die with their connection. */
+  final class TwoPcReceiver(voteAbort: String => Boolean = _ => false) {
+    val server = new ServerSocket(0)
+    val committed = new java.util.concurrent.CopyOnWriteArrayList[String]
+    val inDoubt =
+      new java.util.concurrent.ConcurrentHashMap[String, (Vector[String], Long)]
+    @volatile var committedOffset = 0L
+    @volatile var aborts = 0
+    @volatile private var closed = false
+
+    private val acceptor = new Thread("twopc-test-acceptor") {
+      override def run(): Unit =
+        try while (!closed) {
+          val conn = server.accept()
+          val t = new Thread(() => handle(conn))
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: java.io.IOException => } // server closed
+    }
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def handle(conn: Socket): Unit = {
+      val staged = ArrayBuffer.empty[String]
+      try {
+        val in = new DataInputStream(conn.getInputStream)
+        val out = new DataOutputStream(conn.getOutputStream)
+        while (true) {
+          val f = readFrame(in)
+          f(0) match {
+            case Hello =>
+              writeFrame(out, typed(Ok, u64(0L)))
+            case Notify =>
+              writeFrame(out, typed(NotifyAck, u64(committedOffset)))
+            case Message =>
+              val streamId = readU64(f, 1)
+              val payload = java.util.Arrays.copyOfRange(f, 17, f.length)
+              if (streamId == 1L) staged += new String(payload, UTF_8)
+              else payload(0) match {
+                case TwoPcWire.ListUncommitted =>
+                  val rtag = java.nio.ByteBuffer.wrap(payload, 1, 8).getLong
+                  writeFrame(out, typed(Message, u64(0L) ++ u64(0L) ++
+                    TwoPcWire.replyUncommitted(rtag, inDoubt.keySet().asScala.toSeq)))
+                case TwoPcWire.Phase1 =>
+                  val (txn, whereList) = TwoPcWire.readPhase1(payload)
+                  inDoubt.put(txn, (staged.toVector, whereList.head._3))
+                  staged.clear()
+                  writeFrame(out, typed(Message, u64(0L) ++ u64(0L) ++
+                    TwoPcWire.phase2r(TwoPcWire.Phase1Reply, txn, !voteAbort(txn))))
+                case TwoPcWire.Phase2 =>
+                  val (txn, commit) = TwoPcWire.readPhase2r(payload)
+                  val entry = inDoubt.remove(txn)
+                  if (entry != null) {
+                    if (commit) {
+                      committed.addAll(entry._1.asJava)
+                      committedOffset = entry._2
+                    } else aborts += 1
+                  }
+                case _ =>
+              }
+            case _ =>
+          }
+        }
+      } catch { case _: java.io.IOException => } // sink went away
+      finally { try conn.close() catch { case _: java.io.IOException => } }
+    }
+
+    def close(): Unit = { closed = true; server.close() }
+  }
+}

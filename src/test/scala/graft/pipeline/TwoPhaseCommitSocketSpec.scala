@@ -21,80 +21,6 @@ import ConnectorProtocol._
 class TwoPhaseCommitSocketSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  /** Plays the protocol's receiving side the way the reference's external
-    * sink processes do: data frames staged per connection, promoted to the
-    * in-doubt map at PHASE1 (with the where-list's end offset), applied to
-    * `committed` or discarded at PHASE2. In-doubt transactions survive
-    * reconnects; staged-but-unprepared bytes die with their connection. */
-  private final class TwoPcReceiver(voteAbort: String => Boolean = _ => false) {
-    val server = new ServerSocket(0)
-    val committed = new java.util.concurrent.CopyOnWriteArrayList[String]
-    val inDoubt =
-      new java.util.concurrent.ConcurrentHashMap[String, (Vector[String], Long)]
-    @volatile var committedOffset = 0L
-    @volatile var aborts = 0
-    @volatile private var closed = false
-
-    private val acceptor = new Thread("twopc-test-acceptor") {
-      override def run(): Unit =
-        try while (!closed) {
-          val conn = server.accept()
-          val t = new Thread(() => handle(conn))
-          t.setDaemon(true)
-          t.start()
-        } catch { case _: java.io.IOException => } // server closed
-    }
-    acceptor.setDaemon(true)
-    acceptor.start()
-
-    private def handle(conn: Socket): Unit = {
-      val staged = ArrayBuffer.empty[String]
-      try {
-        val in = new DataInputStream(conn.getInputStream)
-        val out = new java.io.DataOutputStream(conn.getOutputStream)
-        while (true) {
-          val f = readFrame(in)
-          f(0) match {
-            case Hello =>
-              writeFrame(out, typed(Ok, u64(0L)))
-            case Notify =>
-              writeFrame(out, typed(NotifyAck, u64(committedOffset)))
-            case Message =>
-              val streamId = readU64(f, 1)
-              val payload = java.util.Arrays.copyOfRange(f, 17, f.length)
-              if (streamId == 1L) staged += new String(payload, UTF_8)
-              else payload(0) match {
-                case TwoPcWire.ListUncommitted =>
-                  val rtag = java.nio.ByteBuffer.wrap(payload, 1, 8).getLong
-                  writeFrame(out, typed(Message, u64(0L) ++ u64(0L) ++
-                    TwoPcWire.replyUncommitted(rtag, inDoubt.keySet().asScala.toSeq)))
-                case TwoPcWire.Phase1 =>
-                  val (txn, whereList) = TwoPcWire.readPhase1(payload)
-                  inDoubt.put(txn, (staged.toVector, whereList.head._3))
-                  staged.clear()
-                  writeFrame(out, typed(Message, u64(0L) ++ u64(0L) ++
-                    TwoPcWire.phase2r(TwoPcWire.Phase1Reply, txn, !voteAbort(txn))))
-                case TwoPcWire.Phase2 =>
-                  val (txn, commit) = TwoPcWire.readPhase2r(payload)
-                  val entry = inDoubt.remove(txn)
-                  if (entry != null) {
-                    if (commit) {
-                      committed.addAll(entry._1.asJava)
-                      committedOffset = entry._2
-                    } else aborts += 1
-                  }
-                case _ =>
-              }
-            case _ =>
-          }
-        }
-      } catch { case _: java.io.IOException => } // sink went away
-      finally { try conn.close() catch { case _: java.io.IOException => } }
-    }
-
-    def close(): Unit = { closed = true; server.close() }
-  }
-
   private def awaitCond(timeoutMs: Long)(cond: => Boolean): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
@@ -110,7 +36,7 @@ class TwoPhaseCommitSocketSpec extends AnyFunSuite {
   test("crash between phase 1 and phase 2: peer sees abort then exactly-once on restart") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
-    val receiver = new TwoPcReceiver
+    val receiver = new ProtocolPeers.TwoPcReceiver()
     val inDir = Files.createTempDirectory("twopc_in").toString
     val ckpt = Files.createTempDirectory("twopc_ckpt").toString
     (0 until 4).foreach(k => addFile(inDir, k * 50 until (k + 1) * 50))
@@ -183,7 +109,7 @@ class TwoPhaseCommitSocketSpec extends AnyFunSuite {
   test("graceful stop commits the tail transaction (commitOnStop default)") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
-    val receiver = new TwoPcReceiver
+    val receiver = new ProtocolPeers.TwoPcReceiver()
     val inDir = Files.createTempDirectory("twopc_stop_in").toString
     (0 until 2).foreach(k => addFile(inDir, k * 20 until (k + 1) * 20))
     val h = Graft.source("twopc-stop-src", ParquetReplaySource[Long](inDir,
@@ -205,7 +131,7 @@ class TwoPhaseCommitSocketSpec extends AnyFunSuite {
   test("peer abort vote fails the batch loudly") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
-    val receiver = new TwoPcReceiver(voteAbort = _ => true)
+    val receiver = new ProtocolPeers.TwoPcReceiver(voteAbort = _ => true)
     val inDir = Files.createTempDirectory("twopc_abort_in").toString
     addFile(inDir, 0 until 10)
     val h = Graft.source("twopc-abort-src", ParquetReplaySource[Long](inDir,
@@ -225,7 +151,7 @@ class TwoPhaseCommitSocketSpec extends AnyFunSuite {
 
   test("batch mode: one transaction, phase 2 immediate") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
-    val receiver = new TwoPcReceiver
+    val receiver = new ProtocolPeers.TwoPcReceiver()
     val inDir = Files.createTempDirectory("twopc_batch_in").toString
     addFile(inDir, 0 until 25)
     import spark.implicits._
