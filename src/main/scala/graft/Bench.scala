@@ -132,12 +132,18 @@ object Bench {
     // "what total would have been on the idle reference host".
     val refCal = sys.env.getOrElse("GRAFT_BENCH_REF_CAL_SEC", "0.93").toDouble
     val totalCalibrated = total * (refCal / calibration)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_calibrated":$totalCalibrated,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
+    val subsetJson = only.fold("false")(s =>
+      s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_calibrated":$totalCalibrated,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
     println(json)
     // The round-4 driver capture truncated the stdout tail and destroyed
     // the artifact (VERDICT r4 #1) — also write the same JSON to a file so
-    // log interleaving / tail-truncation can never lose it again.
-    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
+    // log interleaving / tail-truncation can never lose it again. A
+    // GRAFT_BENCH_ONLY subset run marks itself in the JSON AND lands in a
+    // different default file, so an iterate-on-one-operator loop can't
+    // clobber the committed full-run artifact with a 1-query "total".
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_out.subset.json" else "bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

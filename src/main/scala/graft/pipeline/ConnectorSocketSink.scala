@@ -220,11 +220,26 @@ final case class ConnectorSocketSink[T](
     val (gotTag, inDoubt) =
       TwoPcWire.readReplyUncommitted(awaitTwoPc(TwoPcWire.ReplyUncommitted))
     require(gotTag == rtag, s"REPLY_UNCOMMITTED rtag $gotTag != $rtag")
+    var committedAny = false
     inDoubt.foreach { id =>
       val commit = TwoPcWire.txnEpoch(id).exists(_ < epoch)
+      committedAny ||= commit
       sendTwoPc(TwoPcWire.phase2r(TwoPcWire.Phase2, id, commit))
     }
     out.flush()
+    // A recovery COMMIT advances the peer's committed offset past the
+    // NOTIFY_ACK we already read; without a re-sync the next epoch's data
+    // frames and where_list would overlap the just-committed byte range
+    // (an offset-checking peer would discard them as already applied).
+    // NOTIFY again after the phase 2s — the peer processes frames in
+    // order, so the second NOTIFY_ACK carries the post-commit offset.
+    if (committedAny) {
+      send(typed(Notify, u64(1L) ++ shortBytes(streamName)))
+      out.flush()
+      val na2 = readFrame(in)
+      require(na2(0) == NotifyAck, s"expected NOTIFY_ACK, got type ${na2(0)}")
+      lastOffset = readU64(na2, 1)
+    }
   }
 
   private def closeQuietly(): Unit = {
@@ -285,21 +300,23 @@ final case class ConnectorSocketSink[T](
   }
 
   private def writeOne(ds: Dataset[(T, Long)], epoch: Long): Unit = {
+    import scala.jdk.CollectionConverters._
     val enc = encode
     val bin = ds.map(p => enc(p._1))(Encoders.BINARY)
-    writeTxn(asScala(bin.toLocalIterator()), epoch)
+    writeTxn(bin.toLocalIterator().asScala, epoch)
   }
-
-  private def asScala[A](it: java.util.Iterator[A]): Iterator[A] =
-    new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
 
   /** Batch mode: one transaction (epoch 0), phase 2 immediately — a batch
     * job has no later trigger to piggyback on, and its "checkpoint" is
     * the job's own success. The connection closes after the commit: a
-    * batch job is done with it, and the next one re-handshakes. */
+    * batch job is done with it, and the next one re-handshakes.
+    *
+    * Txn-id namespace caveat: every batch job mints `<stream>:c_id=0`,
+    * so by the protocol's rules a SECOND batch job against the same peer
+    * with the same `streamName` is a REPLAY of the first transaction —
+    * an id-remembering peer will ignore it. Give each logical batch job
+    * its own `streamName` (it is the transaction namespace), exactly as
+    * [[TwoPhaseCommitSink]] requires a fresh directory per batch output. */
   def writeBatch(ds: Dataset[(T, Long)]): Unit = {
     writeOne(ds, 0L)
     pendingCommit.foreach { id =>
@@ -344,20 +361,32 @@ final case class ConnectorSocketSink[T](
       .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeOne(d, id)).start()
     val spark = ds.sparkSession
     val qid = q.id
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def onDone(failed: Boolean): Unit = if (finished.compareAndSet(false, true)) {
+      if (commitOnStop && !failed)
+        // lastProgress is finalized AFTER the batch's commit-log write,
+        // so its batchId is the durable-commit frontier
+        finishPendingCommit(Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
+      closeQuietly() // the query owned the connection; don't leak the fd
+    }
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == qid) {
-          if (commitOnStop && e.exception.isEmpty)
-            // lastProgress is finalized AFTER the batch's commit-log
-            // write, so its batchId is the durable-commit frontier
-            finishPendingCommit(Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
-          closeQuietly() // the query owned the connection; don't leak the fd
+          onDone(failed = e.exception.isDefined)
           spark.streams.removeListener(this)
         }
-    })
+    }
+    spark.streams.addListener(listener)
+    // a query can terminate in the window between start() and
+    // addListener — its TerminatedEvent fired into the void; settle it
+    // here (the AtomicBoolean keeps the two paths idempotent)
+    if (!q.isActive) {
+      onDone(failed = q.exception.isDefined)
+      spark.streams.removeListener(listener)
+    }
     q
   }
 }

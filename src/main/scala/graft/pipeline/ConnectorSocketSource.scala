@@ -208,17 +208,27 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
               case Message =>
                 val id = readU64(f, 1)
                 val payload = java.util.Arrays.copyOfRange(f, 9, f.length)
-                lock.synchronized {
+                val dropped = lock.synchronized {
                   if (id == expectedNext) {
                     while (frames.length >= maxBufferedFrames && !stopped) lock.wait()
                     if (!stopped) { frames += payload; lock.notifyAll() }
+                    false
                   } else if (id > expectedNext) {
                     // gap: the sender skipped ids we never saw — demand a
                     // full re-handshake at our point of reference
                     sendToPeer(typed(Restart))
                     open = false
-                  } // id < expectedNext: replay overlap, drop silently
+                    false
+                  } else true // id < expectedNext: replay overlap, drop
                 }
+                // A dropped duplicate consumed a sender credit without
+                // ever occupying a buffer slot; commit-time ACKs only
+                // replenish freed SLOTS, so without this immediate
+                // refund a credit-honoring sender with replay overlap
+                // bleeds credits and can stall mid-replay before
+                // reaching the frames we actually want. The ACK's point
+                // of reference is the unchanged committed count.
+                if (dropped) sendToPeer(typed(Ack, u64(lock.synchronized(base)) ++ u64(1L)))
               case EosMessage =>
                 // end of stream, but NOT of the session: stay parked in
                 // readFrame so the connection remains open for the
@@ -277,13 +287,22 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("latestOffset(start, limit) is used")
 
-  /** Resolve the deferred AvailableNow cap: wait for the handshake, then
-    * let the sender's backlog drain until the stream goes idle for one
-    * tick (no new frame in 250 ms), EOS, or `replayTimeoutMs` elapses.
-    * "Available now" over a socket = whatever the peer had queued at
-    * query start, which only becomes observable after it is sent. */
+  /** Resolve the deferred AvailableNow cap: wait for the handshake to
+    * COMPLETE (outStream is set right after NOTIFY_ACK — without this
+    * gate a connect slower than one idle tick resolved the cap to the
+    * start offset and the query read zero frames), then let the sender's
+    * backlog drain until the stream goes idle for one tick (no new frame
+    * in 250 ms), EOS, or `replayTimeoutMs` elapses. "Available now" over
+    * a socket = whatever the peer had queued at query start, which only
+    * becomes observable after it is sent; a sender that pauses longer
+    * than the idle tick mid-backlog truncates the capture — inherent to
+    * any quiescence heuristic over a stream with no end marker short of
+    * EOS. */
   private def resolveAvailableNowCap(): Unit = {
     val deadline = System.currentTimeMillis() + replayTimeoutMs
+    while (outStream == null && !eos && readerError == null &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(20L)
     lock.synchronized {
       var last = -1L
       while (expectedNext != last && !eos && readerError == null &&
