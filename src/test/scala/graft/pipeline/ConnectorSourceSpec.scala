@@ -200,6 +200,100 @@ class ConnectorSourceSpec extends AnyFunSuite {
     sender.close()
   }
 
+  test("credit refunds for dropped replay duplicates: a dup-sending sender can't stall") {
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    // A paranoid at-least-once sender transmits EVERY frame twice; the
+    // worker drops the second copy (id < expectedNext). Each dropped dup
+    // consumed a sender credit without occupying a buffer slot — without
+    // the worker's immediate refund, credits = cap + freed − 2·net would
+    // hit zero at net = cap frames and the sender would stall for good
+    // (with refunds, credits = cap + freed − net ≥ 0 always).
+    val n = 100
+    val cap = 20
+    val payloads = (0 until n).map(i => s"d-$i".getBytes(UTF_8))
+    val server = new java.net.ServerSocket(0)
+    @volatile var stalls = 0L
+    val acceptor = new Thread(() =>
+      try while (true) {
+        val conn = server.accept()
+        val t = new Thread(() => {
+          val creditLock = new Object
+          var credits = 0L
+          @volatile var restart = false
+          try {
+            val in = new DataInputStream(conn.getInputStream)
+            val out = new DataOutputStream(conn.getOutputStream)
+            writeFrame(out, typed(Hello,
+              shortBytes("") ++ shortBytes("graft-test") ++ shortBytes("events")))
+            val ok = readFrame(in)
+            credits = readU64(ok, 1)
+            writeFrame(out, typed(Notify, u64(0L)))
+            val na = readFrame(in)
+            val resume = readU64(na, 1)
+            val ctl = new Thread(() =>
+              try while (true) {
+                val f = readFrame(in)
+                f(0) match {
+                  case Ack =>
+                    val freed = if (f.length >= 17) readU64(f, 9) else 0L
+                    creditLock.synchronized { credits += freed; creditLock.notifyAll() }
+                  case Restart => restart = true
+                  case _       =>
+                }
+              } catch { case _: Exception =>
+                restart = true
+                creditLock.synchronized(creditLock.notifyAll())
+              })
+            ctl.setDaemon(true)
+            ctl.start()
+            def spendCredit(): Boolean = creditLock.synchronized {
+              if (credits <= 0) {
+                stalls += 1
+                val deadline = System.currentTimeMillis() + 10000
+                while (credits <= 0 && !restart &&
+                    System.currentTimeMillis() < deadline) creditLock.wait(1000L)
+                if (credits <= 0) restart = true // genuine stall: give up
+              }
+              credits -= 1
+              !restart
+            }
+            var i = resume
+            while (i < payloads.length && !restart) {
+              // first copy, then the paranoid duplicate — each costs credit
+              if (spendCredit()) writeFrame(out, typed(Message, u64(i) ++ payloads(i.toInt)))
+              if (!restart && spendCredit())
+                writeFrame(out, typed(Message, u64(i) ++ payloads(i.toInt)))
+              i += 1
+            }
+            if (!restart) writeFrame(out, typed(EosMessage))
+            ctl.join()
+          } catch { case _: java.io.IOException => }
+          finally { try conn.close() catch { case _: java.io.IOException => } }
+        })
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    val h = Graft.source("connector-dup-credit",
+        ConnectorSocketSource("127.0.0.1", server.getLocalPort, StringFrames,
+          maxFramesPerTrigger = 10, maxBufferedFrames = cap))
+      .toSink(MemorySink("connector_dup_credit_out"))
+    assert(awaitCond(60000)(
+      spark.table("connector_dup_credit_out").count() == n.toLong),
+      s"coarse-replay sender stalled: " +
+        s"${spark.table("connector_dup_credit_out").count()} of $n delivered " +
+        s"(sender pauses: $stalls)")
+    h.stop()
+    // exactly-once at the sink despite the duplicate-laden wire
+    val got = spark.table("connector_dup_credit_out").collect()
+      .map(_.getString(0)).toSeq
+    assert(got.sorted == (0 until n).map(i => s"d-$i").sorted)
+    server.close()
+  }
+
   test("Trigger.AvailableNow drains the sender's backlog and terminates") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
