@@ -642,6 +642,106 @@ object Queries {
        |FROM orders GROUP BY o_orderstatus""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q_events_funnel
+  /** Ordered funnel over the event stream: how many users signed up, then
+    * viewed AFTER signing up, then clicked after that view, then purchased
+    * after that click. The ordering constraint (each step must follow a
+    * completed previous step) is what distinguishes a funnel from four
+    * count-distincts — mirroring the reference's sequence-detection
+    * pattern (examples/pony/alphabet_popularity-style keyed sequences).
+    *
+    * Scale shape: ONE shuffle + sort per user (all four step markers are
+    * window expressions over the SAME (user, ts) ordering, so Catalyst
+    * plans a single Exchange + Sort with four chained Window operators),
+    * then a final 4-way distinct aggregation. Per-user state is O(1) —
+    * four running minima — so a user with 10^9 events costs a sort, not
+    * memory. Time arithmetic in integer µs (see [[qEventsSessionize]]);
+    * event_id breaks ts ties deterministically. A step event counts only
+    * if a qualifying previous-step event is STRICTLY earlier in
+    * (ts, event_id) order — the frame is UNBOUNDED PRECEDING..1 PRECEDING,
+    * so same-row self-satisfaction is impossible. */
+  private val funnelSteps = Seq("signup", "view", "click", "purchase")
+
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+    // pN = earliest time a user completed step N, as seen by strictly-later
+    // rows; hit(N) at a row = this row is a step-N event with step N-1
+    // already complete. Chained: each pN's CASE reads the previous pN-1.
+    val staged = funnelSteps.zipWithIndex.foldLeft(base) {
+      case (df, (step, i)) =>
+        val gate = if (i == 0) lit(true) else col(s"p${i - 1}").isNotNull
+        df.withColumn(s"p$i",
+          min(when(col("event_type") === step && gate, col("ts_us"))).over(prev))
+    }
+    val counts = funnelSteps.zipWithIndex.map { case (step, i) =>
+      val gate = if (i == 0) lit(true) else col(s"p${i - 1}").isNotNull
+      countDistinct(when(col("event_type") === step && gate, col("user_id")))
+        .as(s"${step}_users")
+    }
+    staged.agg(counts.head, counts.tail: _*)
+  }
+
+  val qEventsFunnelSql: String = {
+    val win = "PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    val ctes = funnelSteps.zipWithIndex.map { case (step, i) =>
+      val gate = if (i == 0) "" else s" AND p${i - 1} IS NOT NULL"
+      s"""w$i AS (
+         |  SELECT *, MIN(CASE WHEN event_type = '$step'$gate THEN ts_us END)
+         |    OVER ($win) AS p$i
+         |  FROM ${if (i == 0) "base" else s"w${i - 1}"})"""
+    }.mkString(",\n")
+    val counts = funnelSteps.zipWithIndex.map { case (step, i) =>
+      val gate = if (i == 0) "" else s" AND p${i - 1} IS NOT NULL"
+      s"COUNT(DISTINCT CASE WHEN event_type = '$step'$gate THEN user_id END) AS ${step}_users"
+    }.mkString(",\n  ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |$ctes
+       |SELECT
+       |  $counts
+       |FROM w${funnelSteps.size - 1}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q_events_retention
+  /** Cohort retention matrix: users grouped by first-active week, counted
+    * in each later week they return. All time arithmetic is pure integer
+    * (epoch-µs → epoch-day → epoch-week by `div`), sidestepping calendar
+    * week-start semantics entirely — exact in both engines and immune to
+    * session timezone.
+    *
+    * Scale shape: (user, week) distinct collapses with map-side combine
+    * (shuffle carries one row per user-week, not per event); the cohort
+    * week is a window min over the user partition (no second join against
+    * a per-user aggregate — the window reuses the distinct output's
+    * clustering); the final matrix aggregation is cohort×offset-sized,
+    * tiny. No driver-side anything. */
+  def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000 div 86400000000 div 7").as("week_idx"))
+      .distinct()
+      .withColumn("cohort_week", min(col("week_idx")).over(byUser))
+      .groupBy(col("cohort_week"), (col("week_idx") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val qEventsRetentionSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS week_idx
+      |  FROM events),
+      |c AS (
+      |  SELECT *, MIN(week_idx) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM uw)
+      |SELECT cohort_week, week_idx - cohort_week AS week_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   /** name → (query builder, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q1_agg" -> ((q1Agg _, Some(q1AggSql))),
@@ -664,5 +764,7 @@ object Queries {
     "q_strings_dates" -> ((qStringsDates _, Some(qStringsDatesSql))),
     "q_merge_union" -> ((qMergeUnion _, Some(qMergeUnionSql))),
     "q17_small_qty" -> ((q17SmallQty _, Some(q17SmallQtySql))),
-    "q_pivot" -> ((qPivot _, Some(qPivotSql))))
+    "q_pivot" -> ((qPivot _, Some(qPivotSql))),
+    "q_events_funnel" -> ((qEventsFunnel _, Some(qEventsFunnelSql))),
+    "q_events_retention" -> ((qEventsRetention _, Some(qEventsRetentionSql))))
 }

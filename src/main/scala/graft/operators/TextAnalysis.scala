@@ -781,7 +781,59 @@ object TextAnalysis {
        |  FROM kept GROUP BY doc_id) kq ON d.doc_id = kq.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ t_perplexity
+  /** CCNet-style unigram-LM quality score (Wenzek et al. 2020: documents
+    * are ranked by language-model perplexity; low-surprise text is
+    * boilerplate, high-surprise is noise). True perplexity needs `ln`,
+    * which is not correctly-rounded IEEE in either engine — so the bits
+    * are QUANTIZED: surprise(w) = floor(log2 N) - floor(log2 count(w)),
+    * computed exactly as `length(bin(N)) - length(bin(count))` (both
+    * engines emit unpadded binary strings). The per-document total is
+    * then an INTEGER sum — order-independent, partial-aggregation-safe,
+    * hash-exact vs the oracle — with ONE double division at the end
+    * (`bits_per_token` ≈ log2-perplexity, same ranking direction).
+    *
+    * Scale shape: explode → (doc, term) tf rides map-side combine (the
+    * shuffle carries distinct terms per doc); the corpus unigram table is
+    * vocabulary-sized (Zipf-bounded ≪ corpus) and broadcasts back, as
+    * does the 1-row total. tf is computed once and reused for both the
+    * corpus counts and the per-doc join ([[Caching.reuse]]). */
+  def tPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val tf = Caching.reuse(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(Portable.sparkTokens("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val corpus = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cnt"))
+    val totals = corpus.agg(sum(col("cnt")).cast("long").as("n_total"))
+    tf.join(broadcast(corpus), "term")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(expr("tf * (length(bin(n_total)) - length(bin(cnt)))")).cast("long")
+          .as("total_bits"),
+        sum(col("tf")).cast("long").as("n_tokens"))
+      .withColumn("bits_per_token", expr("cast(total_bits as double) / n_tokens"))
+  }
+
+  val tPerplexitySql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(${Portable.duckTokens("text")}) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |corpus AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM corpus),
+       |agg AS (
+       |  SELECT tf.doc_id,
+       |    CAST(SUM(tf.tf * (length(bin(tot.n_total)) - length(bin(corpus.cnt)))) AS BIGINT)
+       |      AS total_bits,
+       |    CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
+       |  FROM tf JOIN corpus USING (term) CROSS JOIN tot
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, total_bits, n_tokens,
+       |  CAST(total_bits AS DOUBLE) / n_tokens AS bits_per_token
+       |FROM agg""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_perplexity" -> ((tPerplexity _, Some(tPerplexitySql))),
     "t_substring_dedup" -> ((tSubstringDedup _, Some(tSubstringDedupSql))),
     "t_top_terms" -> ((tTopTerms _, Some(tTopTermsSql))),
     "t_pii_scrub" -> ((tPiiScrub _, Some(tPiiScrubSql))),

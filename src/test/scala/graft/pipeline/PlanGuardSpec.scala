@@ -17,6 +17,8 @@ class PlanGuardSpec extends AnyFunSuite {
   private val allowedBnlj =
     Set("s_ann_brute", "s_ann_ivf", "s_ann_ivf_trained", "s_ann_ivf_probe",
       "d_ngram_jaccard",
+      // corpus-total denominator: 1-row broadcast, like d_ngram_jaccard
+      "t_perplexity",
       // centroid assignment: bounded broadcast side, like s_ann_ivf
       "d_semantic", "d_semantic_scale")
 
