@@ -27,11 +27,24 @@ object ScaleProbe {
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$staged/embeddings.parquet")
 
+    // events: event_id remapped per replica, user_id KEPT — so each user's
+    // history grows 20× (the per-user sort/window state is what the funnel
+    // and retention probes need to stress; fresh users would just be ×20
+    // independent small problems). ts stays a raw ns long end-to-end.
+    val evs = Tables.events(spark, sfDir)
+    val maxE = evs.agg(max("event_id")).head().getLong(0) + 1
+    evs.crossJoin(spark.range(n).select(col("id").as("rep")))
+      .select((col("event_id") + col("rep") * maxE).as("event_id"),
+        col("ts_ns").as("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$staged/events.parquet")
+
     val probes = Seq("d_exact", "d_ngram_jaccard", "d_minhash_lsh",
       "d_cluster", "d_simhash_pairs", "s_cosine_dups", "s_cosine_dups_scale",
       "s_ann_lsh", "t_clean_corpus", "t_repetition", "d_semantic_scale",
       "t_line_dedup", "s_ann_ivf_probe", "t_substring_dedup",
-      "t_decontaminate", "t_top_terms", "t_pii_scrub")
+      "t_decontaminate", "t_top_terms", "t_pii_scrub",
+      "t_perplexity", "q_events_funnel", "q_events_retention")
     probes.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
