@@ -343,8 +343,82 @@ object PipelineQueries {
        |FROM documents GROUP BY 2""".stripMargin
   }
 
+  // ---------------------------------------------------------- p_funnel
+  /** The funnel as the reference's signature pattern — a per-key sequence
+    * detector (StateComputation, computations.pony:48-109): per user, an
+    * O(1) depth counter advances when the NEXT expected step arrives, and
+    * each advance emits (user, new_depth) downstream — the streaming form
+    * a real-time conversion dashboard consumes, vs [[Queries.qEventsFunnel]]'s
+    * batch window-chain over the same semantics. Contiguity is by
+    * construction: step i only counts once steps 0..i-1 are done, so the
+    * state is ONE int however many steps the funnel has. Per-user event
+    * times are strictly increasing in the testdata, so the event-time
+    * batch replay is deterministic and the window-chain oracle (strictly-
+    * earlier gating) walks the identical sequence. */
+  final class FunnelDepth extends Serializable { var depth: Int = 0 }
+
+  object FunnelDetect
+      extends StateComputation[(Long, String, Long), (Long, Long), FunnelDepth] {
+    override val name = "funnel detect"
+    def initialState(): FunnelDepth = new FunnelDepth
+    def apply(in: (Long, String, Long), st: FunnelDepth): ComputationResult[(Long, Long)] = {
+      val i = Queries.funnelSteps.indexOf(in._2)
+      if (i == st.depth) {
+        st.depth += 1
+        ComputationResult.One((in._1, st.depth.toLong))
+      } else ComputationResult.Discard
+    }
+  }
+
+  def pFunnel(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    implicit val inEnc: Encoder[(Long, String, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    implicit val outEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+      .as[(Long, String, Long)]
+    Graft.source("funnel", DatasetSource(evs, (e: (Long, String, Long)) => e._3))
+      .keyBy(_._1.toString)
+      .to(FunnelDetect)
+      .dataset // (user, depth) per advance; final depth = max per user
+      .groupBy(col("_1._1").as("user_id"))
+      .agg(max(col("_1._2")).as("steps_completed"))
+  }
+
+  /** Same window-chain as q_events_funnel's oracle, collapsed per user:
+    * contiguous gating makes the per-step flags sum to the depth. */
+  val pFunnelSql: String = {
+    val steps = Queries.funnelSteps
+    val win = "PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    val ctes = steps.zipWithIndex.map { case (step, i) =>
+      val gate = if (i == 0) "" else s" AND p${i - 1} IS NOT NULL"
+      s"""w$i AS (
+         |  SELECT *, MIN(CASE WHEN event_type = '$step'$gate THEN ts_us END)
+         |    OVER ($win) AS p$i
+         |  FROM ${if (i == 0) "base" else s"w${i - 1}"})"""
+    }.mkString(",\n")
+    val flags = steps.zipWithIndex.map { case (step, i) =>
+      val gate = if (i == 0) "" else s" AND p${i - 1} IS NOT NULL"
+      s"MAX(CASE WHEN event_type = '$step'$gate THEN 1 ELSE 0 END) AS s$i"
+    }.mkString(",\n    ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |$ctes,
+       |per_user AS (
+       |  SELECT user_id,
+       |    $flags
+       |  FROM w${steps.size - 1} GROUP BY user_id)
+       |SELECT user_id, CAST(${steps.indices.map(i => s"s$i").mkString(" + ")} AS BIGINT)
+       |  AS steps_completed
+       |FROM per_user WHERE s0 = 1""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p_dedup" -> ((pDedup _, Some(pDedupSql))),
+    "p_funnel" -> ((pFunnel _, Some(pFunnelSql))),
     "p_wordcount" -> ((pWordcount _, Some(pWordcountSql))),
     "p_alphabet" -> ((pAlphabet _, Some(pAlphabetSql))),
     "p_countwin" -> ((pCountwin _, Some(pCountwinSql))),

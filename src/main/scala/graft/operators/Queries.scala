@@ -660,7 +660,7 @@ object Queries {
     * if a qualifying previous-step event is STRICTLY earlier in
     * (ts, event_id) order — the frame is UNBOUNDED PRECEDING..1 PRECEDING,
     * so same-row self-satisfaction is impossible. */
-  private val funnelSteps = Seq("signup", "view", "click", "purchase")
+  private[operators] val funnelSteps = Seq("signup", "view", "click", "purchase")
 
   def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
