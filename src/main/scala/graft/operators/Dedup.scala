@@ -497,8 +497,54 @@ object Dedup {
        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
        |GROUP BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------ d_canonical
+  /** Cluster canonicalization — the pass a real cleaning pipeline runs
+    * right after near-dup clustering: keep ONE representative per
+    * [[dCluster]] component (the highest-quality member, quality per
+    * [[TextAnalysis.sparkQualityScore]], doc_id as the tie-break) and
+    * mark the rest as dropped. Emits every doc with its cluster and a
+    * `kept` flag so downstream can either filter or audit.
+    *
+    * Scale shape: the representative pick is a per-cluster argmax done
+    * as `max(struct(score, -doc_id))` — a hash aggregation with map-side
+    * partial combine, immune to a giant cluster in a way a
+    * row_number-over-window sort is not (the window form sorts the whole
+    * clique inside one partition; the agg form reduces it pairwise).
+    * Text is read once at the scan to compute the score and never
+    * shuffled; the two shuffles carry (doc_id, cluster_id, double) and
+    * (cluster_id, best) only. */
+  def dCanonical(s: SparkSession, dir: String): DataFrame = {
+    val labels = dCluster(s, dir) // (doc_id, cluster_id), full corpus
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(TextAnalysis.sparkQualityScore).as("qs"))
+    val j = labels.join(q, "doc_id")
+    val best = j.groupBy("cluster_id")
+      .agg(max(struct(col("qs"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nd")).as("best_doc"))
+    j.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("best_doc")).as("kept"))
+  }
+
+  /** Oracle: same cluster labels (recursive-CTE closure), max score per
+    * cluster, min doc_id among the max-score ties — the exact semantics
+    * of the struct-max. Double equality is safe: both engines computed
+    * the score through the identical IEEE chain (t_quality hash-passes). */
+  val dCanonicalSql: String =
+    s"""WITH labels AS (SELECT * FROM ($dClusterSql) t),
+       |q AS (SELECT doc_id, ${TextAnalysis.duckQualityScore} AS qs FROM documents),
+       |j AS (SELECT l.doc_id, l.cluster_id, q.qs FROM labels l JOIN q USING (doc_id)),
+       |mx AS (SELECT cluster_id, MAX(qs) AS mqs FROM j GROUP BY cluster_id),
+       |best AS (
+       |  SELECT j.cluster_id, MIN(j.doc_id) AS best_doc
+       |  FROM j JOIN mx ON j.cluster_id = mx.cluster_id AND j.qs = mx.mqs
+       |  GROUP BY j.cluster_id)
+       |SELECT j.doc_id, j.cluster_id, j.doc_id = b.best_doc AS kept
+       |FROM j JOIN best b USING (cluster_id)""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "d_exact" -> ((dExact _, Some(dExactSql))),
+    "d_canonical" -> ((dCanonical _, Some(dCanonicalSql))),
     "d_ngram_jaccard" -> ((dNgramJaccard _, Some(dNgramJaccardSql))),
     "d_minhash" -> ((dMinhash _, Some(dMinhashSql))),
     "d_minhash_lsh" -> ((dMinhashLsh _, Some(dMinhashLshSql))),

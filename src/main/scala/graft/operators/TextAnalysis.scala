@@ -47,6 +47,29 @@ object TextAnalysis {
        |FROM documents""".stripMargin
 
   // ------------------------------------------------------------ t_quality
+  /** The composite quality score as a single expression over a `text`
+    * column — the same arithmetic [[tQuality]] emits, inlined so other
+    * operators (d_canonical's per-cluster representative pick) can order
+    * by it without materializing the full signal row. Both fragments run
+    * the identical IEEE double chain, so cross-engine ordering agrees
+    * exactly (t_quality is hash-exact against the oracle). */
+  private[operators] def sparkQualityScore: String = {
+    val toks = Portable.sparkTokens("text")
+    s"least(cast(size($toks) as double) / 100, 1.0) * 0.5" +
+      s" + (cast(size(filter($toks, t -> t IN (${sqlList(stopwords)}))) as double)" +
+      s" / size($toks)) * 0.3" +
+      " + (1.0 - cast(length(text) - length(regexp_replace(text, '[.,!?;:]', ''))" +
+      " as double) / length(text)) * 0.2"
+  }
+  private[operators] def duckQualityScore: String = {
+    val toks = Portable.duckTokens("text")
+    s"least(CAST(len($toks) AS DOUBLE) / 100, 1.0) * 0.5" +
+      s" + (CAST(len(list_filter($toks, t -> t IN (${sqlList(stopwords)}))) AS DOUBLE)" +
+      s" / len($toks)) * 0.3" +
+      " + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))" +
+      " AS DOUBLE) / length(text)) * 0.2"
+  }
+
   /** Quality signals: char/token counts, stopword ratio, punctuation
     * ratio, mean token length, and a composite score. All ratios are
     * exact-int divisions done identically in both engines. */
@@ -832,7 +855,65 @@ object TextAnalysis {
        |  CAST(total_bits AS DOUBLE) / n_tokens AS bits_per_token
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------------------ t_mix_domains
+  /** Temperature-scaled domain mixture (the mT5/XLM-R sampling rule,
+    * α = 0.5): target count per language ∝ count^α, so low-resource
+    * domains are up-weighted relative to their raw share. Emits the
+    * sampled docs with their within-domain rank and the domain's target.
+    *
+    * Cross-engine determinism is the design constraint: a float Σ√c over
+    * domains would depend on summation order (Spark's partial aggs give
+    * no order), so weights are fixed-point — w = floor(√c · 2²⁰) as
+    * BIGINT, W = Σw exact, k = (N·w) div W in integer arithmetic. √ is
+    * IEEE-exact and ·2²⁰/floor are exact, so both engines derive the
+    * identical targets with no ordering anywhere.
+    *
+    * Scale shape: domain-count agg (tiny) broadcast back; per-domain
+    * selection is a rank over (hash, doc_id) — one shuffle keyed by
+    * lang carrying (doc_id, lang, 8-byte hash), text untouched. A
+    * pathologically hot domain turns the rank into one partition's sort;
+    * the fix at that point is the two-phase selection t_length_percentiles
+    * uses (count-by-hash-prefix first, then rank only inside the winning
+    * prefix bucket) — not needed at any tested SF. */
+  val MixSampleN = 200L
+  def tMixDomains(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      expr(Portable.sparkHash("cast(doc_id as string)", "mix")).as("h"))
+    val w = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("w", expr("cast(floor(sqrt(cast(c as double)) * 1048576) as bigint)"))
+    val tot = w.agg(sum("w").as("tw"))
+    val targets = w.crossJoin(broadcast(tot))
+      .select(col("lang"), expr(s"($MixSampleN * w) div tw").as("lang_target"))
+    val ranked = docs.withColumn("mix_rank",
+      row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+    ranked.join(broadcast(targets), "lang")
+      .filter(col("mix_rank") <= col("lang_target"))
+      .select("doc_id", "lang", "mix_rank", "lang_target")
+  }
+
+  val tMixDomainsSql: String =
+    s"""WITH c AS (
+       |  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+       |w AS (
+       |  SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576) AS BIGINT) AS w
+       |  FROM c),
+       |targets AS (
+       |  SELECT lang, ($MixSampleN * w) // (SELECT SUM(w) FROM w) AS lang_target
+       |  FROM w),
+       |ranked AS (
+       |  SELECT doc_id, lang,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ${Portable.duckHash("CAST(doc_id AS VARCHAR)", "mix")} ASC,
+       |        doc_id ASC) AS BIGINT) AS mix_rank
+       |  FROM documents)
+       |SELECT doc_id, ranked.lang, mix_rank, lang_target
+       |FROM ranked JOIN targets ON ranked.lang = targets.lang
+       |WHERE mix_rank <= lang_target""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_mix_domains" -> ((tMixDomains _, Some(tMixDomainsSql))),
     "t_perplexity" -> ((tPerplexity _, Some(tPerplexitySql))),
     "t_substring_dedup" -> ((tSubstringDedup _, Some(tSubstringDedupSql))),
     "t_top_terms" -> ((tTopTerms _, Some(tTopTermsSql))),

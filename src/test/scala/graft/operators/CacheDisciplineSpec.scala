@@ -17,7 +17,7 @@ class CacheDisciplineSpec extends AnyFunSuite {
     * (grep `Caching.reuse` — keep in sync). */
   private val cacheUsers = Seq(
     "d_ngram_jaccard", "d_minhash_lsh", "d_simhash_pairs", "d_cluster",
-    "d_semantic", "d_semantic_scale", "t_pack", "t_top_terms",
+    "d_canonical", "d_semantic", "d_semantic_scale", "t_pack", "t_top_terms",
     "t_perplexity")
 
   test("cache-using operators leave the CacheManager empty after materializing") {
