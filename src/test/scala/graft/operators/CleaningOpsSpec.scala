@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-5 cleaning operators — properties the
+  * hash-vs-oracle gate can't express (it proves both engines agree, not
+  * that the agreed answer has the intended shape). */
+class CleaningOpsSpec extends AnyFunSuite {
+  private lazy val spark = graft.pipeline.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("d_canonical keeps exactly one representative per cluster, covering every doc") {
+    val out = Dedup.dCanonical(spark, dir).cache()
+    try {
+      val perCluster = out.groupBy("cluster_id")
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("kept_n"))
+      assert(perCluster.filter(col("kept_n") =!= 1L).count() === 0,
+        "every cluster must keep exactly one doc")
+      val nDocs = graft.Tables.documents(spark, dir).count()
+      assert(out.count() === nDocs, "every doc must be labeled")
+      // the representative must be a quality argmax of its cluster:
+      // no cluster-mate may strictly beat the kept doc's score
+      val q = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), expr(TextAnalysis.sparkQualityScore).as("qs"))
+      val j = out.join(q, "doc_id")
+      val kept = j.filter(col("kept"))
+        .select(col("cluster_id"), col("qs").as("kept_qs"))
+      val beaten = j.join(kept, "cluster_id")
+        .filter(col("qs") > col("kept_qs"))
+      assert(beaten.count() === 0, "kept doc must have max quality in cluster")
+    } finally out.unpersist()
+  }
+
+  test("t_mix_domains hits its integer targets exactly and never oversamples a domain") {
+    val out = TextAnalysis.tMixDomains(spark, dir).cache()
+    try {
+      val counts = out.groupBy("lang")
+        .agg(count(lit(1)).as("got"), max("lang_target").as("tgt"))
+      assert(counts.filter(col("got") =!= col("tgt")).count() === 0,
+        "each domain must yield exactly its target count")
+      val total = out.count()
+      assert(total <= TextAnalysis.MixSampleN,
+        s"floor allocation can only undershoot N: $total")
+      // α = 0.5 up-weights small domains: sampled fraction of the
+      // smallest domain must be >= that of the largest
+      val byLang = graft.Tables.documents(spark, dir)
+        .groupBy("lang").agg(count(lit(1)).as("c"))
+      val fr = counts.join(byLang, "lang")
+        .select(col("lang"), col("c"), col("got") / col("c") as "frac")
+        .collect().sortBy(_.getAs[Long]("c"))
+      assert(fr.head.getAs[Double]("frac") >= fr.last.getAs[Double]("frac") - 1e-9,
+        "temperature sampling must not under-weight the smallest domain")
+    } finally out.unpersist()
+  }
+
+  test("s_centroid_outliers flags the far-from-centroid tail at ~10%") {
+    val out = Similarity.sCentroidOutliers(spark, dir).cache()
+    try {
+      val n = out.count()
+      val flagged = out.filter(col("is_outlier")).count()
+      // strict-> above the exact nearest-rank P90: at most 10%, and
+      // nonzero unless a label's top decile is all ties
+      assert(flagged > 0 && flagged <= (n * 0.11).toLong + 1,
+        s"flagged $flagged of $n")
+      // every outlier must be strictly farther than every non-outlier
+      // within its label
+      val maxIn = out.filter(!col("is_outlier"))
+        .groupBy("label").agg(max("d2_centroid").as("max_in"))
+      val minOut = out.filter(col("is_outlier"))
+        .groupBy("label").agg(min("d2_centroid").as("min_out"))
+      val bad = maxIn.join(minOut, "label").filter(col("min_out") <= col("max_in"))
+      assert(bad.count() === 0, "outlier set must be an upper tail per label")
+    } finally out.unpersist()
+  }
+
+  test("p_funnel depths are monotone counts bounded by the step list") {
+    val out = graft.operators.PipelineQueries.pFunnel(spark, dir).cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      val bad = out.filter(col("steps_completed") < 1 ||
+        col("steps_completed") > Queries.funnelSteps.size)
+      assert(bad.count() === 0, "depth must be in [1, n_steps]")
+    } finally out.unpersist()
+  }
+}
