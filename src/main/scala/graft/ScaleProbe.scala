@@ -39,12 +39,16 @@ object ScaleProbe {
         col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$staged/events.parquet")
 
-    val probes = Seq("d_exact", "d_ngram_jaccard", "d_minhash_lsh",
+    val allProbes = Seq("d_exact", "d_ngram_jaccard", "d_minhash_lsh",
       "d_cluster", "d_simhash_pairs", "s_cosine_dups", "s_cosine_dups_scale",
       "s_ann_lsh", "t_clean_corpus", "t_repetition", "d_semantic_scale",
       "t_line_dedup", "s_ann_ivf_probe", "t_substring_dedup",
       "t_decontaminate", "t_top_terms", "t_pii_scrub",
-      "t_perplexity", "q_events_funnel", "q_events_retention")
+      "t_perplexity", "q_events_funnel", "q_events_retention",
+      "d_canonical", "t_mix_domains", "s_centroid_outliers", "p_funnel")
+    // optional second arg: comma-separated probe subset
+    val probes = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(allProbes).filter(allProbes.contains)
     probes.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -55,10 +59,12 @@ object ScaleProbe {
       System.gc() // same teardown hygiene as Bench: cleanup outside the timed window
     }
     // The scale-sized variant: 12-bit bands → 4096 buckets per band.
-    val t0 = System.nanoTime()
-    operators.Similarity.sCosineDupsWith(spark, staged, 8, 12)
-      .write.format("noop").mode("overwrite").save()
-    println(f"[probe x$n] s_cosine_dups_8x12 ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    if (args.lift(1).isEmpty) {
+      val t0 = System.nanoTime()
+      operators.Similarity.sCosineDupsWith(spark, staged, 8, 12)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[probe x$n] s_cosine_dups_8x12 ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
     spark.stop()
   }
 }
