@@ -53,6 +53,33 @@ object Portable {
     s"list_distinct(list_transform(range(1, greatest(len(${duckTokens(text)}) - ${n - 2}, 1)), " +
       s"i -> array_to_string(list_slice(${duckTokens(text)}, i, i + ${n - 1}), ' ')))"
 
+  /** Stopword list shared by the quality score and [[TextAnalysis]]'s
+    * signal columns. Lives here (a leaf module) so Dedup and TextAnalysis
+    * can both embed the score without an init-order cycle between their
+    * registry vals. */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private def stopList = QualityStopwords.map(x => s"'$x'").mkString(", ")
+
+  /** The composite document quality score over a `text` column — the
+    * same arithmetic t_quality emits, as one inline expression so any
+    * operator (d_canonical's representative pick, the e2e pipeline) can
+    * order by it. Both fragments run the identical IEEE double chain, so
+    * cross-engine ordering and equality agree exactly (t_quality is
+    * hash-exact against the oracle). */
+  def sparkQualityScore: String =
+    s"least(cast(size(${sparkTokens("text")}) as double) / 100, 1.0) * 0.5" +
+      s" + (cast(size(filter(${sparkTokens("text")}, t -> t IN ($stopList))) as double)" +
+      s" / size(${sparkTokens("text")})) * 0.3" +
+      " + (1.0 - cast(length(text) - length(regexp_replace(text, '[.,!?;:]', ''))" +
+      " as double) / length(text)) * 0.2"
+  def duckQualityScore: String =
+    s"least(CAST(len(${duckTokens("text")}) AS DOUBLE) / 100, 1.0) * 0.5" +
+      s" + (CAST(len(list_filter(${duckTokens("text")}, t -> t IN ($stopList))) AS DOUBLE)" +
+      s" / len(${duckTokens("text")})) * 0.3" +
+      " + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))" +
+      " AS DOUBLE) / length(text)) * 0.2"
+
   /** Word n-grams WITH multiplicity (the shingle helpers above are
     * distinct sets for Jaccard/minhash; repetition signals need the
     * occurrence counts). */

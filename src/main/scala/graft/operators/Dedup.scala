@@ -501,7 +501,7 @@ object Dedup {
   /** Cluster canonicalization — the pass a real cleaning pipeline runs
     * right after near-dup clustering: keep ONE representative per
     * [[dCluster]] component (the highest-quality member, quality per
-    * [[TextAnalysis.sparkQualityScore]], doc_id as the tie-break) and
+    * [[graft.functions.Portable.sparkQualityScore]], doc_id as the tie-break) and
     * mark the rest as dropped. Emits every doc with its cluster and a
     * `kept` flag so downstream can either filter or audit.
     *
@@ -516,7 +516,7 @@ object Dedup {
   def dCanonical(s: SparkSession, dir: String): DataFrame = {
     val labels = dCluster(s, dir) // (doc_id, cluster_id), full corpus
     val q = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(TextAnalysis.sparkQualityScore).as("qs"))
+      .select(col("doc_id"), expr(Portable.sparkQualityScore).as("qs"))
     val j = labels.join(q, "doc_id")
     val best = j.groupBy("cluster_id")
       .agg(max(struct(col("qs"), (-col("doc_id")).as("nd"))).as("b"))
@@ -532,7 +532,7 @@ object Dedup {
     * the score through the identical IEEE chain (t_quality hash-passes). */
   val dCanonicalSql: String =
     s"""WITH labels AS (SELECT * FROM ($dClusterSql) t),
-       |q AS (SELECT doc_id, ${TextAnalysis.duckQualityScore} AS qs FROM documents),
+       |q AS (SELECT doc_id, ${Portable.duckQualityScore} AS qs FROM documents),
        |j AS (SELECT l.doc_id, l.cluster_id, q.qs FROM labels l JOIN q USING (doc_id)),
        |mx AS (SELECT cluster_id, MAX(qs) AS mqs FROM j GROUP BY cluster_id),
        |best AS (

@@ -742,8 +742,77 @@ object Queries {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q_events_anomaly
+  /** Robust per-type anomaly flag — |value − median| > 3·MAD, the
+    * median-absolute-deviation rule monitoring pipelines prefer over
+    * z-scores (one spike inflates a stddev; it barely moves the MAD).
+    *
+    * Both statistics are EXACT nearest-rank order statistics (lower
+    * median: rank (n+1) div 2 over (value, event_id)); there is no
+    * mean/stddev float summation anywhere, so the result is independent
+    * of partitioning and aggregation order — the property that makes the
+    * oracle hash-exact where a naive avg/stddev_pop implementation would
+    * drift by summation order at any real parallelism.
+    *
+    * Scale shape: both ranks ride ONE hash partitioning by event_type
+    * (Catalyst plans a single Exchange; the second Window re-sorts
+    * within partitions, no second shuffle); the two per-type statistics
+    * tables are broadcast back. Rows shuffled carry (event_id, value) —
+    * 16 bytes. A hot event_type turns the rank into one partition's
+    * sort; the two-phase count-then-rank selection (t_length_percentiles)
+    * is the standing fix if that ever binds. */
+  def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val byType = Window.partitionBy(col("event_type"))
+    val med = e
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("rk", row_number().over(
+        byType.orderBy(col("value").asc, col("event_id").asc)))
+      .filter(col("rk").cast("long") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("value").as("med"))
+    val d = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = d
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("rk", row_number().over(
+        byType.orderBy(col("dev").asc, col("event_id").asc)))
+      .filter(col("rk").cast("long") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    d.join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"), col("dev"),
+        (col("dev") > col("mad") * 3).as("is_anomaly"))
+  }
+
+  val qEventsAnomalySql: String =
+    """WITH e AS (SELECT event_id, event_type, value FROM events),
+      |m AS (
+      |  SELECT event_type, value AS med FROM (
+      |    SELECT event_type, value,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type
+      |        ORDER BY value ASC, event_id ASC) AS rk,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM e) x
+      |  WHERE rk = (n + 1) // 2),
+      |d AS (
+      |  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS dev
+      |  FROM e JOIN m USING (event_type)),
+      |md AS (
+      |  SELECT event_type, dev AS mad FROM (
+      |    SELECT event_type, dev, event_id,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type
+      |        ORDER BY dev ASC, event_id ASC) AS rk,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM d) y
+      |  WHERE rk = (n + 1) // 2)
+      |SELECT d.event_id, d.event_type, d.value, d.dev,
+      |  d.dev > md.mad * 3 AS is_anomaly
+      |FROM d JOIN md USING (event_type)""".stripMargin
+
   /** name → (query builder, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q_events_anomaly" -> ((qEventsAnomaly _, Some(qEventsAnomalySql))),
     "q1_agg" -> ((q1Agg _, Some(q1AggSql))),
     "q6_filter" -> ((q6Filter _, Some(q6FilterSql))),
     "q3_topk" -> ((q3TopK _, Some(q3TopKSql))),

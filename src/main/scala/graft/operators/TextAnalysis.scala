@@ -16,7 +16,7 @@ import graft.functions.Portable
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private val stopwords = Portable.QualityStopwords
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
   /** Language marker profiles for the n-gram/marker-word heuristic
@@ -47,28 +47,10 @@ object TextAnalysis {
        |FROM documents""".stripMargin
 
   // ------------------------------------------------------------ t_quality
-  /** The composite quality score as a single expression over a `text`
-    * column — the same arithmetic [[tQuality]] emits, inlined so other
-    * operators (d_canonical's per-cluster representative pick) can order
-    * by it without materializing the full signal row. Both fragments run
-    * the identical IEEE double chain, so cross-engine ordering agrees
-    * exactly (t_quality is hash-exact against the oracle). */
-  private[operators] def sparkQualityScore: String = {
-    val toks = Portable.sparkTokens("text")
-    s"least(cast(size($toks) as double) / 100, 1.0) * 0.5" +
-      s" + (cast(size(filter($toks, t -> t IN (${sqlList(stopwords)}))) as double)" +
-      s" / size($toks)) * 0.3" +
-      " + (1.0 - cast(length(text) - length(regexp_replace(text, '[.,!?;:]', ''))" +
-      " as double) / length(text)) * 0.2"
-  }
-  private[operators] def duckQualityScore: String = {
-    val toks = Portable.duckTokens("text")
-    s"least(CAST(len($toks) AS DOUBLE) / 100, 1.0) * 0.5" +
-      s" + (CAST(len(list_filter($toks, t -> t IN (${sqlList(stopwords)}))) AS DOUBLE)" +
-      s" / len($toks)) * 0.3" +
-      " + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))" +
-      " AS DOUBLE) / length(text)) * 0.2"
-  }
+  /** The composite score lives in [[Portable]] (leaf module — breaks the
+    * TextAnalysis ↔ Dedup registry-init cycle); aliased for operators. */
+  private[operators] def sparkQualityScore: String = Portable.sparkQualityScore
+  private[operators] def duckQualityScore: String = Portable.duckQualityScore
 
   /** Quality signals: char/token counts, stopword ratio, punctuation
     * ratio, mean token length, and a composite score. All ratios are
@@ -912,7 +894,53 @@ object TextAnalysis {
        |FROM ranked JOIN targets ON ranked.lang = targets.lang
        |WHERE mix_rank <= lang_target""".stripMargin
 
+  // ------------------------------------------------------------ t_pipeline_e2e
+  /** The whole cleaning pipeline as ONE registered query — the
+    * composition a real corpus build runs: decontaminate (drop docs
+    * overlapping the held-out benchmark), near-dup canonicalization
+    * (keep each cluster's quality argmax, via [[Dedup.dCanonical]]),
+    * a quality floor, then per-language corpus stats. Registering the
+    * composition (not just the stages) proves the operators chain: each
+    * stage's output feeds the next inside a single Catalyst plan, and
+    * the oracle is the same composition of the stages' SQL.
+    *
+    * Scale shape: the stage outputs joined here are (doc_id)-keyed id
+    * lists — text stays in the final scan only; the two semi-join-shaped
+    * inner joins and the final groupBy(lang) are the only additional
+    * shuffles on top of the stages themselves. */
+  val PipelineQualityMin = 0.45
+  def tPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val toks = Portable.sparkTokens("text")
+    val clean = tDecontaminate(s, dir)
+      .filter(!col("contaminated")).select("doc_id")
+    val kept = Dedup.dCanonical(s, dir)
+      .filter(col("kept")).select("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(sparkQualityScore).as("qs"),
+        expr(s"size($toks)").cast("long").as("n_toks"))
+      .join(clean, "doc_id").join(kept, "doc_id")
+      .filter(col("qs") >= PipelineQualityMin)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+  }
+
+  val tPipelineE2eSql: String =
+    s"""WITH clean AS (
+       |  SELECT doc_id FROM (${tDecontaminateSql}) c WHERE NOT contaminated),
+       |kept AS (
+       |  SELECT doc_id FROM (${Dedup.dCanonicalSql}) k WHERE kept),
+       |scored AS (
+       |  SELECT doc_id, lang, ${duckQualityScore} AS qs,
+       |    CAST(len(${Portable.duckTokens("text")}) AS BIGINT) AS n_toks
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |FROM scored JOIN clean USING (doc_id) JOIN kept USING (doc_id)
+       |WHERE qs >= $PipelineQualityMin
+       |GROUP BY lang""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_pipeline_e2e" -> ((tPipelineE2e _, Some(tPipelineE2eSql))),
     "t_mix_domains" -> ((tMixDomains _, Some(tMixDomainsSql))),
     "t_perplexity" -> ((tPerplexity _, Some(tPerplexitySql))),
     "t_substring_dedup" -> ((tSubstringDedup _, Some(tSubstringDedupSql))),
