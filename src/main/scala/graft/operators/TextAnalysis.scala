@@ -939,7 +939,98 @@ object TextAnalysis {
        |WHERE qs >= $PipelineQualityMin
        |GROUP BY lang""".stripMargin
 
+  // ------------------------------------------------------------ t_bpe_train
+  /** BPE tokenizer training — the merge-table induction every modern LLM
+    * corpus build runs. The structure production trainers (and this
+    * operator) use for scale: ONE corpus-scale pass — the word-frequency
+    * count, a map-side-combined (word, count) shuffle — then every merge
+    * round runs over the word-TYPE table, whose size is the lexicon, not
+    * the corpus. Per round: count adjacent symbol pairs weighted by word
+    * frequency, take the argmax (count desc, pair asc — a total order,
+    * no RNG), and greedily merge that pair in every word type.
+    *
+    * Words are represented as 'sym|sym|…|' strings; pair merge is plain
+    * left-to-right non-overlapping string `replace` of 'L|R|' → 'LR|',
+    * whose scan-resume semantics are exactly BPE's greedy merge (the
+    * trailing '|' keeps adjacent matches from sharing a boundary char —
+    * a ' L R ' space-padded form would eat the next match's leading
+    * space). '|' cannot collide: the corpus is [a-z ] (asserted by the
+    * oracle's charset and this file's tokenizer).
+    *
+    * The per-round 1-row argmax is collected to the driver (R rows total
+    * — the same bounded-training-collect contract as s_ann_ivf_trained);
+    * each round's vocab is cut to a cached RDD leaf and the previous
+    * round dropped immediately (the d_cluster iteration discipline —
+    * without the cut, round k's plan re-derives rounds 1..k-1). */
+  val BpeMerges = 8
+  def tBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Portable.sparkTokens("text")
+    val init = Tables.documents(s, dir)
+      .select(explode(expr(toks)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(expr("concat(array_join(filter(split(w, ''), x -> x != ''), '|'), '|')")
+        .as("s"), col("f"))
+    var (handle, vocab) = Caching.reuseWithHandle(init)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (r <- 1 to BpeMerges) {
+      // sequence(1, 0) is DESCENDING in Spark — guard single-symbol words
+      val pairExpr = "case when size(sy) < 2 then array() " +
+        "else transform(sequence(1, size(sy) - 1), " +
+        "i -> concat(element_at(sy, i), '|', element_at(sy, i + 1))) end"
+      val best = vocab
+        .select(col("f"), expr("filter(split(s, '[|]'), x -> x != '')").as("sy"))
+        .select(col("f"), explode(expr(pairExpr)).as("pr"))
+        .groupBy("pr").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("pr").asc)
+        .limit(1).collect()
+      if (best.isEmpty)
+        throw new IllegalStateException(s"BPE round $r: no adjacent pairs left")
+      val pr = best(0).getString(0)
+      val cnt = best(0).getLong(1)
+      val Array(l, rr) = pr.split("[|]")
+      merges += ((r.toLong, l, rr, l + rr, cnt))
+      val (h2, v2) = Caching.reuseWithHandle(vocab.select(
+        expr(s"replace(s, '$pr|', '${l + rr}|')").as("s"), col("f")))
+      v2.count() // materialize from the old cache before dropping it
+      handle.unpersist(blocking = false)
+      handle = h2; vocab = v2
+    }
+    handle.unpersist(blocking = false)
+    merges.toSeq.toDF("merge_round", "lft", "rgt", "merged", "cnt")
+  }
+
+  val tBpeTrainSql: String = {
+    val base = Seq(
+      s"""wf AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest(${Portable.duckTokens("text")}) AS w FROM documents) t
+         |  GROUP BY w)""".stripMargin,
+      """w0 AS (
+        |  SELECT array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '|') || '|' AS s, f
+        |  FROM wf)""".stripMargin)
+    // DuckDB range(1, n) is empty for n <= 1 — no short-word guard needed
+    val rounds = (1 to BpeMerges).flatMap { r =>
+      Seq(
+        s"""p$r AS (
+           |  SELECT pr, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+           |    SELECT f, unnest(list_transform(range(1, len(sy)), i -> sy[i] || '|' || sy[i + 1])) AS pr
+           |    FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS sy, f FROM w${r - 1}) t) u
+           |  GROUP BY pr)""".stripMargin,
+        s"b$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr ASC LIMIT 1)",
+        s"""w$r AS (
+           |  SELECT replace(w.s, b.pr || '|', replace(b.pr, '|', '') || '|') AS s, w.f
+           |  FROM w${r - 1} w, b$r b)""".stripMargin)
+    }
+    val finals = (1 to BpeMerges).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, string_split(pr, '|')[1] AS lft,
+         |  string_split(pr, '|')[2] AS rgt, replace(pr, '|', '') AS merged, cnt FROM b$r""".stripMargin
+    }
+    "WITH " + (base ++ rounds).mkString(",\n") + "\n" + finals.mkString("\nUNION ALL\n")
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_bpe_train" -> ((tBpeTrain _, Some(tBpeTrainSql))),
     "t_pipeline_e2e" -> ((tPipelineE2e _, Some(tPipelineE2eSql))),
     "t_mix_domains" -> ((tMixDomains _, Some(tMixDomainsSql))),
     "t_perplexity" -> ((tPerplexity _, Some(tPerplexitySql))),

@@ -19,6 +19,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "d_ngram_jaccard",
       // corpus-total denominator: 1-row broadcast, like d_ngram_jaccard
       "t_perplexity",
+      // Σw mixture denominator: 1-row broadcast, like t_perplexity
+      "t_mix_domains",
       // centroid assignment: bounded broadcast side, like s_ann_ivf
       "d_semantic", "d_semantic_scale")
 
