@@ -963,14 +963,20 @@ object TextAnalysis {
     * round dropped immediately (the d_cluster iteration discipline —
     * without the cut, round k's plan re-derives rounds 1..k-1). */
   val BpeMerges = 8
-  def tBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+
+  /** The shared training loop: returns the merge table and the FINAL
+    * word-type vocab (w, s, f) still cached (caller either unpersists —
+    * tBpeTrain — or builds on it and leaves the blocks to die with the
+    * result per the [[Caching.reuse]] contract — tBpeEncode). */
+  private def trainBpe(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, String, Long)], org.apache.spark.rdd.RDD[_], DataFrame) = {
     val toks = Portable.sparkTokens("text")
     val init = Tables.documents(s, dir)
       .select(explode(expr(toks)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(expr("concat(array_join(filter(split(w, ''), x -> x != ''), '|'), '|')")
-        .as("s"), col("f"))
+      .select(col("w"),
+        expr("concat(array_join(filter(split(w, ''), x -> x != ''), '|'), '|')")
+          .as("s"), col("f"))
     var (handle, vocab) = Caching.reuseWithHandle(init)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     for (r <- 1 to BpeMerges) {
@@ -990,24 +996,32 @@ object TextAnalysis {
       val cnt = best(0).getLong(1)
       val Array(l, rr) = pr.split("[|]")
       merges += ((r.toLong, l, rr, l + rr, cnt))
-      val (h2, v2) = Caching.reuseWithHandle(vocab.select(
+      val (h2, v2) = Caching.reuseWithHandle(vocab.select(col("w"),
         expr(s"replace(s, '$pr|', '${l + rr}|')").as("s"), col("f")))
       v2.count() // materialize from the old cache before dropping it
       handle.unpersist(blocking = false)
       handle = h2; vocab = v2
     }
-    handle.unpersist(blocking = false)
-    merges.toSeq.toDF("merge_round", "lft", "rgt", "merged", "cnt")
+    (merges.toSeq, handle, vocab)
   }
 
-  val tBpeTrainSql: String = {
+  def tBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, handle, _) = trainBpe(s, dir)
+    handle.unpersist(blocking = false)
+    merges.toDF("merge_round", "lft", "rgt", "merged", "cnt")
+  }
+
+  /** The training rounds as nested CTEs (shared by the train and encode
+    * oracles): wf → w0 → (p_r, b_r, w_r)*, each w_r carrying the word. */
+  private def bpeCtes: String = {
     val base = Seq(
       s"""wf AS (
          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
          |  FROM (SELECT unnest(${Portable.duckTokens("text")}) AS w FROM documents) t
          |  GROUP BY w)""".stripMargin,
       """w0 AS (
-        |  SELECT array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '|') || '|' AS s, f
+        |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '|') || '|' AS s, f
         |  FROM wf)""".stripMargin)
     // DuckDB range(1, n) is empty for n <= 1 — no short-word guard needed
     val rounds = (1 to BpeMerges).flatMap { r =>
@@ -1019,18 +1033,56 @@ object TextAnalysis {
            |  GROUP BY pr)""".stripMargin,
         s"b$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr ASC LIMIT 1)",
         s"""w$r AS (
-           |  SELECT replace(w.s, b.pr || '|', replace(b.pr, '|', '') || '|') AS s, w.f
+           |  SELECT w.w, replace(w.s, b.pr || '|', replace(b.pr, '|', '') || '|') AS s, w.f
            |  FROM w${r - 1} w, b$r b)""".stripMargin)
     }
+    (base ++ rounds).mkString(",\n")
+  }
+
+  val tBpeTrainSql: String = {
     val finals = (1 to BpeMerges).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS merge_round, string_split(pr, '|')[1] AS lft,
          |  string_split(pr, '|')[2] AS rgt, replace(pr, '|', '') AS merged, cnt FROM b$r""".stripMargin
     }
-    "WITH " + (base ++ rounds).mkString(",\n") + "\n" + finals.mkString("\nUNION ALL\n")
+    "WITH " + bpeCtes + "\n" + finals.mkString("\nUNION ALL\n")
   }
+
+  // ------------------------------------------------------------ t_bpe_encode
+  /** Apply the learned merge table back to the corpus — the other half
+    * of the tokenizer loop, and the operator a pipeline actually runs at
+    * corpus scale. Emits per-document whitespace-token and BPE-token
+    * counts (the compression the merges bought).
+    *
+    * Scale shape: encoding is a JOIN against the word-type vocab (word →
+    * post-merge symbol count), not a re-walk of the merge rules per
+    * character: the corpus side explodes to (doc_id, word) — the same
+    * single shuffle as a word count — and the lexicon-sized vocab side
+    * broadcasts (or hash-joins past broadcast size). The training cost
+    * is shared with [[tBpeTrain]]; its cached vocab blocks die with this
+    * result (Caching.reuse contract). */
+  def tBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, vocab) = trainBpe(s, dir)
+    val wordLens = vocab.select(col("w"),
+      expr("cast(size(filter(split(s, '[|]'), x -> x != '')) as bigint)").as("n_sym"))
+    val toks = Portable.sparkTokens("text")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toks)).as("w"))
+      .join(wordLens, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens_ws"), sum("n_sym").as("n_tokens_bpe"))
+  }
+
+  val tBpeEncodeSql: String =
+    s"""WITH $bpeCtes
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
+       |  CAST(SUM(len(list_filter(string_split(v.s, '|'), x -> x <> ''))) AS BIGINT) AS n_tokens_bpe
+       |FROM (SELECT doc_id, unnest(${Portable.duckTokens("text")}) AS w FROM documents) d
+       |JOIN w$BpeMerges v USING (w)
+       |GROUP BY doc_id""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "t_bpe_train" -> ((tBpeTrain _, Some(tBpeTrainSql))),
+    "t_bpe_encode" -> ((tBpeEncode _, Some(tBpeEncodeSql))),
     "t_pipeline_e2e" -> ((tPipelineE2e _, Some(tPipelineE2eSql))),
     "t_mix_domains" -> ((tMixDomains _, Some(tMixDomainsSql))),
     "t_perplexity" -> ((tPerplexity _, Some(tPerplexitySql))),
