@@ -18,7 +18,8 @@ class CacheDisciplineSpec extends AnyFunSuite {
   private val cacheUsers = Seq(
     "d_ngram_jaccard", "d_minhash_lsh", "d_simhash_pairs", "d_cluster",
     "d_canonical", "d_semantic", "d_semantic_scale", "t_pack", "t_top_terms",
-    "t_perplexity", "t_pipeline_e2e", "t_bpe_train", "t_bpe_encode")
+    "t_perplexity", "t_pipeline_e2e", "t_bpe_train", "t_bpe_encode",
+    "m_phash_dedup")
 
   test("cache-using operators leave the CacheManager empty after materializing") {
     for (name <- cacheUsers) {
