@@ -45,7 +45,9 @@ object ScaleProbe {
       "t_line_dedup", "s_ann_ivf_probe", "t_substring_dedup",
       "t_decontaminate", "t_top_terms", "t_pii_scrub",
       "t_perplexity", "q_events_funnel", "q_events_retention",
-      "d_canonical", "t_mix_domains", "s_centroid_outliers", "p_funnel")
+      "d_canonical", "t_mix_domains", "s_centroid_outliers", "p_funnel",
+      "q_events_anomaly", "t_pipeline_e2e", "t_bpe_train", "t_bpe_encode",
+      "m_phash_dedup")
     // optional second arg: comma-separated probe subset
     val probes = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(allProbes).filter(allProbes.contains)
