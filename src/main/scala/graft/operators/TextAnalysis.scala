@@ -88,6 +88,54 @@ object TextAnalysis {
        |FROM q""".stripMargin
   }
 
+  // ------------------------------------------------------------ t_quality_model
+  /** Classifier-based quality filtering — the fastText-style linear model
+    * pass (GPT-3 / LLaMA-style "quality classifier") that follows the
+    * heuristic [[tQuality]] score in a real pretraining pipeline: each
+    * token hashes to a feature bucket whose weight is summed into a
+    * per-document score, and `keep` is the sign of the mean weight.
+    *
+    * Weights here are DERIVED from the portable 48-bit hash
+    * (w(t) = H(t) mod 2001 − 1000 ∈ [−1000, 1000]) — a deterministic,
+    * oracle-reproducible stand-in for learned weights. A deployment
+    * swaps in a broadcast weight array indexed by `xxhash64(t) % buckets`
+    * (the true fastText layout); the topology is IDENTICAL — only the
+    * weight lookup changes, and nothing about the plan does.
+    *
+    * Scale shape: scoring is ONE codegen'd per-row projection — the
+    * token → weight → sum fold runs inside a higher-order `aggregate`
+    * with ZERO shuffles, no UDF, no state; the single double division
+    * happens once at the end (both engines' IEEE division agrees, so
+    * the oracle is hash-exact). Classifier filtering at 100 TB should
+    * be exactly this: scan-bound and embarrassingly parallel. The md5
+    * in the weight derivation is the oracle-portability tax; the
+    * xxhash64 production form removes it without touching the plan. */
+  def tQualityModel(s: SparkSession, dir: String): DataFrame = {
+    val toks = Portable.sparkTokens("lower(text)")
+    val w = s"${Portable.sparkHash("t", "qmw")} % 2001 - 1000"
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr(s"cast(size($toks) as bigint)").as("n_toks"),
+      expr(s"aggregate(transform($toks, t -> $w), cast(0 as bigint), (a, x) -> a + x)")
+        .as("score_int"))
+      .withColumn("score", col("score_int").cast("double") / col("n_toks"))
+      .withColumn("keep", col("score") > lit(0.0))
+  }
+
+  val tQualityModelSql: String = {
+    val toks = Portable.duckTokens("lower(text)")
+    val w = s"${Portable.duckHash("t", "qmw")} % 2001 - 1000"
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_toks,
+       |    CAST(list_sum(list_transform($toks, t -> $w)) AS BIGINT) AS score_int
+       |  FROM documents)
+       |SELECT doc_id, n_toks, score_int,
+       |  CAST(score_int AS DOUBLE) / n_toks AS score,
+       |  CAST(score_int AS DOUBLE) / n_toks > 0.0 AS keep
+       |FROM q""".stripMargin
+  }
+
   // ------------------------------------------------------------ t_langid
   /** Marker-word language ID with deterministic argmax. Emits predicted
     * language + the labeled lang column for downstream agreement checks. */
@@ -1096,6 +1144,7 @@ object TextAnalysis {
     "t_repetition" -> ((tRepetition _, Some(tRepetitionSql))),
     "t_token_count" -> ((tTokenCount _, Some(tTokenCountSql))),
     "t_quality" -> ((tQuality _, Some(tQualitySql))),
+    "t_quality_model" -> ((tQualityModel _, Some(tQualityModelSql))),
     "t_langid" -> ((tLangid _, Some(tLangidSql))),
     "t_fingerprint" -> ((tFingerprint _, Some(tFingerprintSql))),
     "t_clean_corpus" -> ((tCleanCorpus _, Some(tCleanCorpusSql))),

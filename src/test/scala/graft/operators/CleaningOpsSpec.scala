@@ -74,6 +74,30 @@ class CleaningOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("t_quality_model score is the exact hash-weight sum (JVM differential)") {
+    val out = TextAnalysis.tQualityModel(spark, dir).cache()
+    try {
+      // recompute a sample of documents token-by-token on the JVM with
+      // the same portable hash — the engine's HOF fold must agree exactly
+      val docs = graft.Tables.documents(spark, dir)
+        .select("doc_id", "text").limit(20).collect()
+      val expected = docs.map { r =>
+        val toks = r.getString(1).toLowerCase.split(" ", -1)
+        r.getLong(0) -> toks.map(t =>
+          graft.functions.Portable.jvmHash(t, "qmw") % 2001 - 1000).sum
+      }.toMap
+      val got = out.filter(col("doc_id").isin(expected.keys.toSeq: _*))
+        .select("doc_id", "score_int", "n_toks", "keep", "score").collect()
+      assert(got.length === expected.size)
+      got.foreach { r =>
+        assert(r.getLong(1) === expected(r.getLong(0)),
+          s"doc ${r.getLong(0)}: engine fold must equal JVM sum")
+        assert(r.getBoolean(3) === (r.getDouble(4) > 0.0))
+        assert(r.getLong(2) > 0L)
+      }
+    } finally out.unpersist()
+  }
+
   test("p_funnel depths are monotone counts bounded by the step list") {
     val out = graft.operators.PipelineQueries.pFunnel(spark, dir).cache()
     try {
