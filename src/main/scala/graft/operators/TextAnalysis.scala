@@ -524,6 +524,60 @@ object TextAnalysis {
        |SELECT doc_id, start_tok, start_tok // $PackBudget AS bin, n_toks
        |FROM cum""".stripMargin
 
+  // ------------------------------------------------------------ t_seq_pack
+  /** The packing INDEX a trainer actually loads: for every fixed-length
+    * training sequence ([[PackBudget]] tokens), which document slices
+    * compose it — (seq_id, doc_id, pos_begin in the sequence, doc_off
+    * into the document, slice len). Docs crossing a boundary appear once
+    * per sequence they touch; concatenating each seq_id's slices in
+    * pos_begin order reproduces the exact token stream [[tPack]] laid
+    * out. This is the attention-reset / sample-lookup table every packed
+    * pretraining loader materializes next to the shards.
+    *
+    * Scale shape: [[tPack]]'s single range-partition shuffle plus a
+    * narrow `sequence` + `posexplode` expansion — fan-out per doc is
+    * 1 + n_toks/PackBudget (≈1), and each output row is five longs. No
+    * additional exchange, no sort by seq_id (consumers range-read the
+    * index by seq_id from the sharded store; a final repartitionByRange
+    * on seq_id is one line where locality matters). */
+  def tSeqPack(s: SparkSession, dir: String): DataFrame = {
+    val L = PackBudget
+    tPack(s, dir)
+      .withColumn("seq_from", expr(s"start_tok div $L"))
+      .withColumn("seq_to", expr(s"(start_tok + n_toks - 1) div $L"))
+      .withColumn("seq_id", explode(expr("sequence(seq_from, seq_to)")))
+      .select(
+        col("seq_id"), col("doc_id"),
+        expr(s"greatest(start_tok, seq_id * $L) - seq_id * $L").as("pos_begin"),
+        expr(s"greatest(start_tok, seq_id * $L) - start_tok").as("doc_off"),
+        expr(s"least(start_tok + n_toks, (seq_id + 1) * $L)" +
+          s" - greatest(start_tok, seq_id * $L)").as("len"))
+  }
+
+  val tSeqPackSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(${Portable.duckTokens("text")}) AS BIGINT) AS n_toks,
+       |    ${Portable.duckHash("cast(doc_id as varchar)", "pack")} AS key
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, n_toks,
+       |    CAST(SUM(n_toks) OVER (ORDER BY key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+       |      AS BIGINT) AS start_tok
+       |  FROM base),
+       |spans AS (
+       |  SELECT doc_id, start_tok, n_toks,
+       |    CAST(unnest(generate_series(start_tok // $PackBudget,
+       |      (start_tok + n_toks - 1) // $PackBudget)) AS BIGINT) AS seq_id
+       |  FROM cum)
+       |SELECT seq_id, doc_id,
+       |  greatest(start_tok, seq_id * $PackBudget) - seq_id * $PackBudget AS pos_begin,
+       |  greatest(start_tok, seq_id * $PackBudget) - start_tok AS doc_off,
+       |  least(start_tok + n_toks, (seq_id + 1) * $PackBudget)
+       |    - greatest(start_tok, seq_id * $PackBudget) AS len
+       |FROM spans""".stripMargin
+
   // ------------------------------------------------------------ t_line_dedup
   /** Line-level exact deduplication — the CCNet/C4 boilerplate-removal
     * pass (VERDICT r4 #5): segment every document into lines, drop each
@@ -1140,6 +1194,7 @@ object TextAnalysis {
     "t_decontaminate" -> ((tDecontaminate _, Some(tDecontaminateSql))),
     "t_line_dedup" -> ((tLineDedup _, Some(tLineDedupSql))),
     "t_pack" -> ((tPack _, Some(tPackSql))),
+    "t_seq_pack" -> ((tSeqPack _, Some(tSeqPackSql))),
     "t_length_percentiles" -> ((tLengthPercentiles _, Some(tLengthPercentilesSql))),
     "t_repetition" -> ((tRepetition _, Some(tRepetitionSql))),
     "t_token_count" -> ((tTokenCount _, Some(tTokenCountSql))),

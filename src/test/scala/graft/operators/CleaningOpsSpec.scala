@@ -98,6 +98,36 @@ class CleaningOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("t_seq_pack slices tile every sequence exactly and cover every doc") {
+    val out = TextAnalysis.tSeqPack(spark, dir).cache()
+    try {
+      val L = TextAnalysis.PackBudget
+      val lastSeq = out.agg(max("seq_id")).head.getLong(0)
+      // every sequence but the last is filled to exactly L tokens with
+      // slices that tile [0, L): positions are contiguous and non-overlapping
+      val perSeq = out.groupBy("seq_id").agg(
+        sum("len").as("filled"), min("pos_begin").as("first"),
+        max(col("pos_begin") + col("len")).as("end"))
+      val badFull = perSeq.filter(col("seq_id") < lastSeq &&
+        (col("filled") =!= L || col("first") =!= 0L || col("end") =!= L))
+      assert(badFull.count() === 0, "interior sequences must be exactly full")
+      // per doc: slices are contiguous in doc_off and sum to the doc's tokens
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), expr(
+          s"cast(size(${graft.functions.Portable.sparkTokens("text")}) as bigint)")
+          .as("n_toks"))
+      val perDoc = out.groupBy("doc_id").agg(
+        sum("len").as("covered"), min("doc_off").as("off0"))
+      val badDoc = perDoc.join(docs, "doc_id")
+        .filter(col("covered") =!= col("n_toks") || col("off0") =!= 0L)
+      assert(badDoc.count() === 0, "doc slices must cover each doc exactly once")
+      // overlap-freedom inside a sequence: count of slices == count of
+      // distinct pos_begin and tiling implies no two slices share a position
+      val dup = out.groupBy("seq_id", "pos_begin").count().filter(col("count") > 1)
+      assert(dup.count() === 0, "two slices must not start at the same position")
+    } finally out.unpersist()
+  }
+
   test("p_funnel depths are monotone counts bounded by the step list") {
     val out = graft.operators.PipelineQueries.pFunnel(spark, dir).cache()
     try {
