@@ -42,4 +42,20 @@ class KnnGraphSpec extends AnyFunSuite {
       assert(unpaired.count() === 0, "every mutual edge needs its reverse")
     } finally out.unpersist()
   }
+
+  test("s_quantize: codes bounded by ±127, error within the half-step bound") {
+    val out = Similarity.sQuantize(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      val badCode = out.filter(expr(
+        "exists(q, c -> c > 127 or c < -127)"))
+      assert(badCode.count() === 0, "int8 code range")
+      // round-half-up error is at most half a quantization step
+      val badErr = out.filter(col("max_abs_err") > col("qscale") / 254.0 + 1e-12)
+      assert(badErr.count() === 0, "reconstruction error must be <= step/2")
+      // the max-magnitude dimension always quantizes to ±127 exactly
+      val badScale = out.filter(expr("not exists(q, c -> abs(c) = 127)"))
+      assert(badScale.count() === 0, "scale dim must hit full range")
+    } finally out.unpersist()
+  }
 }
