@@ -267,7 +267,7 @@ object Dedup {
     agg.select(col("doc_id"), expr(sig).as("simhash"))
   }
 
-  private def duckSimhashCtes: String = {
+  private[operators] def duckSimhashCtes: String = {
     val bitSums = (0 until SimBits).map { b =>
       val (src, off) = if (b < 48) ("h1", b) else ("h2", b - 48)
       s"SUM((($src >> $off) & 1) * 2 - 1) AS s$b"

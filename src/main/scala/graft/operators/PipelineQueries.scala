@@ -343,6 +343,35 @@ object PipelineQueries {
        |FROM documents GROUP BY 2""".stripMargin
   }
 
+  // ---------------------------------------------------------- p_neardup
+  /** The NEAR-dup dedup stage ([[Pipeline.nearDedupBy]]) batch-replayed
+    * over the corpus: fingerprint = the 60-bit JVM [[graft.functions.SimHash]]
+    * signature (bit-identical to the SQL d_simhash — the differential is
+    * pinned by SimHashConsistencySpec AND by this oracle, which derives
+    * the signature independently in DuckDB). First doc per signature in
+    * event-time (= doc_id) order survives; its signature rides along so
+    * the oracle can verify the collapse, not just the survivor set. */
+  def pNearDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    implicit val strEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val sigEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)](strEnc)
+    Graft.source("neardup", DatasetSource(docs, (d: (Long, String)) => d._1))
+      .nearDedupBy(_._2)
+      .dataset
+      .select(col("_1._1").as("doc_id"), col("_1._2").as("text"))
+      .as[(Long, String)](strEnc)
+      .map { case (id, t) => (id, graft.functions.SimHash.signature(t)) }(sigEnc)
+      .toDF("doc_id", "simhash")
+  }
+
+  val pNearDedupSql: String =
+    s"""WITH ${Dedup.duckSimhashCtes}
+       |SELECT MIN(doc_id) AS doc_id, simhash FROM sig GROUP BY simhash""".stripMargin
+
   // ---------------------------------------------------------- p_funnel
   /** The funnel as the reference's signature pattern — a per-key sequence
     * detector (StateComputation, computations.pony:48-109): per user, an
@@ -419,6 +448,7 @@ object PipelineQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p_dedup" -> ((pDedup _, Some(pDedupSql))),
     "p_funnel" -> ((pFunnel _, Some(pFunnelSql))),
+    "p_neardup" -> ((pNearDedup _, Some(pNearDedupSql))),
     "p_wordcount" -> ((pWordcount _, Some(pWordcountSql))),
     "p_alphabet" -> ((pAlphabet _, Some(pAlphabetSql))),
     "p_countwin" -> ((pCountwin _, Some(pCountwinSql))),

@@ -371,6 +371,27 @@ final class Pipeline[T] private[pipeline] (
     }
   }
 
+  // ------------------------------------------------------------ near-dedup
+  /** NEAR-duplicate dedup as a streaming stage: the fingerprint is the
+    * 60-bit [[graft.functions.SimHash]] signature of `text(t)`, which
+    * collapses near-identical documents (repeated words, small
+    * boilerplate diffs — anything that preserves the distinct-token
+    * majority vote) onto the same exact key. That reduction is what
+    * makes near-dup dedup possible on an unbounded stream: the state
+    * store only ever sees exact 8-byte keys (~16 bytes per distinct
+    * signature), while LSH-banded candidate *pairing* (the batch
+    * d_simhash_pairs) is unbounded-join-shaped and has no streaming
+    * form. Batch replay = first occurrence per signature in event-time
+    * order, same as [[dedupBy]]. */
+  def nearDedupBy(text: T => String): Pipeline[T] =
+    dedupBy(t => java.lang.Long.toHexString(graft.functions.SimHash.signature(text(t))))
+
+  /** [[nearDedupBy]] with watermark-bounded state ([[dedupByWithin]]):
+    * a near-dup arriving after its signature's horizon re-emits — the
+    * documented trade that keeps state finite at 100 TB. */
+  def nearDedupByWithin(text: T => String, withinNs: Long): Pipeline[T] =
+    dedupByWithin(t => java.lang.Long.toHexString(graft.functions.SimHash.signature(text(t))), withinNs)
+
   // ------------------------------------------------------------ merge/sink
   /** Union with another pipeline of the same element type
     * (application.pony:118-147). The reference's `Pipeline[(A|B)]` type
