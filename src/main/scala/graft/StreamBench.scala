@@ -223,6 +223,43 @@ object StreamBench {
       }
     }
 
+    // Near-dup dedup throughput: a TEXT-bearing stream (documents ×200 —
+    // every replica is an exact dup, plus the corpus's own near-dups),
+    // fingerprinted per row with the fast XXH64 SimHash (same vote
+    // topology as the oracle'd portable form; the md5 detour is the
+    // oracle tax the production path doesn't pay) into dropDuplicates
+    // state. Prices the full streaming near-dedup stage: signature
+    // computation + the row shuffle to the state partition + one 8-byte
+    // key per distinct signature in the store.
+    val docStaged = Files.createTempDirectory("graft_stream_docs").toString
+    val docReps = 200L
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .crossJoin(spark.range(docReps).select(col("id")))
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") * docReps + col("id")).as("ts_ns"))
+      .repartition(32).write.mode("overwrite").parquet(docStaged)
+    val nDocRows = spark.read.parquet(docStaged).count().toDouble
+    implicit val docEnc: Encoder[(Long, String, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    def neardupTrial(): (Double, Double, (Long, Long), (Long, Long, Long)) = {
+      val t0 = System.nanoTime()
+      val handle = Graft.source("bench-neardup", ParquetReplaySource[(Long, String, Long)](
+          docStaged,
+          (r: Row) => (r.getLong(0), r.getString(1), r.getLong(2)),
+          (r: Row) => r.getLong(2),
+          maxFilesPerTrigger = 8))
+        .dedupBy(p => java.lang.Long.toHexString(
+          graft.functions.SimHash.fastSignature(p._2)))
+        .toSink(EmptySink[(Long, String, Long)](),
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      handle.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // sustainedOf's fallback rate is nRows/fallbackSec (the events
+      // stream); rescale so the fallback for THIS stream is nDocRows/sec
+      val (sustained, latency) = sustainedOf(handle.query, nRows * sec / nDocRows)
+      (sec, sustained, latency, stateOf(handle.query))
+    }
+
     // Back-to-back repeated trials in one JVM with median reporting:
     // page-cache warmth and neighbor processes dominate single-shot
     // numbers (VERDICT r3 #7), so each row is the componentwise MEDIAN
@@ -277,7 +314,8 @@ object StreamBench {
       },
       bench("stream_statecomp", baseProvider)(() => trial("stream_statecomp")(statecomp)),
       bench("stream_sliding", baseProvider)(() => trial("stream_sliding")(sliding)),
-      bench("stream_two_stage", baseProvider)(() => twoStageTrial()))
+      bench("stream_two_stage", baseProvider)(() => twoStageTrial()),
+      bench("stream_neardup", baseProvider)(() => neardupTrial()))
 
     // The same stateful pipelines on the transformWithState host —
     // reported side by side so the per-round JSON carries both hosts'
@@ -308,6 +346,7 @@ object StreamBench {
     val results = base ++ twsRows
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     deleteRecursively(new java.io.File(staged))
+    deleteRecursively(new java.io.File(docStaged))
     (results.map(r => (r._1, r._2)), results.map(r => (r._1, r._3)),
       results.map(r => (r._1, r._4)), results.map(r => (r._1, r._5)),
       results.map(r => (r._1, r._6)))

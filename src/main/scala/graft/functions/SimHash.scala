@@ -18,13 +18,33 @@ object SimHash {
 
   val Bits = 60
 
-  def signature(text: String): Long = {
+  def signature(text: String): Long =
+    sigOver(text) { t => (Portable.jvmHash(t, "sim"), Portable.jvmHash(t, "sim2")) }
+
+  /** Production-speed signature: identical vote topology, but the two
+    * per-token hashes come from XXH64 (the engine's codegen hash family)
+    * instead of the md5-derived portable hash — ~2 orders of magnitude
+    * cheaper per token. Same collapse behavior, but no cross-engine
+    * oracle: use [[signature]] where DuckDB must agree (registry
+    * entries), this form on hot streaming paths (StreamBench's
+    * stream_neardup row prices it). */
+  def fastSignature(text: String): Long = {
+    import org.apache.spark.unsafe.Platform
+    sigOver(text) { t =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (org.apache.spark.sql.catalyst.expressions.XXH64
+         .hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 0x517cc1b727220a95L),
+       org.apache.spark.sql.catalyst.expressions.XXH64
+         .hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 0x9e3779b97f4a7c15L))
+    }
+  }
+
+  private def sigOver(text: String)(hash2: String => (Long, Long)): Long = {
     val votes = new Array[Int](Bits)
     val seen = new java.util.HashSet[String]()
     text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { t =>
       if (seen.add(t)) {
-        val h1 = Portable.jvmHash(t, "sim")
-        val h2 = Portable.jvmHash(t, "sim2")
+        val (h1, h2) = hash2(t)
         var b = 0
         while (b < Bits) {
           val src = if (b < 48) h1 else h2
