@@ -939,6 +939,96 @@ object TextAnalysis {
        |  CAST(total_bits AS DOUBLE) / n_tokens AS bits_per_token
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------------------ t_ngram_lm
+  /** Bigram-LM quality score — the strictly stronger form of
+    * [[tPerplexity]]'s unigram pass (a KenLM-style n-gram scorer is what
+    * CCNet actually ships): each document is charged the quantized
+    * conditional surprise of every bigram occurrence,
+    * bits(w2|w1) = ⌊log2 C(w1)⌋ − ⌊log2 C(w1,w2)⌋ (computed exactly as
+    * `length(bin(·))` in both engines), plus the unigram surprise of the
+    * first token against the corpus total. All integer arithmetic —
+    * order- and parallelism-independent — with ONE double division at
+    * the end, same discipline as t_perplexity.
+    *
+    * Scale shape: per-doc bigram tf rides map-side combine (the shuffle
+    * carries DISTINCT bigrams per doc); the corpus bigram table is NOT
+    * broadcast — it is Zipf-sparse but unbounded, so the score join
+    * shuffles on the (w1, w2) key where both sides are already
+    * pre-aggregated. The unigram table and the 1-row total ARE broadcast
+    * (vocabulary-bounded — the same bound a served KenLM relies on).
+    * Single-token docs have no bigrams: left join, zero fill. */
+  def tNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(Portable.sparkTokens("text")).as("t"))
+    val occ = base.select(col("doc_id"), col("t"),
+        explode(expr("case when size(t) < 2 then array() " +
+          "else sequence(1, size(t) - 1) end")).as("i"))
+      .select(col("doc_id"),
+        expr("element_at(t, i)").as("w1"), expr("element_at(t, i + 1)").as("w2"))
+    val tf2 = Caching.reuse(
+      occ.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf2")))
+    val corpus2 = tf2.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf2")).cast("long").as("cnt2"))
+    val corpus1 = base
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt1"))
+    val totals = corpus1.agg(sum(col("cnt1")).cast("long").as("n_total"))
+    val bits2 = tf2
+      .join(corpus2, Seq("w1", "w2"))
+      .join(broadcast(corpus1.select(col("w").as("w1"), col("cnt1"))), "w1")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(expr("tf2 * (length(bin(cnt1)) - length(bin(cnt2)))")).cast("long")
+          .as("bigram_bits"),
+        sum(col("tf2")).cast("long").as("n_bigrams"))
+    base.select(col("doc_id"), expr("element_at(t, 1)").as("w"))
+      .join(broadcast(corpus1), "w")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        expr("cast(length(bin(n_total)) - length(bin(cnt1)) as bigint)").as("first_bits"))
+      .join(bits2, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("first_bits + coalesce(bigram_bits, 0)").as("total_bits"),
+        expr("1 + coalesce(n_bigrams, 0)").as("n_scored"))
+      .withColumn("bits_per_token", expr("cast(total_bits as double) / n_scored"))
+  }
+
+  val tNgramLmSql: String = {
+    val toks = Portable.duckTokens("text")
+    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM base)),
+       |tf2 AS (
+       |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf2
+       |  FROM occ GROUP BY doc_id, w1, w2),
+       |corpus2 AS (SELECT w1, w2, CAST(SUM(tf2) AS BIGINT) AS cnt2
+       |  FROM tf2 GROUP BY w1, w2),
+       |corpus1 AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt1
+       |  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w),
+       |tot AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS n_total FROM corpus1),
+       |bits2 AS (
+       |  SELECT tf2.doc_id,
+       |    CAST(SUM(tf2.tf2 * (length(bin(c1.cnt1)) - length(bin(corpus2.cnt2)))) AS BIGINT)
+       |      AS bigram_bits,
+       |    CAST(SUM(tf2.tf2) AS BIGINT) AS n_bigrams
+       |  FROM tf2
+       |  JOIN corpus2 USING (w1, w2)
+       |  JOIN corpus1 c1 ON c1.w = tf2.w1
+       |  GROUP BY tf2.doc_id),
+       |first_tok AS (
+       |  SELECT base.doc_id,
+       |    CAST(length(bin(tot.n_total)) - length(bin(c1.cnt1)) AS BIGINT) AS first_bits
+       |  FROM base JOIN corpus1 c1 ON c1.w = base.t[1] CROSS JOIN tot)
+       |SELECT f.doc_id,
+       |  f.first_bits + COALESCE(b.bigram_bits, 0) AS total_bits,
+       |  1 + COALESCE(b.n_bigrams, 0) AS n_scored,
+       |  CAST(f.first_bits + COALESCE(b.bigram_bits, 0) AS DOUBLE)
+       |    / (1 + COALESCE(b.n_bigrams, 0)) AS bits_per_token
+       |FROM first_tok f LEFT JOIN bits2 b USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------------------ t_mix_domains
   /** Temperature-scaled domain mixture (the mT5/XLM-R sampling rule,
     * α = 0.5): target count per language ∝ count^α, so low-resource
@@ -1188,6 +1278,7 @@ object TextAnalysis {
     "t_pipeline_e2e" -> ((tPipelineE2e _, Some(tPipelineE2eSql))),
     "t_mix_domains" -> ((tMixDomains _, Some(tMixDomainsSql))),
     "t_perplexity" -> ((tPerplexity _, Some(tPerplexitySql))),
+    "t_ngram_lm" -> ((tNgramLm _, Some(tNgramLmSql))),
     "t_substring_dedup" -> ((tSubstringDedup _, Some(tSubstringDedupSql))),
     "t_top_terms" -> ((tTopTerms _, Some(tTopTermsSql))),
     "t_pii_scrub" -> ((tPiiScrub _, Some(tPiiScrubSql))),

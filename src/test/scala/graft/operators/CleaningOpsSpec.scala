@@ -128,6 +128,22 @@ class CleaningOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("t_ngram_lm scores every token exactly once with non-negative bits") {
+    val out = TextAnalysis.tNgramLm(spark, dir).cache()
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), expr(
+          s"cast(size(${graft.functions.Portable.sparkTokens("text")}) as bigint)")
+          .as("n_toks"))
+      // first token + one bigram per adjacent pair = exactly n_toks events
+      val bad = out.join(docs, "doc_id").filter(col("n_scored") =!= col("n_toks"))
+      assert(bad.count() === 0, "every token must be scored exactly once")
+      assert(out.filter(col("total_bits") < 0).count() === 0,
+        "conditional counts can never exceed their context count")
+      assert(out.count() === docs.count(), "every doc must be scored")
+    } finally out.unpersist()
+  }
+
   test("p_funnel depths are monotone counts bounded by the step list") {
     val out = graft.operators.PipelineQueries.pFunnel(spark, dir).cache()
     try {
