@@ -22,4 +22,23 @@ class SimHashConsistencySpec extends AnyFunSuite {
         s"doc ${r.getLong(0)}: JVM twin diverged from SQL simhash")
     }
   }
+
+  test("signature is invariant under token reorder and repetition (both hash forms)") {
+    // the distinct-token majority vote must not see order or multiplicity
+    // — the property that lets the streaming stage collapse near-dups
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    (1 to 50).foreach { _ =>
+      val toks = Vector.fill(5 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      val doc = toks.mkString(" ")
+      val shuffled = rnd.shuffle(toks).mkString(" ")
+      val repeated = (toks ++ Vector.fill(5)(toks(rnd.nextInt(toks.size)))).mkString(" ")
+      for (sig <- Seq(graft.functions.SimHash.signature _,
+                      graft.functions.SimHash.fastSignature _)) {
+        assert(sig(doc) === sig(shuffled), s"order must not matter: $doc")
+        assert(sig(doc) === sig(repeated), s"multiplicity must not matter: $doc")
+      }
+    }
+  }
 }
