@@ -21,6 +21,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "t_perplexity",
       // Σw mixture denominator: 1-row broadcast, like t_perplexity
       "t_mix_domains",
+      // corpus-total denominator for the first-token surprise: 1-row
+      // broadcast, like t_perplexity
+      "t_ngram_lm",
       // centroid assignment: bounded broadcast side, like s_ann_ivf
       "d_semantic", "d_semantic_scale")
 
