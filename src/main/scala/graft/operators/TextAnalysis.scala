@@ -1029,6 +1029,87 @@ object TextAnalysis {
        |FROM first_tok f LEFT JOIN bits2 b USING (doc_id)""".stripMargin
   }
 
+  // ------------------------------------------------------------ t_dataset_card
+  /** The "dataset card" summary table a corpus release ships: one
+    * (metric, value) row per headline statistic — doc/token counts,
+    * language/source cardinalities, exact-dup rate, mean and exact
+    * nearest-rank p50/p90 document lengths. One registered query so the
+    * whole card is reproducible (and oracle-checked) as a unit.
+    *
+    * Scale shape: one corpus scan feeds a single multi-distinct
+    * aggregate (Catalyst's Expand — linear, one shuffle) plus a
+    * count-by-length collapse for the percentiles (the cumulative
+    * window runs over DISTINCT lengths, never rows — the
+    * t_length_percentiles trick). The only "joins" are 1-row broadcast
+    * denominators. At extreme scale the exact COUNT(DISTINCT fp) can be
+    * swapped for the KMV sketch (q_sketch_distinct) without changing
+    * the card's shape. */
+  def tDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Portable.sparkTokens("text")
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    val base = Tables.documents(s, dir).select(
+      col("lang"), col("source"),
+      expr(s"cast(size($toks) as bigint)").as("n"),
+      expr(s"md5($norm)").as("fp"))
+    val agg = base.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("n")).cast("long").as("n_tokens"),
+      countDistinct(col("lang")).cast("long").as("n_langs"),
+      countDistinct(col("source")).cast("long").as("n_sources"),
+      countDistinct(col("fp")).cast("long").as("n_distinct"))
+    val metrics = agg.selectExpr(
+      """stack(6,
+        |  'n_docs', cast(n_docs as double),
+        |  'n_tokens', cast(n_tokens as double),
+        |  'n_langs', cast(n_langs as double),
+        |  'n_sources', cast(n_sources as double),
+        |  'dup_rate', 1.0 - cast(n_distinct as double) / n_docs,
+        |  'mean_doc_tokens', cast(n_tokens as double) / n_docs
+        |) as (metric, value)""".stripMargin)
+    val cum = Caching.reuse(base.groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("n").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(agg.select(col("n_docs")))))
+    def pct(name: String, rankExpr: String) =
+      cum.filter(col("cum") >= expr(rankExpr))
+        .agg(min(col("n")).cast("double").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    metrics
+      .union(pct("p50_doc_tokens", "(n_docs + 1) div 2"))
+      .union(pct("p90_doc_tokens", "(9 * n_docs + 9) div 10"))
+  }
+
+  val tDatasetCardSql: String = {
+    val toks = Portable.duckTokens("text")
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    s"""WITH base AS (
+       |  SELECT lang, source, CAST(len($toks) AS BIGINT) AS n, md5($norm) AS fp
+       |  FROM documents),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct
+       |  FROM base),
+       |cum AS (
+       |  SELECT n, SUM(c) OVER (ORDER BY n
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (SELECT n, COUNT(*) AS c FROM base GROUP BY n))
+       |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+       |UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM agg
+       |UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
+       |UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM agg
+       |UNION ALL SELECT 'dup_rate', 1.0 - CAST(n_distinct AS DOUBLE) / n_docs FROM agg
+       |UNION ALL SELECT 'mean_doc_tokens', CAST(n_tokens AS DOUBLE) / n_docs FROM agg
+       |UNION ALL SELECT 'p50_doc_tokens', CAST(MIN(n) AS DOUBLE)
+       |  FROM cum CROSS JOIN agg WHERE cum >= (n_docs + 1) // 2
+       |UNION ALL SELECT 'p90_doc_tokens', CAST(MIN(n) AS DOUBLE)
+       |  FROM cum CROSS JOIN agg WHERE cum >= (9 * n_docs + 9) // 10""".stripMargin
+  }
+
   // ------------------------------------------------------------ t_mix_domains
   /** Temperature-scaled domain mixture (the mT5/XLM-R sampling rule,
     * α = 0.5): target count per language ∝ count^α, so low-resource
@@ -1279,6 +1360,7 @@ object TextAnalysis {
     "t_mix_domains" -> ((tMixDomains _, Some(tMixDomainsSql))),
     "t_perplexity" -> ((tPerplexity _, Some(tPerplexitySql))),
     "t_ngram_lm" -> ((tNgramLm _, Some(tNgramLmSql))),
+    "t_dataset_card" -> ((tDatasetCard _, Some(tDatasetCardSql))),
     "t_substring_dedup" -> ((tSubstringDedup _, Some(tSubstringDedupSql))),
     "t_top_terms" -> ((tTopTerms _, Some(tTopTermsSql))),
     "t_pii_scrub" -> ((tPiiScrub _, Some(tPiiScrubSql))),

@@ -144,6 +144,19 @@ class CleaningOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("t_dataset_card metrics are internally consistent") {
+    val card = TextAnalysis.tDatasetCard(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card.size === 8)
+    val nDocs = graft.Tables.documents(spark, dir).count().toDouble
+    assert(card("n_docs") === nDocs)
+    assert(card("dup_rate") >= 0.0 && card("dup_rate") < 1.0)
+    assert(card("p50_doc_tokens") <= card("p90_doc_tokens"))
+    assert(card("mean_doc_tokens") > 0.0 &&
+      math.abs(card("n_tokens") - card("mean_doc_tokens") * nDocs) < 1e-6)
+    assert(card("n_langs") >= 1.0 && card("n_sources") >= 1.0)
+  }
+
   test("p_funnel depths are monotone counts bounded by the step list") {
     val out = graft.operators.PipelineQueries.pFunnel(spark, dir).cache()
     try {

@@ -24,6 +24,8 @@ class PlanGuardSpec extends AnyFunSuite {
       // corpus-total denominator for the first-token surprise: 1-row
       // broadcast, like t_perplexity
       "t_ngram_lm",
+      // n_docs denominator for the percentile ranks: 1-row broadcast
+      "t_dataset_card",
       // centroid assignment: bounded broadcast side, like s_ann_ivf
       "d_semantic", "d_semantic_scale")
 
