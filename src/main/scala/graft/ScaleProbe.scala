@@ -48,7 +48,8 @@ object ScaleProbe {
       "d_canonical", "t_mix_domains", "s_centroid_outliers", "p_funnel",
       "q_events_anomaly", "t_pipeline_e2e", "t_bpe_train", "t_bpe_encode",
       "m_phash_dedup", "t_quality_model", "t_seq_pack",
-      "s_knn_graph", "s_quantize", "p_neardup", "t_ngram_lm")
+      "s_knn_graph", "s_quantize", "p_neardup", "t_ngram_lm",
+      "t_dataset_card")
     // optional second arg: comma-separated probe subset
     val probes = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(allProbes).filter(allProbes.contains)

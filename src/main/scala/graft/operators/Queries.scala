@@ -305,6 +305,40 @@ object Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------- q_events_topk_window
+  /** Top-k event types per tumbling hour — the windowed leaderboard every
+    * monitoring dashboard renders. Counts ride ONE hash shuffle on
+    * (window, type) with map-side combine; the rank re-sorts the tiny
+    * per-window type table (|types| rows per window, not events) within
+    * the same partitioning — Catalyst plans a single Exchange. Tie-break
+    * on event_type keeps the rank deterministic in both engines. */
+  val TopKTypes = 3
+
+  def qEventsTopkWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("window_start"))
+          .orderBy(col("n_events").desc, col("event_type").asc)).cast("long"))
+      .filter(col("rank") <= TopKTypes)
+  }
+
+  val qEventsTopkWindowSql: String =
+    s"""WITH counts AS (
+       |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |    COUNT(*) AS n_events
+       |  FROM events GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT window_start, event_type, n_events,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+       |      ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rank
+       |  FROM counts)
+       |WHERE rank <= $TopKTypes""".stripMargin
+
   // ---------------------------------------------------------------- q_events_sessionize
   /** Batch sessionization per user: a new session starts after a >30 min
     * gap. lag + conditional cumulative sum — the batch analogue of the
@@ -825,6 +859,7 @@ object Queries {
     "q_distinct" -> ((qDistinct _, Some(qDistinctSql))),
     "q_setops" -> ((qSetOps _, Some(qSetOpsSql))),
     "q_events_tumbling" -> ((qEventsTumbling _, Some(qEventsTumblingSql))),
+    "q_events_topk_window" -> ((qEventsTopkWindow _, Some(qEventsTopkWindowSql))),
     "q_events_sessionize" -> ((qEventsSessionize _, Some(qEventsSessionizeSql))),
     "q_events_session_native" -> ((qEventsSessionNative _, Some(qEventsSessionNativeSql))),
     "q_asof_join" -> ((qAsofJoin _, Some(qAsofJoinSql))),
