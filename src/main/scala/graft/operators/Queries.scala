@@ -307,11 +307,13 @@ object Queries {
 
   // ---------------------------------------------------------- q_events_topk_window
   /** Top-k event types per tumbling hour — the windowed leaderboard every
-    * monitoring dashboard renders. Counts ride ONE hash shuffle on
-    * (window, type) with map-side combine; the rank re-sorts the tiny
-    * per-window type table (|types| rows per window, not events) within
-    * the same partitioning — Catalyst plans a single Exchange. Tie-break
-    * on event_type keeps the rank deterministic in both engines. */
+    * monitoring dashboard renders. Counts ride a hash shuffle on
+    * (window, type) with map-side combine; the rank then re-partitions
+    * on window alone — but that SECOND exchange carries the per-window
+    * TYPE table (|types| rows per window), never the events, which is
+    * what makes the leaderboard cheap at any event volume
+    * (PlanShapeSpec pins both exchange counts). Tie-break on event_type
+    * keeps the rank deterministic in both engines. */
   val TopKTypes = 3
 
   def qEventsTopkWindow(s: SparkSession, dir: String): DataFrame = {

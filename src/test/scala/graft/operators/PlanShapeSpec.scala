@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the exchange COUNT the scaling notes claim for specific
+  * operators — a zero-shuffle scan that silently grows an Exchange, or a
+  * single-Exchange window query that starts double-shuffling, is a scale
+  * regression the oracle gate cannot see (the rows stay identical). */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = graft.pipeline.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** KEYED exchanges only (hash/range). The table loaders insert one
+    * RoundRobin exchange to spread a single-file test parquet across
+    * cores (Tables.scala:66) — data-independent, not a keyed shuffle,
+    * and absent at real scale where the scan has many files. */
+  private def shuffles(plan: SparkPlan): Int =
+    plan.collect {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+    }.size
+
+  private def planOf(name: String): SparkPlan = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // AQE wraps exchanges in query stages, hiding them from plan.collect
+    // — make the count a static plan property (same rationale as
+    // BucketedJoinSpec).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("t_quality_model is a zero-shuffle scan") {
+    assert(shuffles(planOf("t_quality_model")) === 0,
+      "classifier scoring must stay a per-row projection")
+  }
+
+  test("s_quantize is a zero-shuffle scan") {
+    assert(shuffles(planOf("s_quantize")) === 0,
+      "quantization must stay a per-row projection")
+  }
+
+  test("q_events_topk_window shuffles events once; the rank moves only the type table") {
+    // exchange 1: the (window, type) count agg over events (map-side
+    // combined); exchange 2: the rank's window-only re-partition — but
+    // its input is the per-window TYPE table, not events. Exactly 2, and
+    // a third would mean events are moving twice.
+    assert(shuffles(planOf("q_events_topk_window")) === 2,
+      "leaderboard must shuffle events once and rank over types only")
+  }
+
+  test("q_events_anomaly shuffles each scan once on event_type") {
+    // the median branch and the deviation branch each hash-partition
+    // their events scan once; the MAD rank and the flag join ride the
+    // deviation branch's partitioning via broadcasts (no third keyed
+    // shuffle of event rows)
+    assert(shuffles(planOf("q_events_anomaly")) === 2,
+      "median/MAD must not re-shuffle event rows beyond one pass per branch")
+  }
+}
