@@ -26,6 +26,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "t_ngram_lm",
       // n_docs denominator for the percentile ranks: 1-row broadcast
       "t_dataset_card",
+      // composes the ANN variants (broadcast query/centroid sides) plus
+      // a 1-row denominator broadcast
+      "s_ann_recall",
       // centroid assignment: bounded broadcast side, like s_ann_ivf
       "d_semantic", "d_semantic_scale")
 
