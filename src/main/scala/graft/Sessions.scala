@@ -31,9 +31,11 @@ object Sessions {
     val tuned = b.config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet is TIMESTAMP(NANOS); Spark has no ns timestamp
-      // type, so read the raw int64 (reference keeps u64 ns event time:
-      // lib/wallaroo/core/source/source_handler.pony:28)
+      // events.parquet has shipped ts as TIMESTAMP(NANOS) (Spark has no
+      // ns timestamp type, so read the raw int64 — reference keeps u64 ns
+      // event time: lib/wallaroo/core/source/source_handler.pony:28) and
+      // as TIMESTAMP(MICROS), where this conf is a no-op. Tables.events
+      // branches on the loaded dataType; keep the conf for the ns layout.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     localDir.fold(tuned)(tuned.config("spark.local.dir", _))
   }

@@ -28,11 +28,12 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-stream-bench")
-    val (secs, rps, lat, prov, state) = run(spark, sfDir)
+    val (secs, rps, lat, prov, state, failed) = run(spark, sfDir)
     secs.zip(rps).zip(lat).zip(prov).zip(state).foreach {
       case (((((n, s), (_, r)), (_, (p50, mx))), (_, p)), (_, st)) =>
         println(f"[stream] $n%-22s $s%7.2f s  ${r.round}%9d rows/s  batch p50/max $p50%5d/$mx%5d ms  [$p] state=$st")
     }
+    failed.foreach(n => println(s"[stream] $n FAILED (see stderr)"))
     spark.stop()
   }
 
@@ -67,27 +68,55 @@ object StreamBench {
     }
   }
 
+  /** Hour/type assignment for the stream_topk leaderboard: epoch-aligned
+    * hour start (µs) from the ns event time, user_id % 100 as the bounded
+    * type label (see the topk() doc below). */
+  object BenchHourType
+      extends StatelessComputation[(Long, Long, Long), (Long, String)] {
+    override val name = "bench hour type"
+    def apply(e: (Long, Long, Long)): ComputationResult[(Long, String)] =
+      ComputationResult.One(
+        ((e._3 / 3600000000000L) * 3600000000L, "t" + (e._1 % 100)))
+  }
+
+  /** Returns (wall-secs, rows/sec, batch-latency, provider-label,
+    * state-telemetry) per pipeline, plus the names of pipelines that
+    * FAILED. One broken input table must never zero the whole bench
+    * artifact (round-5 verdict: `Tables.events` failing analysis here
+    * threw away 84 already-computed batch timings), so each staging step
+    * and each pipeline is isolated — a failure records its name and the
+    * rest keep running.
+    */
   def run(spark: SparkSession, sfDir: String):
       (Seq[(String, Double)], Seq[(String, Double)], Seq[(String, (Long, Long))],
-        Seq[(String, String)], Seq[(String, String)]) = {
+        Seq[(String, String)], Seq[(String, String)], Seq[String]) = {
     implicit val ss: SparkSession = spark
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     // Stage (user_id, cents, ts_ns) as a 32-file parquet dir so the file
     // source replays it as micro-batches of 16 parallel file-read tasks.
-    val staged = Files.createTempDirectory("graft_stream_src").toString
     // ×80 replication (ts perturbed by the replica index so per-key event
     // times stay unique): 4 micro-batches of ~2M rows each, so the
     // steady-state batches dominate the fixed query-startup + first-batch
     // JIT cost, and the per-batch fixed costs (offset/commit-log fsyncs,
     // state-store commit latency) amortize the way a throughput-tuned
     // deployment would size its triggers.
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
-        col("ts_ns"))
-      .crossJoin(spark.range(80).select(col("id")))
-      .select(col("user_id"), col("cents"),
-        (col("ts_ns") + col("id")).as("ts_ns"))
-    ev.repartition(128).write.mode("overwrite").parquet(staged)
-    val nRows = spark.read.parquet(staged).count().toDouble
+    val evStaged: Option[(String, Double)] =
+      try {
+        val staged = Files.createTempDirectory("graft_stream_src").toString
+        val ev = Tables.events(spark, sfDir)
+          .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
+            col("ts_ns"))
+          .crossJoin(spark.range(80).select(col("id")))
+          .select(col("user_id"), col("cents"),
+            (col("ts_ns") + col("id")).as("ts_ns"))
+        ev.repartition(128).write.mode("overwrite").parquet(staged)
+        Some((staged, spark.read.parquet(staged).count().toDouble))
+      } catch { case e: Throwable =>
+        System.err.println(s"[stream] events staging failed: $e")
+        None
+      }
+    val staged = evStaged.map(_._1).getOrElse("")
+    val nRows = evStaged.map(_._2).getOrElse(0.0)
 
     def source() = ParquetReplaySource[(Long, Long, Long)](
       staged,
@@ -134,7 +163,7 @@ object StreamBench {
     // (core/metrics/histogram.pony; the engine also ships the power-of-2
     // LatencyHistogram + listener for live queries — Metrics.scala).
     def sustainedOf(q: Option[org.apache.spark.sql.streaming.StreamingQuery],
-        fallbackSec: Double): (Double, (Long, Long)) =
+        fallbackRows: Double, fallbackSec: Double): (Double, (Long, Long)) =
       q.map { query =>
         val all = query.recentProgress.filter(_.numInputRows > 0)
         val ps = if (all.length > 1) all.drop(1) else all
@@ -143,13 +172,13 @@ object StreamBench {
         }
         val ms = durs.sum
         val rows = ps.map(_.numInputRows).sum
-        val rate = if (ms > 0) rows * 1000.0 / ms else nRows / fallbackSec
+        val rate = if (ms > 0) rows * 1000.0 / ms else fallbackRows / fallbackSec
         val sorted = durs.sorted
         val lat =
           if (sorted.isEmpty) (0L, 0L)
           else (sorted(sorted.length / 2), sorted.last)
         (rate, lat)
-      }.getOrElse((nRows / fallbackSec, (0L, 0L)))
+      }.getOrElse((fallbackRows / fallbackSec, (0L, 0L)))
 
     // Per-trial state-store telemetry (VERDICT r4 #6): rows held, memory,
     // and commit time from the query's StateOperatorProgress, summed over
@@ -179,7 +208,7 @@ object StreamBench {
       val sec = (System.nanoTime() - t0) / 1e9
       if (sys.env.contains("STREAM_BENCH_DEBUG"))
         handle.query.foreach(_.recentProgress.foreach(p => System.err.println(s"[$name] ${p.json}")))
-      val (sustained, latency) = sustainedOf(handle.query, sec)
+      val (sustained, latency) = sustainedOf(handle.query, nRows, sec)
       (sec, sustained, latency, stateOf(handle.query))
     }
 
@@ -211,7 +240,7 @@ object StreamBench {
         up.processAllAvailable()   // all input consumed, all handoff files committed
         down.processAllAvailable() // chain drained
         val sec = (System.nanoTime() - t0) / 1e9
-        val (sustained, latency) = sustainedOf(down.query, sec)
+        val (sustained, latency) = sustainedOf(down.query, nRows, sec)
         val st = stateOf(down.query)
         up.stop(); down.stop()
         (sec, sustained, latency, st)
@@ -231,14 +260,22 @@ object StreamBench {
     // state. Prices the full streaming near-dedup stage: signature
     // computation + the row shuffle to the state partition + one 8-byte
     // key per distinct signature in the store.
-    val docStaged = Files.createTempDirectory("graft_stream_docs").toString
-    val docReps = 200L
-    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-      .crossJoin(spark.range(docReps).select(col("id")))
-      .select(col("doc_id"), col("text"),
-        (col("doc_id") * docReps + col("id")).as("ts_ns"))
-      .repartition(32).write.mode("overwrite").parquet(docStaged)
-    val nDocRows = spark.read.parquet(docStaged).count().toDouble
+    val docsStagedOpt: Option[(String, Double)] =
+      try {
+        val dir = Files.createTempDirectory("graft_stream_docs").toString
+        val docReps = 200L
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+          .crossJoin(spark.range(docReps).select(col("id")))
+          .select(col("doc_id"), col("text"),
+            (col("doc_id") * docReps + col("id")).as("ts_ns"))
+          .repartition(32).write.mode("overwrite").parquet(dir)
+        Some((dir, spark.read.parquet(dir).count().toDouble))
+      } catch { case e: Throwable =>
+        System.err.println(s"[stream] documents staging failed: $e")
+        None
+      }
+    val docStaged = docsStagedOpt.map(_._1).getOrElse("")
+    val nDocRows = docsStagedOpt.map(_._2).getOrElse(0.0)
     implicit val docEnc: Encoder[(Long, String, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
     def neardupTrial(): (Double, Double, (Long, Long), (Long, Long, Long)) = {
@@ -254,9 +291,7 @@ object StreamBench {
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       handle.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
-      // sustainedOf's fallback rate is nRows/fallbackSec (the events
-      // stream); rescale so the fallback for THIS stream is nDocRows/sec
-      val (sustained, latency) = sustainedOf(handle.query, nRows * sec / nDocRows)
+      val (sustained, latency) = sustainedOf(handle.query, nDocRows, sec)
       (sec, sustained, latency, stateOf(handle.query))
     }
 
@@ -273,22 +308,72 @@ object StreamBench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Each pipeline is failure-isolated: a throw anywhere in its trials
+    // records the name in `failed` and drops the row — the other
+    // pipelines (and the already-computed batch pack upstream) survive.
     def bench(name: String, provider: String)(
-        runTrial: () => (Double, Double, (Long, Long), (Long, Long, Long))): (String, Double, Double, (Long, Long), String, String) = {
-      val ts = (1 to repeats).map(_ => runTrial())
-      // State metrics stay per-trial (not medianed): the point is reading
-      // a contended run's trials individually (VERDICT r4 #6).
-      val stateJson = ts.map { case (_, _, _, (rows, mem, commitMs)) =>
-        s"""{"state_rows":$rows,"state_memory_bytes":$mem,"commit_ms":$commitMs}"""
-      }.mkString("[", ",", "]")
-      (name, medianD(ts.map(_._1)), medianD(ts.map(_._2)),
-        (medianL(ts.map(_._3._1)), medianL(ts.map(_._3._2))), provider, stateJson)
-    }
+        runTrial: () => (Double, Double, (Long, Long), (Long, Long, Long))): Option[(String, Double, Double, (Long, Long), String, String)] =
+      try {
+        val ts = (1 to repeats).map(_ => runTrial())
+        // State metrics stay per-trial (not medianed): the point is reading
+        // a contended run's trials individually (VERDICT r4 #6).
+        val stateJson = ts.map { case (_, _, _, (rows, mem, commitMs)) =>
+          s"""{"state_rows":$rows,"state_memory_bytes":$mem,"commit_ms":$commitMs}"""
+        }.mkString("[", ",", "]")
+        Some((name, medianD(ts.map(_._1)), medianD(ts.map(_._2)),
+          (medianL(ts.map(_._3._1)), medianL(ts.map(_._3._2))), provider, stateJson))
+      } catch { case e: Throwable =>
+        System.err.println(s"[stream] $name failed: $e")
+        failed += name
+        None
+      }
 
     def statecomp(src: SourceConfig[(Long, Long, Long)]) =
       Graft.source("bench-statecomp", src)
         .keyBy(_._1.toString)
         .to(SpreadCheck)(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    // The windowed leaderboard (p_topk's chain priced as a stream):
+    // stateless hour/type assignment → (hour,type)-keyed count-window
+    // partial counts → durable handoff → per-hour global-window board.
+    // Two stateful stages can't share one streaming query (Spark's
+    // global-watermark correctness check), so the chain runs as the same
+    // concurrent two-query topology as stream_two_stage. user_id % 100
+    // stands in for the type label — the demo's bounded-cardinality key —
+    // so the board map stays |types|-sized while the keyed count stage
+    // carries the full row volume and hands ceil(n/50)-compressed partial
+    // counts downstream.
+    def topkTrial(): (Double, Double, (Long, Long), (Long, Long, Long)) = {
+      val handoff = Files.createTempDirectory("graft_topk").toString
+      try {
+        val t0 = System.nanoTime()
+        val (up, handedOff) = Graft.source("bench-topk", source())
+          .to(BenchHourType)(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+          .keyBy(ht => s"${ht._1}|${ht._2}")
+          .to(Graft.countWindows(PipelineQueries.TopkPartialN)
+            .over(PipelineQueries.TypePartialCount))(
+            Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
+          .through(handoff, Some(s"$handoff/_ckpt"))
+        val down = handedOff
+          .keyBy(_._1.toString)
+          .toGlobalWindow(PipelineQueries.LeaderBoard)(
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
+          .toSink(EmptySink())
+        up.processAllAvailable()
+        down.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // The upstream carries the row volume; the downstream board sees
+        // the compressed partial-count stream. Sustained rate reported
+        // from the UPSTREAM (input-volume) query so the row is comparable
+        // to the other stream_* rows; latency/state from the board stage.
+        val (sustained, _) = sustainedOf(up.query, nRows, sec)
+        val (_, latency) = sustainedOf(down.query, nRows, sec)
+        val st = stateOf(down.query)
+        up.stop(); down.stop()
+        (sec, sustained, latency, st)
+      } finally {
+        deleteRecursively(new java.io.File(handoff))
+      }
+    }
     def sliding(src: SourceConfig[(Long, Long, Long)]) =
       Graft.source("bench-sliding", src)
         .keyBy(_._1.toString)
@@ -304,7 +389,13 @@ object StreamBench {
         (if (twsHost || sys.env.get("STREAM_BENCH_PROVIDER").contains("rocksdb")) "rocksdb"
          else "hdfs")
 
-    val base = Seq(
+    // An events/documents staging failure skips that table's pipelines —
+    // each is recorded individually in `failed` so the JSON shows exactly
+    // which rows are missing and why the bench is partial.
+    val eventRowNames =
+      Seq("stream_stateless", "stream_statecomp", "stream_sliding",
+        "stream_two_stage", "stream_topk")
+    val base = (if (evStaged.isDefined) Seq(
       bench("stream_stateless", baseProvider) { () =>
         trial("stream_stateless") { src =>
           Graft.source("bench-stateless", src)
@@ -315,7 +406,11 @@ object StreamBench {
       bench("stream_statecomp", baseProvider)(() => trial("stream_statecomp")(statecomp)),
       bench("stream_sliding", baseProvider)(() => trial("stream_sliding")(sliding)),
       bench("stream_two_stage", baseProvider)(() => twoStageTrial()),
-      bench("stream_neardup", baseProvider)(() => neardupTrial()))
+      bench("stream_topk", baseProvider)(() => topkTrial()))
+    else { failed ++= eventRowNames; Seq.empty }) ++
+      (if (docsStagedOpt.isDefined)
+        Seq(bench("stream_neardup", baseProvider)(() => neardupTrial()))
+      else { failed += "stream_neardup"; Seq.empty })
 
     // The same stateful pipelines on the transformWithState host —
     // reported side by side so the per-round JSON carries both hosts'
@@ -326,7 +421,11 @@ object StreamBench {
     // the JSON makes that visible; set STREAM_BENCH_PROVIDER=rocksdb for
     // a host-only comparison. Skipped when STREAM_BENCH_HOST already
     // pinned the whole run to tws.
-    val twsRows = if (twsHost) Seq.empty else {
+    val twsRows = if (twsHost || evStaged.isEmpty) {
+      if (evStaged.isEmpty && !twsHost)
+        failed ++= Seq("stream_statecomp_tws", "stream_sliding_tws")
+      Seq.empty
+    } else {
       val confs = Seq(
         "graft.streaming.stateHost" -> "transformWithState",
         "spark.sql.streaming.stateStore.providerClass" ->
@@ -343,13 +442,13 @@ object StreamBench {
       }
     }
 
-    val results = base ++ twsRows
+    val results = (base ++ twsRows).flatten
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    deleteRecursively(new java.io.File(staged))
-    deleteRecursively(new java.io.File(docStaged))
+    evStaged.foreach(s => deleteRecursively(new java.io.File(s._1)))
+    docsStagedOpt.foreach(s => deleteRecursively(new java.io.File(s._1)))
     (results.map(r => (r._1, r._2)), results.map(r => (r._1, r._3)),
       results.map(r => (r._1, r._4)), results.map(r => (r._1, r._5)),
-      results.map(r => (r._1, r._6)))
+      results.map(r => (r._1, r._6)), failed.toList.distinct)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

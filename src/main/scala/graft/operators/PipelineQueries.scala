@@ -445,6 +445,141 @@ object PipelineQueries {
        |FROM per_user WHERE s0 = 1""".stripMargin
   }
 
+  // ---------------------------------------------------------- p_topk
+  /** The reference's canonical demo shape — a windowed leaderboard
+    * (the trending-topics app: keyed counts flowing into a board state
+    * that re-ranks on every update) — through the DSL as a THREE-stage
+    * chain: stateless hour/type assignment → keyed count-window partial
+    * counts → a per-hour global-window board.
+    *
+    * Scale shape (100 TB): the count window is the reference's
+    * `local_key_by`-style pre-aggregation — the board key (one per hour)
+    * sees ceil(n/[[TopkPartialN]]) partial counts per type instead of
+    * every event, so the single-key board stage processes |types|-scale
+    * traffic while the (hour,type)-keyed stage carries the row volume
+    * across 32 partitions. The board accumulator is a |types|-entry map,
+    * bytes per hour of state however large the corpus.
+    *
+    * Epoch-aligned hours are assigned in the stateless stage (the DSL's
+    * pane grid anchors per-key at first watermark — reference apps that
+    * need calendar alignment do exactly this assignment upstream:
+    * window start = ts div 1h, carried as the key). `updates` counts the
+    * board's inputs per hour — strictly increasing per key, so the batch
+    * replay's FINAL board (complete counts, order-independent) is
+    * exactly the max-updates row; the oracle reproduces it closed-form:
+    * updates = Σ_type ceil(n_ht / N). Board string = "type:n" joined in
+    * (n desc, type asc) order — [[Queries.TopKTypes]] entries, scalar
+    * output (ScalarOutputSpec). */
+  val TopkPartialN = 50
+
+  object AssignHourType
+      extends StatelessComputation[(String, Long), (Long, String)] {
+    override val name = "assign hour"
+    def apply(in: (String, Long)): ComputationResult[(Long, String)] =
+      ComputationResult.One(
+        ((in._2 / 3600000000000L) * 3600000000L, in._1))
+  }
+
+  final class TypeCountAcc extends Serializable {
+    var h: Long = -1L; var t: String = null; var n: Long = 0L
+  }
+
+  /** Partial (hour, type, n) counts emitted every [[TopkPartialN]]
+    * messages (plus the flush remainder) by a count window. */
+  object TypePartialCount
+      extends Aggregation[(Long, String), (Long, String, Long), TypeCountAcc] {
+    override val name = "partial type count"
+    def initialAccumulator(): TypeCountAcc = new TypeCountAcc
+    def update(in: (Long, String), acc: TypeCountAcc): Unit = {
+      acc.h = in._1; acc.t = in._2; acc.n += 1
+    }
+    def combine(a: TypeCountAcc, b: TypeCountAcc): TypeCountAcc = {
+      val c = new TypeCountAcc
+      c.h = if (a.h >= 0) a.h else b.h
+      c.t = if (a.t != null) a.t else b.t
+      c.n = a.n + b.n
+      c
+    }
+    def output(key: String, wEnd: Long, acc: TypeCountAcc): Option[(Long, String, Long)] =
+      if (acc.n == 0) None else Some((acc.h, acc.t, acc.n))
+  }
+
+  final class BoardAcc extends Serializable {
+    val counts = new scala.collection.mutable.HashMap[String, Long]
+    var updates: Long = 0L
+  }
+
+  /** Per-hour leaderboard: fold partial counts, emit the re-ranked board
+    * on every update (the live-dashboard stream), tagged with the
+    * monotone update ordinal that lets batch select the final board. */
+  object LeaderBoard
+      extends Aggregation[(Long, String, Long), (Long, Long, String), BoardAcc] {
+    override val name = "leader board"
+    def initialAccumulator(): BoardAcc = new BoardAcc
+    def update(in: (Long, String, Long), acc: BoardAcc): Unit = {
+      acc.counts(in._2) = acc.counts.getOrElse(in._2, 0L) + in._3
+      acc.updates += 1
+    }
+    def combine(a: BoardAcc, b: BoardAcc): BoardAcc = {
+      val c = new BoardAcc
+      a.counts.foreach { case (t, n) => c.counts(t) = n }
+      b.counts.foreach { case (t, n) => c.counts(t) = c.counts.getOrElse(t, 0L) + n }
+      c.updates = a.updates + b.updates
+      c
+    }
+    def output(key: String, wEnd: Long, acc: BoardAcc): Option[(Long, Long, String)] = {
+      val board = acc.counts.toSeq
+        .sortBy { case (t, n) => (-n, t) }
+        .take(Queries.TopKTypes)
+        .map { case (t, n) => s"$t:$n" }
+        .mkString(",")
+      Some((key.toLong, acc.updates, board))
+    }
+  }
+
+  def pTopk(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    implicit val longStrEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val partialEnc: Encoder[(Long, String, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    implicit val boardEnc: Encoder[(Long, Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
+    val evs = Tables.events(s, dir)
+      .select(col("event_type"), col("ts_ns")).as[(String, Long)]
+    Graft.source("topk", DatasetSource(evs, (e: (String, Long)) => e._2))
+      .to(AssignHourType)
+      .keyBy(ht => s"${ht._1}|${ht._2}")
+      .to(Graft.countWindows(TopkPartialN).over(TypePartialCount))
+      .keyBy(_._1.toString)
+      .toGlobalWindow(LeaderBoard)
+      .dataset
+      .select(col("_1._1").as("window_start_us"), col("_1._2").as("updates"),
+        col("_1._3").as("topk"))
+      .groupBy(col("window_start_us"))
+      .agg(max(col("updates")).as("updates"),
+        expr("max_by(topk, updates)").as("topk"))
+  }
+
+  val pTopkSql: String =
+    s"""WITH e AS (
+       |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+       |         event_type AS t
+       |  FROM events),
+       |c AS (SELECT h_us, t, COUNT(*) AS n FROM e GROUP BY 1, 2),
+       |r AS (SELECT h_us, t, n,
+       |        row_number() OVER (PARTITION BY h_us
+       |          ORDER BY n DESC, t ASC) AS rk
+       |      FROM c),
+       |b AS (SELECT h_us, string_agg(t || ':' || n, ',' ORDER BY rk) AS topk
+       |      FROM r WHERE rk <= ${Queries.TopKTypes} GROUP BY h_us),
+       |u AS (SELECT h_us,
+       |        CAST(SUM((n + ${TopkPartialN - 1}) // $TopkPartialN) AS BIGINT)
+       |          AS updates
+       |      FROM c GROUP BY h_us)
+       |SELECT b.h_us AS window_start_us, u.updates, b.topk
+       |FROM b JOIN u USING (h_us)""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p_dedup" -> ((pDedup _, Some(pDedupSql))),
     "p_funnel" -> ((pFunnel _, Some(pFunnelSql))),
@@ -455,5 +590,6 @@ object PipelineQueries {
     "q_events_sliding" -> ((qEventsSliding _, Some(qEventsSlidingSql))),
     "p_sliding" -> ((pSliding _, Some(pSlidingSql))),
     "p_agg_bridge" -> ((pAggBridge _, Some(pAggBridgeSql))),
-    "p_ephemeral" -> ((pEphemeral _, Some(pEphemeralSql))))
+    "p_ephemeral" -> ((pEphemeral _, Some(pEphemeralSql))),
+    "p_topk" -> ((pTopk _, Some(pTopkSql))))
 }

@@ -357,9 +357,12 @@ object Queries {
     *
     * Gap arithmetic and session bounds are in integer MICROSECONDS on both
     * engines (unix_micros here, epoch_us in the oracle): the events parquet
-    * column is TIMESTAMP(NANOS), which Spark reads at µs and DuckDB at ns,
-    * so comparing raw timestamps (or fractional epoch seconds vs floored
-    * whole seconds) diverges. Integer µs is exact in both. */
+    * column has shipped as both TIMESTAMP(NANOS) (Spark reads µs, DuckDB
+    * ns) and TIMESTAMP(MICROS), so comparing raw timestamps (or fractional
+    * epoch seconds vs floored whole seconds) can diverge. Integer µs is
+    * exact in both regardless of the physical layout. Tie order within a
+    * user at equal µs is pinned by event_id on both engines — with µs
+    * source data ts_ns carries no sub-µs distinctness to rely on. */
   def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)

@@ -1155,7 +1155,11 @@ object TextAnalysis {
        |  SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576) AS BIGINT) AS w
        |  FROM c),
        |targets AS (
-       |  SELECT lang, ($MixSampleN * w) // (SELECT SUM(w) FROM w) AS lang_target
+       |  -- SUM(BIGINT) is HUGEINT in DuckDB and // propagates it; the
+       |  -- driver's pandas conversion renders HUGEINT as float64, which
+       |  -- hash-mismatches Spark's int64 (CORRECTNESS_r05). CAST back.
+       |  SELECT lang,
+       |    CAST(($MixSampleN * w) // (SELECT SUM(w) FROM w) AS BIGINT) AS lang_target
        |  FROM w),
        |ranked AS (
        |  SELECT doc_id, lang,

@@ -357,6 +357,23 @@ class WindowVectorsSpec extends AnyFunSuite {
     assert(outs(res) == Vector(1L))
   }
 
+  /** Events-time contract behind every window vector above: whatever the
+    * parquet physical layout (TIMESTAMP(NANOS) read as raw ns Long, or
+    * TIMESTAMP(MICROS) read as a timestamp — the testdata has shipped
+    * both), Tables.events presents a consistent (ts, ts_ns) pair:
+    * `unix_micros(ts) == ts_ns div 1000` on every row. With a µs source
+    * ts_ns is µs-precision ns — window arithmetic must not rely on
+    * sub-µs distinctness (sessionize breaks ties by event_id instead). */
+  test("EventsTsNsAgreesWithTsAtMicrosecondPrecision") {
+    val spark = TestSpark.spark
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    val bad = ev.where(expr("unix_micros(ts) != ts_ns div 1000")).count()
+    assert(bad == 0L, s"$bad rows where ts and ts_ns disagree at µs precision")
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(ev.schema("ts_ns").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   /** CheckAnyDecreaseOrIncreaseByOne (_test_windows.pony:1005-1019): within
     * a collected window, consecutive values may decrease arbitrarily but
     * may only increase by exactly one. */

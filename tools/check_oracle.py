@@ -13,6 +13,57 @@ hard mismatches).
 import sys, os, json, glob, math
 import duckdb
 
+try:
+    import pandas as pd
+except ImportError:  # pandas is driver-side tooling; degrade to value mode
+    pd = None
+
+
+def driver_compare(files, con, sql):
+    """Emulate the driver's pandas-path compare (CORRECTNESS hash gate):
+    spark output read via pyarrow->pandas, oracle via duckdb .df() (this
+    is where e.g. HUGEINT becomes float64), columns sorted by name, rows
+    sorted by all columns, then dtype-strict exact equality — the local
+    stand-in for the driver's sorted-row hash. Returns (status, detail).
+    """
+    sdf = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    odf = con.execute(sql).df()
+    # Equal-instant timestamps pass the real driver's hash whatever the
+    # storage unit (r4: q_events_tumbling, datetime64[ns] vs [us], green),
+    # so normalize datetime units before the strict dtype check below —
+    # which exists to catch VALUE-representation drift like int64 vs
+    # float64 (the real r5 t_mix_domains failure).
+    for df in (sdf, odf):
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime64"):
+                df[c] = df[c].astype("datetime64[ns]")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return "FAIL", f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}"
+    cols = sorted(sdf.columns)
+    try:
+        sdf = sdf[cols].sort_values(cols).reset_index(drop=True)
+        odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    except TypeError as e:  # what the driver reports as `err` (ndarray cells)
+        return "ERR", f"pandas sort failed (driver would err): {e}"
+    if len(sdf) != len(odf):
+        return "FAIL", f"rowcount {len(sdf)} != {len(odf)}"
+    dt = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in cols
+          if str(sdf[c].dtype) != str(odf[c].dtype)]
+    if dt:
+        return "FAIL", f"dtype mismatch (hash would differ): {dt}"
+    if not sdf.equals(odf):
+        for c in cols:
+            neq = sdf[c] != odf[c]
+            # NaN != NaN; treat both-NaN as equal like a hash of the bits
+            both_nan = sdf[c].isna() & odf[c].isna()
+            neq = neq & ~both_nan
+            if neq.any():
+                i = int(neq.idxmax())
+                return "FAIL", (f"row {i} col {c}: "
+                                f"{sdf[c].iloc[i]!r} != {odf[c].iloc[i]!r}")
+        return "FAIL", "frames differ (no cell located?)"
+    return "PASS", ""
+
 def canon(v):
     if v is None:
         return ("none",)
@@ -83,6 +134,13 @@ def main():
                     break
             if status == "PASS" and near:
                 status, detail = "NEAR", f"{near} float near-misses (not bit-equal)"
+        # Second gate: the driver-faithful pandas-path compare. A value-
+        # equal result can still hash-mismatch driver-side when the two
+        # readers disagree on dtype (t_mix_domains r5: HUGEINT->float64).
+        if status == "PASS" and pd is not None:
+            dstat, ddetail = driver_compare(files, con, oracle[name])
+            if dstat != "PASS":
+                status, detail = "FAIL", f"driver-path: {ddetail}"
         if status == "PASS":
             n_pass += 1
         elif status == "NEAR":
