@@ -295,6 +295,36 @@ object StreamBench {
       (sec, sustained, latency, stateOf(handle.query))
     }
 
+    // Spark-native session windows over the same replayed stream — the
+    // streaming half of q_events_session_native's scale claim priced at
+    // volume (SessionWindowStreamSpec proves the cross-batch merge
+    // semantics; this row prices it). The replay is file-order, i.e.
+    // heavily out-of-order in event time, so the watermark delay is set
+    // beyond the stream's span — every row reaches the state store and
+    // the row measures true session-merge throughput, not a
+    // drop-most-rows fast path. State = one row per open session.
+    def sessionTrial(): (Double, Double, (Long, Long), (Long, Long, Long)) = {
+      val t0 = System.nanoTime()
+      val schema = spark.read.parquet(staged).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 32).parquet(staged)
+        .select(col("user_id"),
+          org.apache.spark.sql.functions.timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+          col("cents"))
+        .withWatermark("ts", "3650 days")
+        .groupBy(org.apache.spark.sql.functions.session_window(col("ts"), "30 minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+        .writeStream.format("noop").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (sustained, latency) = sustainedOf(Some(q), nRows, sec)
+      val st = stateOf(Some(q))
+      q.stop()
+      (sec, sustained, latency, st)
+    }
+
     // Back-to-back repeated trials in one JVM with median reporting:
     // page-cache warmth and neighbor processes dominate single-shot
     // numbers (VERDICT r3 #7), so each row is the componentwise MEDIAN
@@ -394,7 +424,7 @@ object StreamBench {
     // which rows are missing and why the bench is partial.
     val eventRowNames =
       Seq("stream_stateless", "stream_statecomp", "stream_sliding",
-        "stream_two_stage", "stream_topk")
+        "stream_two_stage", "stream_topk", "stream_session")
     val base = (if (evStaged.isDefined) Seq(
       bench("stream_stateless", baseProvider) { () =>
         trial("stream_stateless") { src =>
@@ -406,7 +436,8 @@ object StreamBench {
       bench("stream_statecomp", baseProvider)(() => trial("stream_statecomp")(statecomp)),
       bench("stream_sliding", baseProvider)(() => trial("stream_sliding")(sliding)),
       bench("stream_two_stage", baseProvider)(() => twoStageTrial()),
-      bench("stream_topk", baseProvider)(() => topkTrial()))
+      bench("stream_topk", baseProvider)(() => topkTrial()),
+      bench("stream_session", baseProvider)(() => sessionTrial()))
     else { failed ++= eventRowNames; Seq.empty }) ++
       (if (docsStagedOpt.isDefined)
         Seq(bench("stream_neardup", baseProvider)(() => neardupTrial()))
