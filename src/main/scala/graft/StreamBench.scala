@@ -295,6 +295,25 @@ object StreamBench {
       (sec, sustained, latency, stateOf(handle.query))
     }
 
+    // Count windows and ephemeral windows — the two window families the
+    // pack didn't yet price (tumbling/sliding ride the `sliding` row).
+    // Count windows flush every N messages per key (cheap state: one
+    // accumulator per key); ephemeral windows open per key, trigger on
+    // the event-time watermark, and drop their state — the session-burst
+    // shape (core/windows/ephemeral_window.pony).
+    def countwin(src: SourceConfig[(Long, Long, Long)]) =
+      Graft.source("bench-countwin", src)
+        .keyBy(_._1.toString)
+        .to(Graft.countWindows(PipelineQueries.CountWindowSize)
+          .over(PipelineQueries.WindowCents))(
+          Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+    def ephemeral(src: SourceConfig[(Long, Long, Long)]) =
+      Graft.source("bench-ephemeral", src)
+        .keyBy(_._1.toString)
+        .to(Graft.ephemeralWindows(3600L * 1000000000L, 1800L * 1000000000L)
+          .over(PipelineQueries.WindowCents))(
+          Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+
     // Spark-native session windows over the same replayed stream — the
     // streaming half of q_events_session_native's scale claim priced at
     // volume (SessionWindowStreamSpec proves the cross-batch merge
@@ -424,6 +443,7 @@ object StreamBench {
     // which rows are missing and why the bench is partial.
     val eventRowNames =
       Seq("stream_stateless", "stream_statecomp", "stream_sliding",
+        "stream_countwin", "stream_ephemeral",
         "stream_two_stage", "stream_topk", "stream_session")
     val base = (if (evStaged.isDefined) Seq(
       bench("stream_stateless", baseProvider) { () =>
@@ -435,6 +455,8 @@ object StreamBench {
       },
       bench("stream_statecomp", baseProvider)(() => trial("stream_statecomp")(statecomp)),
       bench("stream_sliding", baseProvider)(() => trial("stream_sliding")(sliding)),
+      bench("stream_countwin", baseProvider)(() => trial("stream_countwin")(countwin)),
+      bench("stream_ephemeral", baseProvider)(() => trial("stream_ephemeral")(ephemeral)),
       bench("stream_two_stage", baseProvider)(() => twoStageTrial()),
       bench("stream_topk", baseProvider)(() => topkTrial()),
       bench("stream_session", baseProvider)(() => sessionTrial()))

@@ -52,6 +52,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "leaderboard must shuffle events once and rank over types only")
   }
 
+  test("p_topk's board stage never sees an events-volume exchange") {
+    // The DSL chain's keyed exchanges: (1) keyBy(hour|type) into the
+    // count-window state host — the only exchange carrying event-volume
+    // rows; (2) keyBy(hour) into the board host, fed ceil(n/50) partial
+    // counts; (3) the final groupBy(window_start_us) over one board row
+    // per update. A fourth keyed exchange means events are moving twice.
+    assert(shuffles(planOf("p_topk")) === 3,
+      "leaderboard chain must shuffle events once, partials once, boards once")
+  }
+
   test("q_events_anomaly shuffles each scan once on event_type") {
     // the median branch and the deviation branch each hash-partition
     // their events scan once; the MAD rank and the flag join ride the
