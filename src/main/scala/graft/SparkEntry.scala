@@ -14,7 +14,7 @@ object SparkEntry {
   private def registries: Seq[Map[String, ((SparkSession, String) => DataFrame, Option[String])]] =
     Seq(operators.Queries.all, operators.TextAnalysis.all, operators.Dedup.all,
       operators.Similarity.all, operators.Multimodal.all,
-      operators.PipelineQueries.all)
+      operators.PipelineQueries.all, operators.WireQueries.all)
 
   private lazy val merged: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     registries.reduce(_ ++ _)

@@ -9,11 +9,21 @@ import scala.jdk.CollectionConverters._
 
 import ConnectorProtocol._
 
-/** Shared protocol test peers: the connector-protocol SENDER (feeds
-  * [[ConnectorSocketSource]]; at-least-once with a replay buffer) and the
-  * 2PC RECEIVER (consumes [[ConnectorSocketSink]]; stage → in-doubt →
-  * apply/discard). Used by ConnectorSourceSpec, TwoPhaseCommitSocketSpec
-  * and the end-to-end ProtocolRelaySpec. */
+/** External-peer rig for the connector protocol — the engine's shipped
+  * stand-ins for the processes on the far side of the wire, the role the
+  * reference ships as first-class tooling (`giles/sender`,
+  * `testing/tools/external_sender`, and the Python connector scripts in
+  * `machida/lib/wallaroo/experimental/connectors.py`): the protocol
+  * SENDER (feeds [[ConnectorSocketSource]]; at-least-once with a replay
+  * buffer, serving resume points from NOTIFY_ACK) and the 2PC RECEIVER
+  * (consumes [[ConnectorSocketSink]]; stage → in-doubt → apply/discard).
+  *
+  * Lives in main (not test) scope because the oracle-checked wire
+  * round-trip entries ([[graft.operators.WireQueries]]) drive the real
+  * protocol conversation through these peers inside the driver's
+  * correctness gate; the spec suites (ConnectorSourceSpec,
+  * TwoPhaseCommitSocketSpec, ProtocolRelaySpec) use the same rig for
+  * crash/replay coverage. */
 object ProtocolPeers {
 
   /** Plays the protocol's connector (sender) side: HELLO → (OK) →
