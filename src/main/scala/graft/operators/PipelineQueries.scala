@@ -317,6 +317,139 @@ object PipelineQueries {
        |GROUP BY w.user_id, w.rn""".stripMargin
   }
 
+  // ---------------------------------------------------------- p_late_fire
+  /** The fire-per-message late-data policy under the driver's oracle gate
+    * (core/windows/late_data_policy.pony:2-5; applied
+    * panes_range_windows.pony:146-168): a late row never reaches the
+    * panes — it fires a singleton window whose output ts is its own event
+    * time. Lateness requires arrival order ≠ event-time order, which the
+    * batch replay (sorted per key) can never produce, so this entry runs
+    * the REAL streaming host over a deterministic three-phase
+    * MemoryStream arrival script:
+    *   1. every on-time row (each key's machine anchors at its first
+    *      event and triggers along its own event-time progress);
+    *   2. the stragglers — rows with event_id % 10 == 0 arriving more
+    *      than one full window range behind their key's on-time maximum,
+    *      so each is unambiguously late (its ts is below every pane the
+    *      key could still hold open) whatever the trigger history;
+    *   3. a per-key sentinel at M0 + 2·range (M0 = global max event ts)
+    *      whose watermark ride flushes every data window; the sentinel's
+    *      own windows can never trigger and are excluded by the output's
+    *      ts ≤ M0 + range − 1 bound.
+    * The rows are collected driver-side to play the external producer's
+    * arrival schedule (the same rig contract as
+    * [[graft.operators.WireQueries]]); the pipeline itself is the real
+    * keyed streaming stage. Oracle = the pSliding grid over on-time rows
+    * (same anchor arithmetic, gaps < range − pane verified at tested SFs)
+    * UNION ALL one singleton per straggler. */
+  val LateUserMax = 300L
+
+  def pLateFire(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Tables.events(s, dir)
+      .filter(col("user_id") < LateUserMax)
+      .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
+        col("ts_ns"), col("event_id"))
+      .as[(Long, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .collect()
+    val kmax = rows.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val m0 = rows.map(_._3).max
+    val (stragglers, ontime) = rows.partition(r =>
+      r._4 % 10 == 0 && r._3 <= kmax(r._1) - RangeNs)
+    val sentinels = rows.map(_._1).distinct.sorted
+      .map(u => (u, 0L, m0 + 2 * RangeNs))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val view = s"p_late_fire_${System.nanoTime()}"
+    val h = Graft.source("late-fire",
+        DatasetSource(mem.toDS(), (e: (Long, Long, Long)) => e._3))
+      .keyBy(_._1.toString)
+      .to(Graft.rangeWindows(RangeNs).withSlide(SlideNs)
+        .withLateDataPolicy(LateDataPolicy.FirePerMessage).over(WindowCents))
+      .toSink(MemorySink(view))
+    try {
+      Seq(ontime.map(r => (r._1, r._2, r._3)).toSeq,
+        stragglers.map(r => (r._1, r._2, r._3)).toSeq,
+        sentinels.toSeq).foreach { batch =>
+        mem.addData(batch); h.processAllAvailable()
+      }
+      h.processAllAvailable() // armed timers fire after the last wm advance
+    } finally h.stop()
+    s.table(view)
+      .filter(col("_1._3") > 0 && col("_2") <= lit(m0 + RangeNs - 1))
+      .select(col("_1._1").cast("bigint").as("user_id"),
+        expr("_2 div 1000").as("ts_us"),
+        col("_1._2").as("sum_cents"), col("_1._3").as("n_events"))
+  }
+
+  val pLateFireSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       |         epoch_ns(ts) AS t
+       |  FROM events WHERE user_id < $LateUserMax),
+       |km AS (SELECT user_id, MAX(t) AS kmax FROM e GROUP BY user_id),
+       |m AS (SELECT MAX(t) AS m0 FROM e),
+       |cls AS (
+       |  SELECT e.*, (event_id % 10 = 0 AND t <= kmax - ${RangeNs}) AS late
+       |  FROM e JOIN km USING (user_id)),
+       |ot AS (SELECT * FROM cls WHERE NOT late),
+       |a AS (SELECT user_id, MIN(t) AS anchor FROM ot GROUP BY user_id),
+       |x AS (
+       |  SELECT ot.user_id, cents, anchor,
+       |         ((t - anchor) // $SlideNs) - j.j AS k
+       |  FROM ot JOIN a USING (user_id)
+       |  CROSS JOIN (SELECT unnest(range(0, ${RangeNs / SlideNs})) AS j) j),
+       |win AS (
+       |  SELECT user_id, (anchor + k * $SlideNs + $RangeNs - 1) // 1000 AS ts_us,
+       |         CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_events
+       |  FROM x CROSS JOIN m
+       |  WHERE k >= 0 AND anchor + k * $SlideNs + $RangeNs - 1 <= m0 + $RangeNs - 1
+       |  GROUP BY user_id, anchor, k)
+       |SELECT * FROM win
+       |UNION ALL
+       |SELECT user_id, t // 1000 AS ts_us, cents AS sum_cents,
+       |       CAST(1 AS BIGINT) AS n_events
+       |FROM cls WHERE late""".stripMargin
+
+  // ---------------------------------------------------------- p_collect
+  /** The `collect` combinator (application.pony:250-253, key generated at
+    * key.pony:21-23): route EVERYTHING to one key — a global
+    * serialization point — then a global-window running aggregate. The
+    * final (max-count) running output must equal the plain global SQL
+    * aggregate; this is deliberately the anti-scale shape the reference
+    * also documents (one key = one partition's state), registered to
+    * prove the combinator, with [[pAggBridge]] as the scale path. */
+  object GlobalCents extends Aggregation[(Long, Long, Long), (Long, Long), CentsAcc] {
+    override val name = "global cents"
+    def initialAccumulator(): CentsAcc = new CentsAcc
+    def update(in: (Long, Long, Long), acc: CentsAcc): Unit = { acc.cents += in._2; acc.n += 1 }
+    def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
+      val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
+    }
+    def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[(Long, Long)] =
+      Some((acc.cents, acc.n))
+  }
+
+  def pCollect(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    implicit val long2Enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    Graft.source("collect", DatasetSource(eventStream(s, dir), (e: (Long, Long, Long)) => e._3))
+      .collectAll()
+      .toGlobalWindow(GlobalCents)
+      .dataset // running (cents, n) per message; n strictly increases
+      .agg(max(struct(col("_1._2").as("n"), col("_1._1").as("c"))).as("b"))
+      .select(col("b.c").as("total_cents"), col("b.n").as("n_events"))
+  }
+
+  val pCollectSql: String =
+    """SELECT CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |       COUNT(*) AS n_events
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------- p_dedup
   /** The DSL dedup stage ([[Pipeline.dedupBy]]) batch-replayed over the
     * documents corpus: fingerprint = md5 of normalized text, event time =
@@ -591,5 +724,7 @@ object PipelineQueries {
     "p_sliding" -> ((pSliding _, Some(pSlidingSql))),
     "p_agg_bridge" -> ((pAggBridge _, Some(pAggBridgeSql))),
     "p_ephemeral" -> ((pEphemeral _, Some(pEphemeralSql))),
+    "p_late_fire" -> ((pLateFire _, Some(pLateFireSql))),
+    "p_collect" -> ((pCollect _, Some(pCollectSql))),
     "p_topk" -> ((pTopk _, Some(pTopkSql))))
 }
