@@ -344,9 +344,13 @@ object PipelineQueries {
     * UNION ALL one singleton per straggler. */
   val LateUserMax = 300L
 
-  def pLateFire(s: SparkSession, dir: String): DataFrame = {
-    implicit val ss: SparkSession = s
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  /** The shared arrival rig for the late-data entries: collect the bounded
+    * event slice driver-side (the external producer's schedule — same
+    * contract as [[graft.operators.WireQueries]]), classify stragglers
+    * (event_id % 10 == 0, more than one window range behind the key's
+    * max), and return (ontime, stragglers, m0 = global max ts, span). */
+  private def lateArrival(s: SparkSession, dir: String): (
+      Array[(Long, Long, Long)], Array[(Long, Long, Long)], Long, Long) = {
     val rows = Tables.events(s, dir)
       .filter(col("user_id") < LateUserMax)
       .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
@@ -356,33 +360,51 @@ object PipelineQueries {
       .collect()
     val kmax = rows.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
     val m0 = rows.map(_._3).max
+    val span = m0 - rows.map(_._3).min
     val (stragglers, ontime) = rows.partition(r =>
       r._4 % 10 == 0 && r._3 <= kmax(r._1) - RangeNs)
-    val sentinels = rows.map(_._1).distinct.sorted
-      .map(u => (u, 0L, m0 + 2 * RangeNs))
+    (ontime.map(r => (r._1, r._2, r._3)), stragglers.map(r => (r._1, r._2, r._3)),
+      m0, span)
+  }
 
+  /** Run the three-phase script (on-time, stragglers, per-key sentinels at
+    * `sentinelTs`) through the given windowed stage and return the
+    * filtered, µs-floored output. */
+  private def runLateScript(s: SparkSession, name: String,
+      init: StateInitializer[(Long, Long, Long), (String, Long, Long)],
+      ontime: Array[(Long, Long, Long)], stragglers: Array[(Long, Long, Long)],
+      sentinelTs: Long, maxOutTs: Long): DataFrame = {
+    implicit val ss: SparkSession = s
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sentinels = (ontime ++ stragglers).map(_._1).distinct.sorted
+      .map(u => (u, 0L, sentinelTs))
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
-    val view = s"p_late_fire_${System.nanoTime()}"
-    val h = Graft.source("late-fire",
+    val view = s"${name.replace('-', '_')}_${System.nanoTime()}"
+    val h = Graft.source(name,
         DatasetSource(mem.toDS(), (e: (Long, Long, Long)) => e._3))
       .keyBy(_._1.toString)
-      .to(Graft.rangeWindows(RangeNs).withSlide(SlideNs)
-        .withLateDataPolicy(LateDataPolicy.FirePerMessage).over(WindowCents))
+      .to(init)
       .toSink(MemorySink(view))
     try {
-      Seq(ontime.map(r => (r._1, r._2, r._3)).toSeq,
-        stragglers.map(r => (r._1, r._2, r._3)).toSeq,
-        sentinels.toSeq).foreach { batch =>
+      Seq(ontime.toSeq, stragglers.toSeq, sentinels.toSeq).foreach { batch =>
         mem.addData(batch); h.processAllAvailable()
       }
       h.processAllAvailable() // armed timers fire after the last wm advance
     } finally h.stop()
     s.table(view)
-      .filter(col("_1._3") > 0 && col("_2") <= lit(m0 + RangeNs - 1))
+      .filter(col("_1._3") > 0 && col("_2") <= lit(maxOutTs))
       .select(col("_1._1").cast("bigint").as("user_id"),
         expr("_2 div 1000").as("ts_us"),
         col("_1._2").as("sum_cents"), col("_1._3").as("n_events"))
+  }
+
+  def pLateFire(s: SparkSession, dir: String): DataFrame = {
+    val (ontime, stragglers, m0, _) = lateArrival(s, dir)
+    runLateScript(s, "late-fire",
+      Graft.rangeWindows(RangeNs).withSlide(SlideNs)
+        .withLateDataPolicy(LateDataPolicy.FirePerMessage).over(WindowCents),
+      ontime, stragglers, m0 + 2 * RangeNs, m0 + RangeNs - 1)
   }
 
   val pLateFireSql: String =
@@ -413,6 +435,59 @@ object PipelineQueries {
        |SELECT user_id, t // 1000 AS ts_us, cents AS sum_cents,
        |       CAST(1 AS BIGINT) AS n_events
        |FROM cls WHERE late""".stripMargin
+
+  // ---------------------------------------------------------- p_late_delay
+  /** Allowed lateness (`with_delay`, windows.pony:54-56;
+    * panes_range_windows.pony:349-354): the SAME out-of-order arrival
+    * script as [[pLateFire]], but with a delay wider than the data's
+    * timeline span and the default Drop policy — so every straggler still
+    * finds its window open and aggregates into it, and the output is the
+    * plain per-key grid over ALL rows as if arrival order never mattered.
+    * Against p_late_fire this is the policy-knob A/B the conformance
+    * suite pins per-vector, here proven end to end under the driver's
+    * hash gate: same input, same arrival, different window contents.
+    *
+    * The delay D = (span/slide + 2)·slide also freezes the machine's
+    * grid: with D beyond the span, a trigger's re-anchor jump
+    * (lowestPossibleNewStart = wm − range − D) can never pass the ring's
+    * last pane, so every window stays on the anchor−D grid and the
+    * arithmetic oracle is exact — verified at sf0.001/0.01/0.1.
+    * Anchor = (key's first ON-TIME event) − D: the wrapper is created in
+    * phase 1, where only on-time rows exist. */
+  def pLateDelay(s: SparkSession, dir: String): DataFrame = {
+    val (ontime, stragglers, m0, span) = lateArrival(s, dir)
+    val delayNs = (span / SlideNs + 2) * SlideNs
+    runLateScript(s, "late-delay",
+      Graft.rangeWindows(RangeNs).withSlide(SlideNs).withDelay(delayNs)
+        .over(WindowCents),
+      ontime, stragglers, m0 + 2 * (RangeNs + delayNs), m0 + RangeNs - 1)
+  }
+
+  val pLateDelaySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       |         epoch_ns(ts) AS t
+       |  FROM events WHERE user_id < $LateUserMax),
+       |km AS (SELECT user_id, MAX(t) AS kmax FROM e GROUP BY user_id),
+       |m AS (SELECT MAX(t) AS m0,
+       |             ((MAX(t) - MIN(t)) // $SlideNs + 2) * $SlideNs AS dly
+       |      FROM e),
+       |cls AS (
+       |  SELECT e.*, (event_id % 10 = 0 AND t <= kmax - ${RangeNs}) AS late
+       |  FROM e JOIN km USING (user_id)),
+       |a AS (
+       |  SELECT user_id, MIN(t) - (SELECT dly FROM m) AS anchor
+       |  FROM cls WHERE NOT late GROUP BY user_id),
+       |x AS (
+       |  SELECT cls.user_id, cents, anchor,
+       |         ((t - anchor) // $SlideNs) - j.j AS k
+       |  FROM cls JOIN a USING (user_id)
+       |  CROSS JOIN (SELECT unnest(range(0, ${RangeNs / SlideNs})) AS j) j)
+       |SELECT user_id, (anchor + k * $SlideNs + $RangeNs - 1) // 1000 AS ts_us,
+       |       CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_events
+       |FROM x CROSS JOIN m
+       |WHERE k >= 0 AND anchor + k * $SlideNs + $RangeNs - 1 <= m0 + $RangeNs - 1
+       |GROUP BY user_id, anchor, k""".stripMargin
 
   // ---------------------------------------------------------- p_collect
   /** The `collect` combinator (application.pony:250-253, key generated at
@@ -725,6 +800,7 @@ object PipelineQueries {
     "p_agg_bridge" -> ((pAggBridge _, Some(pAggBridgeSql))),
     "p_ephemeral" -> ((pEphemeral _, Some(pEphemeralSql))),
     "p_late_fire" -> ((pLateFire _, Some(pLateFireSql))),
+    "p_late_delay" -> ((pLateDelay _, Some(pLateDelaySql))),
     "p_collect" -> ((pCollect _, Some(pCollectSql))),
     "p_topk" -> ((pTopk _, Some(pTopkSql))))
 }

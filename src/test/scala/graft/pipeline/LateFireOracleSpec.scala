@@ -40,6 +40,26 @@ class LateFireOracleSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 1), "no aggregated window outputs present")
   }
 
+  test("p_late_delay: with the delay open, no straggler fires a singleton") {
+    val got = PipelineQueries.pLateDelay(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rows = graft.Tables.events(spark, dir)
+      .filter(col("user_id") < PipelineQueries.LateUserMax)
+      .select(col("user_id"), expr("cast(round(value * 100) as bigint)"),
+        col("ts_ns"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val kmax = rows.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val stragglers = rows.filter(r =>
+      r._4 % 10 == 0 && r._3 <= kmax(r._1) - PipelineQueries.RangeNs)
+    // a window's output ts is end−1 ≡ 999 ns mod 1000, an event's is ≡ 0,
+    // so a singleton stamp can never collide with a window stamp
+    stragglers.foreach { r =>
+      assert(!got.contains((r._1, r._3 / 1000, r._2, 1L)),
+        s"straggler $r fired a singleton despite the open delay")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("p_collect: the global serialization point reproduces the global aggregate") {
     val got = PipelineQueries.pCollect(spark, dir).collect().head
     val exp = graft.Tables.events(spark, dir)
