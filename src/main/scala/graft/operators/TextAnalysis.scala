@@ -1357,7 +1357,54 @@ object TextAnalysis {
        |JOIN w$BpeMerges v USING (w)
        |GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ t_shuffle_shard
+  /** Deterministic seeded shuffle + shard assignment — the "write N
+    * shuffled training shards" step that ends every corpus build: docs
+    * are ordered by a seeded portable hash (the shuffle), assigned
+    * shard = hash mod [[ShuffleShards]], and positioned within their
+    * shard. The output is one row per shard with counts, token totals,
+    * and an ORDER-PINNING signature (bit_xor of position×doc-hash
+    * products, bounded so ANSI-mode Long arithmetic can never overflow
+    * at any corpus size) — so the driver's hash gate certifies not just
+    * shard membership but the exact permutation a trainer would read.
+    *
+    * Scale shape: one shuffle keyed by shard + a within-shard sort —
+    * precisely the physical plan of writing sorted shard files
+    * (`repartition(shard).sortWithinPartitions(h)`); text is never
+    * carried, only (doc_id, n_toks, 8-byte hash). */
+  val ShuffleShards = 64
+
+  def tShuffleShard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Portable.sparkTokens("text")
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      expr(s"cast(size($toks) as bigint)").as("n_toks"),
+      expr(Portable.sparkHash("cast(doc_id as string)", "shuf")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)))
+    d.withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc))
+        .cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        expr("bit_xor((pos % 1048576) * (h % 1048573))").as("order_sig"))
+  }
+
+  val tShuffleShardSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(${Portable.duckTokens("text")}) AS BIGINT) AS n_toks,
+       |         ${Portable.duckHash("CAST(doc_id AS VARCHAR)", "shuf")} AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_toks, h, h % $ShuffleShards AS shard,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY h % $ShuffleShards
+       |           ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+       |  FROM d)
+       |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |       CAST(bit_xor((pos % 1048576) * (h % 1048573)) AS BIGINT) AS order_sig
+       |FROM p GROUP BY shard""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t_shuffle_shard" -> ((tShuffleShard _, Some(tShuffleShardSql))),
     "t_bpe_train" -> ((tBpeTrain _, Some(tBpeTrainSql))),
     "t_bpe_encode" -> ((tBpeEncode _, Some(tBpeEncodeSql))),
     "t_pipeline_e2e" -> ((tPipelineE2e _, Some(tPipelineE2eSql))),
