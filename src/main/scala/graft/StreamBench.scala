@@ -381,6 +381,32 @@ object StreamBench {
       Graft.source("bench-statecomp", src)
         .keyBy(_._1.toString)
         .to(SpreadCheck)(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+
+    // The full market-spread topology (p_market_spread's shape, the
+    // reference's published-number demo): TWO concurrent file sources —
+    // the quote leg and the order leg, each replaying the staged events —
+    // merged into one keyed flow whose per-key state the quote leg writes
+    // and the order leg reads. numInputRows counts BOTH legs, so the
+    // sustained rate is the merged ingest volume, directly comparable to
+    // the reference's ~1.5 M msgs/s market-spread figure (BASELINE.md).
+    // Order events ride 1 ns behind their quote twin so the per-key
+    // within-batch event-time sort interleaves the legs deterministically.
+    val spreadOutEnc: Encoder[(Long, Long, Long, Long, Boolean)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaBoolean)
+    implicit val long5Enc: Encoder[(Long, Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+    def spreadLeg(kind: Long) = ParquetReplaySource[(Long, Long, Long, Long, Long)](
+      staged,
+      (r: Row) => (kind, r.getLong(2), r.getLong(0), r.getLong(1), r.getLong(2) + kind),
+      (r: Row) => r.getLong(2) + kind,
+      maxFilesPerTrigger = 32)
+    def marketSpread() =
+      Graft.source("bench-ms-quotes", spreadLeg(0L))
+        .merge(Graft.source("bench-ms-orders", spreadLeg(1L)))
+        .keyBy(_._3.toString)
+        .to(graft.operators.PipelineQueries.MarketCheck)(spreadOutEnc)
     // The windowed leaderboard (p_topk's chain priced as a stream):
     // stateless hour/type assignment → (hour,type)-keyed count-window
     // partial counts → durable handoff → per-hour global-window board.
@@ -442,8 +468,8 @@ object StreamBench {
     // each is recorded individually in `failed` so the JSON shows exactly
     // which rows are missing and why the bench is partial.
     val eventRowNames =
-      Seq("stream_stateless", "stream_statecomp", "stream_sliding",
-        "stream_countwin", "stream_ephemeral",
+      Seq("stream_stateless", "stream_statecomp", "stream_market_spread",
+        "stream_sliding", "stream_countwin", "stream_ephemeral",
         "stream_two_stage", "stream_topk", "stream_session")
     val base = (if (evStaged.isDefined) Seq(
       bench("stream_stateless", baseProvider) { () =>
@@ -454,6 +480,8 @@ object StreamBench {
         }
       },
       bench("stream_statecomp", baseProvider)(() => trial("stream_statecomp")(statecomp)),
+      bench("stream_market_spread", baseProvider)(() =>
+        trial("stream_market_spread")(_ => marketSpread())),
       bench("stream_sliding", baseProvider)(() => trial("stream_sliding")(sliding)),
       bench("stream_countwin", baseProvider)(() => trial("stream_countwin")(countwin)),
       bench("stream_ephemeral", baseProvider)(() => trial("stream_ephemeral")(ephemeral)),

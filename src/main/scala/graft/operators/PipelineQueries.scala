@@ -788,7 +788,100 @@ object PipelineQueries {
        |SELECT b.h_us AS window_start_us, u.updates, b.topk
        |FROM b JOIN u USING (h_us)""".stripMargin
 
+  // ---------------------------------------------------- p_market_spread
+  /** The reference's flagship demo — Market Spread
+    * (examples/python/market_spread/market_spread.py:58-100): TWO sources
+    * (market data + orders) merged into one stream
+    * (application.pony:118-147 `merge`), keyed by instrument, flowing
+    * into ONE per-key state that the market-data leg WRITES and the
+    * order leg READS — the reference's hand-rolled stream-stream keyed
+    * enrichment (SURVEY §2.6: "the closest thing to a join").
+    *
+    * Testdata mapping: 'view' events are the quote stream (last value =
+    * the instrument's live price), 'purchase' events are the orders;
+    * key = user_id stands in for the symbol. An order is REJECTED when
+    * no quote has been seen yet or its price sits outside ±20% of the
+    * last quote (market_spread.py:85-100 rejects on a wide bid/ask
+    * spread; one value per quote gives the single-sided analogue).
+    * Integer cents only — both engines derive identical booleans.
+    *
+    * Determinism: per-user event times are strictly increasing in the
+    * testdata (TablesSpec pins it), so the batch replay's per-key
+    * event-time sort interleaves the two merged legs exactly as the
+    * oracle's ASOF join (strictly-earlier quote) sees them.
+    *
+    * Scale shape (100 TB): ONE shuffle of both legs on the key; state is
+    * 8 bytes per live instrument (the last quote), not a buffered join
+    * window — this is why the reference demos the pattern at 1.5 M
+    * msgs/s/worker and why Spark's own stream-stream join (which buffers
+    * both sides to the watermark) is the wrong plan for it. The
+    * streaming twin runs in MarketSpreadSpec; StreamBench's
+    * stream_statecomp row prices the same shape at volume. */
+  final class LastQuote extends Serializable { var cents: Long = -1L }
+
+  object MarketCheck extends StateComputation[
+      (Long, Long, Long, Long, Long), (Long, Long, Long, Long, Boolean), LastQuote] {
+    override val name = "market check"
+    def initialState(): LastQuote = new LastQuote
+    def apply(e: (Long, Long, Long, Long, Long), st: LastQuote):
+        ComputationResult[(Long, Long, Long, Long, Boolean)] = {
+      val (kind, eventId, userId, cents, _) = e
+      if (kind == 0L) { st.cents = cents; ComputationResult.Discard }
+      else {
+        val q = st.cents
+        val rejected = q < 0L || cents * 10L > q * 12L || cents * 10L < q * 8L
+        ComputationResult.One((eventId, userId, cents, q, rejected))
+      }
+    }
+  }
+
+  def pMarketSpread(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    implicit val in5: Encoder[(Long, Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+    implicit val out5: Encoder[(Long, Long, Long, Long, Boolean)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaBoolean)
+    def leg(kind: Long, eventType: String) = Tables.events(s, dir)
+      .filter(col("event_type") === eventType)
+      .select(lit(kind).as("kind"), col("event_id"), col("user_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"), col("ts_ns"))
+      .as[(Long, Long, Long, Long, Long)]
+    val quotes = Graft.source("market-data",
+      DatasetSource(leg(0L, "view"), (e: (Long, Long, Long, Long, Long)) => e._5))
+    val orders = Graft.source("orders",
+      DatasetSource(leg(1L, "purchase"), (e: (Long, Long, Long, Long, Long)) => e._5))
+    quotes.merge(orders)
+      .keyBy(_._3.toString)
+      .to(MarketCheck)
+      .dataset
+      .select(col("_1._1").as("event_id"), col("_1._2").as("user_id"),
+        col("_1._3").as("order_cents"), col("_1._4").as("quote_cents"),
+        col("_1._5").as("rejected"))
+  }
+
+  /** DuckDB's native ASOF join is the batch-declarative form of the same
+    * semantics: each order picks the latest strictly-earlier quote. */
+  val pMarketSpreadSql: String =
+    """WITH quotes AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |         CAST(round(value * 100) AS BIGINT) AS quote_cents
+      |  FROM events WHERE event_type = 'view'),
+      |orders AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |         CAST(round(value * 100) AS BIGINT) AS order_cents
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT o.event_id, o.user_id, o.order_cents,
+      |  COALESCE(q.quote_cents, -1) AS quote_cents,
+      |  (q.quote_cents IS NULL
+      |    OR o.order_cents * 10 > q.quote_cents * 12
+      |    OR o.order_cents * 10 < q.quote_cents * 8) AS rejected
+      |FROM orders o ASOF LEFT JOIN quotes q
+      |  ON o.user_id = q.user_id AND o.ts_us > q.ts_us""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "p_market_spread" -> ((pMarketSpread _, Some(pMarketSpreadSql))),
     "p_dedup" -> ((pDedup _, Some(pDedupSql))),
     "p_funnel" -> ((pFunnel _, Some(pFunnelSql))),
     "p_neardup" -> ((pNearDedup _, Some(pNearDedupSql))),
