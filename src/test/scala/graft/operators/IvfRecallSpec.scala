@@ -26,4 +26,15 @@ class IvfRecallSpec extends AnyFunSuite {
       Similarity.IvfProbes.toDouble / Similarity.IvfCentroids,
       "probe form must spend the same candidate-scan fraction as the pinned form")
   }
+
+  test("PQ-ADC recall@5 >= 0.6 re-ranking PqCand candidates from 4-byte codes") {
+    val truth = pairs(Similarity.sAnnBrute(spark, dir))
+    val got = pairs(Similarity.sAnnPq(spark, dir))
+    val recall = truth.count(got.contains).toDouble / truth.size
+    info(f"s_ann_pq recall@5 = $recall%.3f over ${truth.size} truth pairs")
+    assert(recall >= 0.6, f"recall@5 $recall%.3f < 0.6")
+    // the operator's reason to exist: PqSub codes per vector vs Dim floats
+    assert(Similarity.PqSub * 1.0 / (Similarity.Dim * 8) <= 1.0 / 64,
+      "code bytes must stay >= 64x smaller than the float vector")
+  }
 }
