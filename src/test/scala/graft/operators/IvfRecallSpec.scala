@@ -37,4 +37,12 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(Similarity.PqSub * 1.0 / (Similarity.Dim * 8) <= 1.0 / 64,
       "code bytes must stay >= 64x smaller than the float vector")
   }
+
+  test("IVF-PQ composition recall@5 >= 0.7 (cells prune, codes score, 64 re-rank)") {
+    val truth = pairs(Similarity.sAnnBrute(spark, dir))
+    val got = pairs(Similarity.sAnnIvfPq(spark, dir))
+    val recall = truth.count(got.contains).toDouble / truth.size
+    info(f"s_ann_ivfpq recall@5 = $recall%.3f over ${truth.size} truth pairs")
+    assert(recall >= 0.7, f"recall@5 $recall%.3f < 0.7")
+  }
 }
