@@ -16,6 +16,12 @@ class PlanGuardSpec extends AnyFunSuite {
     * loop" is a per-row loop over a constant-size array. */
   private val allowedBnlj =
     Set("s_ann_brute", "s_ann_ivf", "s_ann_ivf_trained", "s_ann_ivf_probe",
+      // ADC scan: the 20-query side (with its per-subspace lookup
+      // tables) is the broadcast side; candidates stream past it
+      "s_ann_pq",
+      // centroid assignment joins: bounded trained-centroid broadcast,
+      // like s_ann_ivf_trained (the ADC pair join itself is cell-keyed)
+      "s_ann_ivfpq",
       "d_ngram_jaccard",
       // corpus-total denominator: 1-row broadcast, like d_ngram_jaccard
       "t_perplexity",
