@@ -49,7 +49,8 @@ object ScaleProbe {
       "q_events_anomaly", "t_pipeline_e2e", "t_bpe_train", "t_bpe_encode",
       "m_phash_dedup", "t_quality_model", "t_seq_pack",
       "s_knn_graph", "s_quantize", "p_neardup", "t_ngram_lm",
-      "t_dataset_card", "p_topk")
+      "t_dataset_card", "p_topk", "s_ann_pq", "s_ann_ivfpq",
+      "p_market_spread")
     // optional second arg: comma-separated probe subset
     val probes = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(allProbes).filter(allProbes.contains)
