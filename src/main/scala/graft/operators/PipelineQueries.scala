@@ -525,6 +525,43 @@ object PipelineQueries {
       |       COUNT(*) AS n_events
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------- p_local_preagg
+  /** local_collect as PRE-AGGREGATION (application.pony:255-256, followed
+    * by the global combine — the reference's two-level aggregation
+    * pattern): each source partition folds its events into one
+    * (cents, n) partial via partition-scoped state, then the partials —
+    * one row per parallel unit — combine globally. Next to [[pCollect]]'s
+    * single serialization point this is the scale shape: only P partial
+    * rows ever cross a partition boundary. The oracle is the plain
+    * global aggregate — the two-level fold must be invisible in the
+    * result. */
+  object LocalCents extends Aggregation[(Long, Long, Long), (String, Long, Long), CentsAcc] {
+    override val name = "local cents"
+    def initialAccumulator(): CentsAcc = new CentsAcc
+    def update(in: (Long, Long, Long), acc: CentsAcc): Unit = { acc.cents += in._2; acc.n += 1 }
+    def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
+      val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
+    }
+    def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[(String, Long, Long)] =
+      Some((key, acc.cents, acc.n))
+  }
+
+  def pLocalPreagg(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    Graft.source("local-preagg",
+        DatasetSource(eventStream(s, dir), (e: (Long, Long, Long)) => e._3))
+      .localCollect()
+      .toGlobalWindow(LocalCents)
+      .dataset // running (partition key, cents, n), n strictly increasing per key
+      .groupBy(col("_1._1").as("part"))
+      .agg(max(struct(col("_1._3").as("n"), col("_1._2").as("c"))).as("b"))
+      .agg(sum(col("b.c")).cast("long").as("total_cents"),
+        sum(col("b.n")).cast("long").as("n_events"))
+  }
+
+  // same oracle as p_collect: the partials must recombine exactly
+  val pLocalPreaggSql: String = pCollectSql
+
   // ---------------------------------------------------------- p_dedup
   /** The DSL dedup stage ([[Pipeline.dedupBy]]) batch-replayed over the
     * documents corpus: fingerprint = md5 of normalized text, event time =
@@ -895,5 +932,6 @@ object PipelineQueries {
     "p_late_fire" -> ((pLateFire _, Some(pLateFireSql))),
     "p_late_delay" -> ((pLateDelay _, Some(pLateDelaySql))),
     "p_collect" -> ((pCollect _, Some(pCollectSql))),
+    "p_local_preagg" -> ((pLocalPreagg _, Some(pLocalPreaggSql))),
     "p_topk" -> ((pTopk _, Some(pTopkSql))))
 }

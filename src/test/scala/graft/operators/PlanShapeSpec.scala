@@ -62,6 +62,39 @@ class PlanShapeSpec extends AnyFunSuite {
       "leaderboard chain must shuffle events once, partials once, boards once")
   }
 
+  test("ANN rank tails are bounded aggregations, not full-sort windows") {
+    // VERDICT r6 #1: row_number().over(partitionBy(query_id)) sorted the
+    // whole candidate stream through ≤NumQueries partitions. The TopKAgg
+    // tail must show up as an ObjectHashAggregate pair (partial map-side,
+    // final after a buffers-only exchange) and NO window operator at all
+    // in the searches that rank only per query.
+    for (name <- Seq("s_ann_brute", "s_ann_lsh", "s_ann_pq")) {
+      val plan = planOf(name)
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$name must not rank via a window sort")
+      val oha = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }
+      assert(oha.nonEmpty, s"$name must rank via the bounded TopKAgg")
+    }
+    // The IVF forms keep windows ONLY for per-vector cell assignment
+    // (partitionBy(vec_id/neighbor_id/query_id over centroid rows) — full
+    // key cardinality, no ceiling); their rank tail must still be the
+    // aggregator, i.e. no window ordered by cosine or adist.
+    for (name <- Seq("s_ann_ivf", "s_ann_ivf_probe", "s_ann_ivfpq")) {
+      val plan = planOf(name)
+      val rankWindows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.orderSpec.exists(_.child.references.exists(a =>
+              a.name == "cosine" || a.name == "adist")) => w
+      }
+      assert(rankWindows.isEmpty,
+        s"$name must rank candidates via the bounded TopKAgg, not a window sort")
+    }
+  }
+
   test("q_events_anomaly shuffles each scan once on event_type") {
     // the median branch and the deviation branch each hash-partition
     // their events scan once; the MAD rank and the flag join ride the
