@@ -48,7 +48,7 @@ object Bench {
     // round 4 — so a run's absolute numbers are only interpretable
     // against its calibration time: if calibration_sec is 2x another
     // run's, discount the whole run accordingly.
-    val calibration = {
+    def calProbe(): Double = {
       import org.apache.spark.sql.functions.{avg, expr, max, sum}
       val t0 = System.nanoTime()
       spark.range(1L << 26).selectExpr("id % 1024 as k", "id as v")
@@ -56,15 +56,25 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    val calibration = calProbe()
+    // The probe re-runs every CalEvery queries (VERDICT r6 #4: a host that
+    // degrades MID-run skews a startup-only normalization — round 6's
+    // builder and driver same-day totals disagreed 81 vs 111 s calibrated).
+    // calibration_series records (query-index, sec) for each probe; each
+    // query normalizes by its NEAREST probe, so a load spike discounts
+    // only the queries that ran inside it.
+    val CalEvery = 10
+    val calSeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, calibration))
 
     // GRAFT_BENCH_ONLY="d_cluster,d_ngram_jaccard" benches a subset (and
     // skips the streaming pack) — the iterate-on-one-operator loop.
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val results = queryList.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi > 0 && qi % CalEvery == 0) calSeries += ((qi, calProbe()))
       val runs = (1 to repeats).iterator.map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -94,6 +104,8 @@ object Bench {
       }
       name -> runs
     }
+    // closing probe: the tail queries get a neighbor on their right too
+    calSeries += ((queryList.size, calProbe()))
     val medians = results.map { case (name, runs) => name -> median(runs) }
     // The streaming pack runs AFTER every batch timing is in hand, so it
     // must never be able to destroy them: StreamBench.run failure-isolates
@@ -143,9 +155,21 @@ object Bench {
     // "what total would have been on the idle reference host".
     val refCal = sys.env.getOrElse("GRAFT_BENCH_REF_CAL_SEC", "0.93").toDouble
     val totalCalibrated = total * (refCal / calibration)
+    // Interleaved normalization: each query discounts by its NEAREST
+    // calibration probe (ties toward the earlier probe), so only the
+    // queries that actually ran under a load spike are discounted —
+    // builder and driver totals should now agree within host noise even
+    // when one host degrades mid-run.
+    def nearestCal(qi: Int): Double =
+      calSeries.minBy { case (at, _) => (math.abs(at - qi), at) }._2
+    val totalCalibratedInterleaved = medians.zipWithIndex
+      .map { case ((_, m), qi) => m * (refCal / nearestCal(qi)) }.sum
+    val calSeriesJson = calSeries
+      .map { case (at, sec) => s"""{"at":$at,"sec":$sec}""" }
+      .mkString("[", ",", "]")
     val subsetJson = only.fold("false")(s =>
       s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_calibrated":$totalCalibrated,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
     println(json)
     // The round-4 driver capture truncated the stdout tail and destroyed
     // the artifact (VERDICT r4 #1) — also write the same JSON to a file so

@@ -1,0 +1,19 @@
+package graft
+
+/** Scratch recall probe (not part of the driver contract): recall@k of
+  * one ANN variant vs brute force, Spark-side only — for tuning PQ
+  * fidelity knobs before committing them to the oracle chains. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = Sessions.local("graft-recall-probe")
+    val brute = operators.Similarity.sAnnBrute(spark, dir)
+      .select("query_id", "neighbor_id")
+    val variant = operators.Similarity.sAnnIvfPq(spark, dir)
+      .select("query_id", "neighbor_id")
+    val n = brute.count()
+    val m = variant.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
+    println(s"[recall-probe] ivfpq $m/$n = ${m.toDouble / n}")
+    spark.stop()
+  }
+}

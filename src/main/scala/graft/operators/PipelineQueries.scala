@@ -842,10 +842,14 @@ object PipelineQueries {
     * spread; one value per quote gives the single-sided analogue).
     * Integer cents only — both engines derive identical booleans.
     *
-    * Determinism: per-user event times are strictly increasing in the
-    * testdata (TablesSpec pins it), so the batch replay's per-key
-    * event-time sort interleaves the two merged legs exactly as the
-    * oracle's ASOF join (strictly-earlier quote) sees them.
+    * Determinism: per-user event times are strictly increasing AT
+    * MICROSECOND granularity in the testdata (TablesSpec's
+    * "per-user event times are strictly increasing" test pins it at all
+    * three SFs), so the batch replay's per-key ns-ordered sort
+    * interleaves the two merged legs exactly as the oracle's ASOF join
+    * (strictly-earlier quote at epoch_us) sees them — a same-µs
+    * quote/order pair would break the equivalence, which is why the
+    * invariant is guarded by a spec rather than assumed.
     *
     * Scale shape (100 TB): ONE shuffle of both legs on the key; state is
     * 8 bytes per live instrument (the last quote), not a buffered join

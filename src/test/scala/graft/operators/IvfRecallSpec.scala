@@ -27,7 +27,7 @@ class IvfRecallSpec extends AnyFunSuite {
       "probe form must spend the same candidate-scan fraction as the pinned form")
   }
 
-  test("PQ-ADC recall@5 >= 0.6 re-ranking PqCand candidates from 4-byte codes") {
+  test("PQ-ADC recall@5 >= 0.6 re-ranking PqCand candidates from 5-byte codes") {
     val truth = pairs(Similarity.sAnnBrute(spark, dir))
     val got = pairs(Similarity.sAnnPq(spark, dir))
     val recall = truth.count(got.contains).toDouble / truth.size

@@ -22,6 +22,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // centroid assignment joins: bounded trained-centroid broadcast,
       // like s_ann_ivf_trained (the ADC pair join itself is cell-keyed)
       "s_ann_ivfpq",
+      // same search served from the materialized parquet index — the
+      // BNLJ is the identical bounded centroid-assignment broadcast
+      "p_ann_search",
       "d_ngram_jaccard",
       // corpus-total denominator: 1-row broadcast, like d_ngram_jaccard
       "t_perplexity",

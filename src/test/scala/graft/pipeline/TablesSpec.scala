@@ -86,4 +86,32 @@ class TablesSpec extends AnyFunSuite {
     for (name <- graft.Tables.names)
       assert(load(name).limit(1).count() == 1L, s"$name is empty")
   }
+
+  test("per-user event times are strictly increasing at MICROSECOND granularity") {
+    // p_market_spread's oracle equivalence rests on this (ADVICE r6):
+    // the batch/stream replay orders merged legs by ts_ns while the
+    // DuckDB ASOF oracle compares strictly at epoch_us — two same-user
+    // events inside one microsecond would be ordered by the replay but
+    // excluded by the oracle's strict o.ts_us > q.ts_us. Guard the
+    // invariant at every SF the driver touches so a testdata
+    // regeneration that violates it fails HERE, not as an opaque hash
+    // mismatch. (Same-ns ties would also make the per-key replay sort
+    // nondeterministic; µs-strict implies ns-strict.)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns")
+      val violations = graft.Tables.events(spark, s"/root/testdata/$sf")
+        .select(col("user_id"), col("ts_ns"),
+          // integer division — ts_ns ~1.7e18 exceeds double precision,
+          // so `/ 1000` (float div) would corrupt the µs values
+          expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("prev_us", lag("ts_us", 1).over(w))
+        .filter(col("prev_us").isNotNull && col("ts_us") <= col("prev_us"))
+        .count()
+      assert(violations === 0L,
+        s"$sf: $violations same-user event pairs within one microsecond — " +
+          "p_market_spread's replay/ASOF-oracle equivalence is broken")
+    }
+  }
 }
