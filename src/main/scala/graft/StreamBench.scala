@@ -140,6 +140,12 @@ object StreamBench {
         Seq[(String, String)], Seq[(String, String)], Seq[String]) = {
     implicit val ss: SparkSession = spark
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // GRAFT_STREAM_ONLY="stream_neardup,stream_ann" runs a subset (and
+    // skips the staging the unselected rows would have needed) — the
+    // iterate-on-one-pipeline loop, mirroring GRAFT_BENCH_ONLY.
+    val streamOnly = sys.env.get("GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = streamOnly.forall(_.contains(name))
     // Stage (user_id, cents, ts_ns) as a 32-file parquet dir so the file
     // source replays it as micro-batches of 16 parallel file-read tasks.
     // ×80 replication (ts perturbed by the replica index so per-key event
@@ -148,8 +154,14 @@ object StreamBench {
     // JIT cost, and the per-batch fixed costs (offset/commit-log fsyncs,
     // state-store commit latency) amortize the way a throughput-tuned
     // deployment would size its triggers.
+    val eventRowNames =
+      Seq("stream_stateless", "stream_statecomp", "stream_market_spread",
+        "stream_sliding", "stream_countwin", "stream_ephemeral",
+        "stream_two_stage", "stream_topk", "stream_session",
+        "stream_statecomp_tws", "stream_sliding_tws")
     val evStaged: Option[(String, Double)] =
-      try {
+      if (!eventRowNames.exists(wanted)) None
+      else try {
         val staged = Files.createTempDirectory("graft_stream_src").toString
         val ev = Tables.events(spark, sfDir)
           .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
@@ -309,7 +321,8 @@ object StreamBench {
     // computation + the row shuffle to the state partition + one 8-byte
     // key per distinct signature in the store.
     val docsStagedOpt: Option[(String, Double)] =
-      try {
+      if (!wanted("stream_neardup")) None
+      else try {
         val dir = Files.createTempDirectory("graft_stream_docs").toString
         val docReps = 200L
         Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -332,7 +345,7 @@ object StreamBench {
           docStaged,
           (r: Row) => (r.getLong(0), r.getString(1), r.getLong(2)),
           (r: Row) => r.getLong(2),
-          maxFilesPerTrigger = 8))
+          maxFilesPerTrigger = 16))
         .dedupBy(p => java.lang.Long.toHexString(
           graft.functions.SimHash.fastSignature(p._2)))
         .toSink(EmptySink[(Long, String, Long)](),
@@ -360,7 +373,8 @@ object StreamBench {
     // in later micro-batches see state already primed — the live-index
     // at-least-once semantics a streaming ANN actually has.
     val annStagedOpt: Option[(String, String, Double)] =
-      try {
+      if (!wanted("stream_ann")) None
+      else try {
         val idxDir = Files.createTempDirectory("graft_stream_annidx").toString
         val probeDir = Files.createTempDirectory("graft_stream_annprobe").toString
         val codeArr = (0 until 8).map(m => s"cast(code_$m as double)")
@@ -477,7 +491,8 @@ object StreamBench {
     // pipelines (and the already-computed batch pack upstream) survive.
     def bench(name: String, provider: String)(
         runTrial: () => (Double, Double, (Long, Long), (Long, Long, Long))): Option[(String, Double, Double, (Long, Long), String, String)] =
-      try {
+      if (!wanted(name)) None
+      else try {
         val ts = (1 to repeats).map(_ => runTrial())
         // State metrics stay per-trial (not medianed): the point is reading
         // a contended run's trials individually (VERDICT r4 #6).
@@ -586,10 +601,6 @@ object StreamBench {
     // An events/documents staging failure skips that table's pipelines —
     // each is recorded individually in `failed` so the JSON shows exactly
     // which rows are missing and why the bench is partial.
-    val eventRowNames =
-      Seq("stream_stateless", "stream_statecomp", "stream_market_spread",
-        "stream_sliding", "stream_countwin", "stream_ephemeral",
-        "stream_two_stage", "stream_topk", "stream_session")
     val base = (if (evStaged.isDefined) Seq(
       bench("stream_stateless", baseProvider) { () =>
         trial("stream_stateless") { src =>
@@ -607,13 +618,13 @@ object StreamBench {
       bench("stream_two_stage", baseProvider)(() => twoStageTrial()),
       bench("stream_topk", baseProvider)(() => topkTrial()),
       bench("stream_session", baseProvider)(() => sessionTrial()))
-    else { failed ++= eventRowNames; Seq.empty }) ++
+    else { failed ++= eventRowNames.filter(wanted); Seq.empty }) ++
       (if (docsStagedOpt.isDefined)
         Seq(bench("stream_neardup", baseProvider)(() => neardupTrial()))
-      else { failed += "stream_neardup"; Seq.empty }) ++
+      else { if (wanted("stream_neardup")) failed += "stream_neardup"; Seq.empty }) ++
       (if (annStagedOpt.isDefined)
         Seq(bench("stream_ann", baseProvider)(() => annTrial()))
-      else { failed += "stream_ann"; Seq.empty })
+      else { if (wanted("stream_ann")) failed += "stream_ann"; Seq.empty })
 
     // The same stateful pipelines on the transformWithState host —
     // reported side by side so the per-round JSON carries both hosts'
@@ -626,7 +637,7 @@ object StreamBench {
     // pinned the whole run to tws.
     val twsRows = if (twsHost || evStaged.isEmpty) {
       if (evStaged.isEmpty && !twsHost)
-        failed ++= Seq("stream_statecomp_tws", "stream_sliding_tws")
+        failed ++= Seq("stream_statecomp_tws", "stream_sliding_tws").filter(wanted)
       Seq.empty
     } else {
       val confs = Seq(
