@@ -229,6 +229,72 @@ object PipelineQueries {
        |FROM x WHERE k >= 0
        |GROUP BY user_id, anchor, k""".stripMargin
 
+  // ---------------------------------------------------------- p_unaligned
+  /** UNALIGNED sliding windows under the oracle gate — the reference's
+    * per-key window stagger (panes_range_windows.pony:97-110: each key's
+    * grid shifts by a random offset ≤ 0.8×range, the thundering-herd
+    * mitigation). Our `.unaligned()` derives the stagger from the
+    * portable hash of the key (deterministic across task retries —
+    * Builders.scala:61-63), which is what makes an exact DuckDB oracle
+    * POSSIBLE: the oracle re-derives each key's stagger from the same
+    * md5 fragment and shifts the [[pSliding]] arithmetic grid by it.
+    *
+    * Two determinism guards: (1) event times are fed µs-truncated
+    * (`(ts_ns div 1000) * 1000`) so the anchor has no sub-µs digits —
+    * the stagger is an arbitrary ns value, and a sub-µs anchor remainder
+    * would straddle µs flooring differently per engine; (2) the grid
+    * oracle's validity bound tightens vs [[pSliding]]: the machine's
+    * triggerDiff skip re-anchors after an idle gap whose threshold
+    * depends on the key's grid phase, which the stagger now shifts —
+    * the entry is therefore verified hash-exact at the gate's SFs (the
+    * data's per-key gaps sit inside every key's staggered threshold)
+    * rather than by a one-size bound. */
+  def pUnaligned(s: SparkSession, dir: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        expr("(ts_ns div 1000) * 1000").as("t"))
+      .as[(Long, Long, Long)]
+    Graft.source("unaligned", DatasetSource(ev, (e: (Long, Long, Long)) => e._3))
+      .keyBy(_._1.toString)
+      .to(Graft.rangeWindows(RangeNs).withSlide(SlideNs).unaligned().over(WindowCents))
+      .dataset
+      .filter(col("_1._3") > 0)
+      .select(col("_1._1").cast("bigint").as("user_id"),
+        expr(s"(_2 + 1 - ${RangeNs}L) div 1000").as("ws_us"),
+        col("_1._2").as("sum_cents"), col("_1._3").as("n_events"))
+  }
+
+  val pUnalignedSql: String = {
+    // the stagger re-derivation: lower 32 bits of the portable hash of
+    // the key string over 2^32 → fraction, ((f * 0.8) * range) truncated —
+    // the exact float chain of RangeWindowsStateInitializer + PanesRange-
+    // Windows (both multiplications double-precision, same association)
+    val h = Portable.duckHash("CAST(user_id AS VARCHAR)", "stagger")
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       |         epoch_us(ts) * 1000 AS t
+       |  FROM events),
+       |st AS (
+       |  SELECT user_id,
+       |    CAST(trunc(((CAST(($h) % 4294967296 AS DOUBLE) / 4294967296.0 * 0.8)
+       |                * CAST($RangeNs AS DOUBLE))) AS BIGINT) AS stg
+       |  FROM (SELECT DISTINCT user_id FROM e)),
+       |a AS (
+       |  SELECT e.user_id, MIN(t) - MAX(stg) AS anchor
+       |  FROM e JOIN st USING (user_id) GROUP BY e.user_id),
+       |x AS (
+       |  SELECT e.user_id, cents, anchor,
+       |         ((t - anchor) // $SlideNs) - j.j AS k
+       |  FROM e JOIN a USING (user_id)
+       |  CROSS JOIN (SELECT unnest(range(0, ${RangeNs / SlideNs})) AS j) j)
+       |SELECT user_id, (anchor + k * $SlideNs) // 1000 AS ws_us,
+       |       CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_events
+       |FROM x WHERE k >= 0
+       |GROUP BY user_id, anchor, k""".stripMargin
+  }
+
   // ---------------------------------------------------------- p_agg_bridge
   /** The Aggregation contract run through Catalyst as a Spark
     * `Aggregator[IN,BUF,OUT]` ([[AggregationAsAggregator]]): typed
@@ -931,6 +997,7 @@ object PipelineQueries {
     "p_countwin" -> ((pCountwin _, Some(pCountwinSql))),
     "q_events_sliding" -> ((qEventsSliding _, Some(qEventsSlidingSql))),
     "p_sliding" -> ((pSliding _, Some(pSlidingSql))),
+    "p_unaligned" -> ((pUnaligned _, Some(pUnalignedSql))),
     "p_agg_bridge" -> ((pAggBridge _, Some(pAggBridgeSql))),
     "p_ephemeral" -> ((pEphemeral _, Some(pEphemeralSql))),
     "p_late_fire" -> ((pLateFire _, Some(pLateFireSql))),

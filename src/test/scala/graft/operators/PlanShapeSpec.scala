@@ -95,6 +95,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("p_ann_search prunes index partitions dynamically by probed cell") {
+    // The materialized index is parquet partitioned by cent_id; the probe
+    // side is a bounded broadcast. Dynamic partition pruning is what
+    // makes the 100 TB story real — only the ~P/C probed cells' FILES are
+    // read, not the whole index. Losing the DPP subquery would silently
+    // regress the scan to full-index reads with identical results.
+    val plan = planOf("p_ann_search").toString
+    assert(plan.contains("dynamicpruning"),
+      "index scan must carry a dynamicpruning partition filter on cent_id")
+  }
+
   test("q_events_anomaly shuffles each scan once on event_type") {
     // the median branch and the deviation branch each hash-partition
     // their events scan once; the MAD rank and the flag join ride the
