@@ -56,6 +56,11 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // The probe itself needs one untimed warmup: its first run pays its
+    // own codegen/JIT (~0.9 s vs ~0.6 s steady in the r7 run), which
+    // would make every per-query normalization read as "host got faster"
+    // mid-run.
+    calProbe()
     val calibration = calProbe()
     // The probe re-runs every CalEvery queries (VERDICT r6 #4: a host that
     // degrades MID-run skews a startup-only normalization — round 6's

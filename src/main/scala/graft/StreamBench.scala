@@ -102,9 +102,13 @@ object StreamBench {
         var i = 0
         while (i < st.ids.length) {
           val c = st.codes(i)
-          var d = payload(0)
-          var m = 0
-          while (m < PqSub) { d += payload(1 + m * PqK + (c(m) - 1)); m += 1 }
+          // fold the tables FIRST, add qrr last — the exact association
+          // of the batch scorer's (qrr + ((t0+t1)+...)) expression, so
+          // the two paths produce bit-equal doubles
+          var t = payload(1 + (c(0) - 1))
+          var m = 1
+          while (m < PqSub) { t += payload(1 + m * PqK + (c(m) - 1)); m += 1 }
+          val d = payload(0) + t
           if (d < bestD || (d == bestD && st.ids(i) < bestId)) {
             bestD = d; bestId = st.ids(i)
           }

@@ -293,27 +293,30 @@ object TextAnalysis {
     * reproducible run-to-run, stable under corpus re-partitioning, and
     * bit-exact in the oracle (no RNG state anywhere).
     *
-    * Scale shape: one shuffle on the stratum key for the window rank.
-    * Spark's window sort is spill-safe, but a pathologically hot stratum
-    * still sorts all its rows to keep k — at 100 TB pre-filter with an
-    * approximate hash threshold (keep H < cap/stratum_count scaled, a
-    * PER-ROW predicate off a broadcast count table) and rank only the
-    * ~cap survivors. The cap-tail refinement is the same top-k shape
-    * AQE-style two-phase limits use. */
+    * Scale shape: the per-stratum selection is the bounded heap
+    * [[graft.functions.TopKAgg]] — each input partition reduces to a
+    * ≤2·cap buffer map-side and the single stratum-keyed exchange moves
+    * buffers plus partial counts, never rows, so a pathologically hot
+    * stratum costs O(cap) memory instead of one partition's full sort
+    * (the row_number() window this replaced). The stratum count rides
+    * the same aggregation. */
   val SampleCapPerStratum = 6
 
   def tSampleStratified(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(col("h").asc, col("doc_id").asc)
+    val topk = udaf(new graft.functions.TopKAgg(SampleCapPerStratum, desc = false),
+      org.apache.spark.sql.Encoders.product[graft.functions.TopKCand])
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         expr(Portable.sparkHash("cast(doc_id as string)", "sample")).as("h"))
-      .withColumn("samp_rank", row_number().over(w).cast("long"))
-      .withColumn("stratum_n",
-        count(lit(1)).over(Window.partitionBy(col("lang"), col("source"))))
-      .filter(col("samp_rank") <= SampleCapPerStratum)
-      .select("doc_id", "lang", "source", "samp_rank", "stratum_n")
+      // the 48-bit hash is exact as a double (< 2^53), so double ordering
+      // == integer ordering; tie-break rides the aggregator's id field
+      .groupBy("lang", "source")
+      .agg(topk(col("h").cast("double"), col("doc_id"),
+        expr("cast(array() as array<double>)"), lit(0.0d)).as("top"),
+        count(lit(1)).as("stratum_n"))
+      .select(col("lang"), col("source"), col("stratum_n"), posexplode(col("top")))
+      .select(col("col.id").as("doc_id"), col("lang"), col("source"),
+        (col("pos") + 1).cast("long").as("samp_rank"), col("stratum_n"))
   }
 
   val tSampleStratifiedSql: String =
@@ -1124,15 +1127,14 @@ object TextAnalysis {
     * identical targets with no ordering anywhere.
     *
     * Scale shape: domain-count agg (tiny) broadcast back; per-domain
-    * selection is a rank over (hash, doc_id) — one shuffle keyed by
-    * lang carrying (doc_id, lang, 8-byte hash), text untouched. A
-    * pathologically hot domain turns the rank into one partition's sort;
-    * the fix at that point is the two-phase selection t_length_percentiles
-    * uses (count-by-hash-prefix first, then rank only inside the winning
-    * prefix bucket) — not needed at any tested SF. */
+    * selection is the bounded heap [[graft.functions.TopKAgg]] capped at
+    * [[MixSampleN]] (every domain's target is ≤ the global sample size),
+    * so the lang-keyed exchange moves ≤2·N-entry buffers, never rows,
+    * and a pathologically hot domain costs O(N) memory instead of one
+    * partition's full sort (the row_number() window this replaced).
+    * Text untouched throughout. */
   val MixSampleN = 200L
   def tMixDomains(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       expr(Portable.sparkHash("cast(doc_id as string)", "mix")).as("h"))
     val w = docs.groupBy("lang").agg(count(lit(1)).as("c"))
@@ -1140,9 +1142,14 @@ object TextAnalysis {
     val tot = w.agg(sum("w").as("tw"))
     val targets = w.crossJoin(broadcast(tot))
       .select(col("lang"), expr(s"($MixSampleN * w) div tw").as("lang_target"))
-    val ranked = docs.withColumn("mix_rank",
-      row_number().over(Window.partitionBy(col("lang"))
-        .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+    val topk = udaf(new graft.functions.TopKAgg(MixSampleN.toInt, desc = false),
+      org.apache.spark.sql.Encoders.product[graft.functions.TopKCand])
+    val ranked = docs.groupBy("lang")
+      .agg(topk(col("h").cast("double"), col("doc_id"),
+        expr("cast(array() as array<double>)"), lit(0.0d)).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("mix_rank"))
     ranked.join(broadcast(targets), "lang")
       .filter(col("mix_rank") <= col("lang_target"))
       .select("doc_id", "lang", "mix_rank", "lang_target")
