@@ -13,10 +13,14 @@ object RecallProbe {
     val n = brute.count()
     for (name <- names) {
       val variant = (name match {
-        case "ivfpq"     => operators.Similarity.sAnnIvfPq(spark, dir)
-        case "pq"        => operators.Similarity.sAnnPq(spark, dir)
-        case "ivf_probe" => operators.Similarity.sAnnIvfProbe(spark, dir)
-        case "lsh"       => operators.Similarity.sAnnLsh(spark, dir)
+        case "ivfpq"       => operators.Similarity.sAnnIvfPq(spark, dir)
+        case "pq"          => operators.Similarity.sAnnPq(spark, dir)
+        case "ivf_probe"   => operators.Similarity.sAnnIvfProbe(spark, dir)
+        case "ivf_trained" => operators.Similarity.sAnnIvfTrained(spark, dir)
+        case "ivf"         => operators.Similarity.sAnnIvf(spark, dir)
+        case "lsh"         => operators.Similarity.sAnnLsh(spark, dir)
+        case other => sys.error(
+          s"unknown variant '$other' (try ivfpq, pq, ivf_probe, ivf_trained, ivf, lsh)")
       }).select("query_id", "neighbor_id")
       val m = variant.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
       println(s"[recall-probe] $name $m/$n = ${m.toDouble / n}")

@@ -70,11 +70,24 @@ object StreamBench {
 
   /** Per-cell state for the stream_ann row: the cell's (id, 8 residual-PQ
     * code ids) list — exactly the per-partition payload the materialized
-    * IVF-PQ index holds for one `cent_id`. Index rows append; probe rows
-    * scan it with table lookups. */
+    * IVF-PQ index holds for one `cent_id`. Index rows append with
+    * amortized-O(1) capacity doubling (a plain `:+` would copy the full
+    * arrays per row — quadratic priming for a big cell); probe rows scan
+    * the first `n` slots with table lookups. */
   final class AnnCell extends Serializable {
+    var n: Int = 0
     var ids: Array[Long] = Array.emptyLongArray
     var codes: Array[Array[Int]] = Array.empty[Array[Int]]
+    def append(id: Long, c: Array[Int]): Unit = {
+      if (n == ids.length) {
+        val cap = math.max(8, ids.length * 2)
+        ids = java.util.Arrays.copyOf(ids, cap)
+        codes = java.util.Arrays.copyOf(codes, cap)
+      }
+      ids(n) = id
+      codes(n) = c
+      n += 1
+    }
   }
 
   /** Keyed-by-cell streaming ANN: kind 0 = index row (payload = the 8
@@ -93,14 +106,13 @@ object StreamBench {
     def apply(e: (Long, Long, Long, Array[Double]), st: AnnCell): ComputationResult[(Long, Long, Double)] = {
       val (kind, _, id, payload) = e
       if (kind == 0L) {
-        st.ids = st.ids :+ id
-        st.codes = st.codes :+ payload.map(_.toInt)
+        st.append(id, payload.map(_.toInt))
         ComputationResult.Discard
       } else {
         var bestId = -1L
         var bestD = Double.MaxValue
         var i = 0
-        while (i < st.ids.length) {
+        while (i < st.n) {
           val c = st.codes(i)
           // fold the tables FIRST, add qrr last — the exact association
           // of the batch scorer's (qrr + ((t0+t1)+...)) expression, so

@@ -21,9 +21,15 @@ object SimHash {
   def signature(text: String): Long =
     sigOver(text) { t => (Portable.jvmHash(t, "sim"), Portable.jvmHash(t, "sim2")) }
 
-  /** Production-speed signature: identical vote topology (distinct-token
+  /** Production-speed signature: same vote TOPOLOGY (distinct-token
     * majority vote over 60 bits — order- and multiplicity-invariant, the
-    * properties SimHashConsistencySpec pins), but computed in ONE pass
+    * properties SimHashConsistencySpec pins) but its own hash family AND
+    * its own lowercase: per-char `Character.toLowerCase` (ASCII fast
+    * path), which diverges from [[signature]]'s `String.toLowerCase`
+    * on one-to-many mappings (Turkish İ → "i̇") and supplementary code
+    * points — near-dup grouping may differ from the oracle'd portable
+    * form on such text, which is within this path's contract (it never
+    * had a cross-engine oracle). Computed in ONE pass
     * over the chars with zero per-token allocation: no lowercased string
     * copy, no split() token array, no HashSet[String], no UTF-8 encode.
     * Each token folds its lowercased chars through an FNV-1a accumulator;

@@ -27,8 +27,10 @@ case class TopKCand(key: Double, id: Long, vd: Seq[Double], nrm: Double)
   * Ordering contract (must match the window it replaces so the oracle
   * stays hash-exact): `desc=false` selects the k smallest by
   * (key asc, id asc), `desc=true` the k largest by (key desc, id asc);
-  * key compare is `java.lang.Double.compare` — the same total order
-  * (NaN greatest, -0.0 < 0.0) Spark's SortExec uses for DoubleType.
+  * key compare is `java.lang.Double.compare` with -0.0 normalized to
+  * 0.0 first — exactly Spark's nanSafeCompareDoubles (NaN greatest,
+  * signed zeros EQUAL, so a ±0.0 tie falls through to the id
+  * tie-break like the window and the DuckDB oracle both do).
   * `finish` emits the survivors already sorted, so `posexplode` yields
   * the 1-based rank as `pos + 1`.
   *
@@ -42,8 +44,11 @@ final class TopKAgg(k: Int, desc: Boolean)
   require(k > 0)
 
   private object Ord extends Ordering[TopKCand] {
+    // == 0.0 is true for both zeros and false for NaN, so the branch
+    // maps -0.0 → 0.0 and leaves every other value (incl. NaN) alone
+    private def norm(x: Double): Double = if (x == 0.0d) 0.0d else x
     def compare(a: TopKCand, b: TopKCand): Int = {
-      val c0 = java.lang.Double.compare(a.key, b.key)
+      val c0 = java.lang.Double.compare(norm(a.key), norm(b.key))
       val c = if (desc) -c0 else c0
       if (c != 0) c else java.lang.Long.compare(a.id, b.id)
     }

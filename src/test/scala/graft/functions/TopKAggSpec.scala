@@ -73,6 +73,18 @@ class TopKAggSpec extends AnyFunSuite {
       TopKCand(0.8, 3L, Seq(3.0), 0.7)))
   }
 
+  test("signed zeros tie and fall through to the id tie-break, like Spark's sort") {
+    // Spark's nanSafeCompareDoubles (and DuckDB) treat -0.0 == 0.0; a
+    // raw java.lang.Double.compare would rank -0.0 first and pick id 9
+    // here instead of the id-asc winner
+    val agg = new TopKAgg(1, desc = false)
+    val rows = Seq(
+      TopKCand(0.0, 9L, Nil, 0.0),
+      TopKCand(-0.0, 12L, Nil, 0.0),
+      TopKCand(0.0, 3L, Nil, 0.0))
+    assert(agg.finish(rows.foldLeft(agg.zero)(agg.reduce)).map(_.id) === Seq(3L))
+  }
+
   test("NaN keys sort greatest, matching Spark's Double total order") {
     val agg = new TopKAgg(2, desc = false)
     val rows = Seq(
