@@ -48,7 +48,7 @@ object Bench {
     // round 4 — so a run's absolute numbers are only interpretable
     // against its calibration time: if calibration_sec is 2x another
     // run's, discount the whole run accordingly.
-    def calProbe(): Double = {
+    def calProbeOnce(): Double = {
       import org.apache.spark.sql.functions.{avg, expr, max, sum}
       val t0 = System.nanoTime()
       spark.range(1L << 26).selectExpr("id % 1024 as k", "id as v")
@@ -56,11 +56,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // The probe itself needs one untimed warmup: its first run pays its
-    // own codegen/JIT (~0.9 s vs ~0.6 s steady in the r7 run), which
-    // would make every per-query normalization read as "host got faster"
-    // mid-run.
-    calProbe()
+    // One probe shot is too noisy to divide by: same-host shots 70 min
+    // apart read 0.42 vs 0.92 s (JIT/GC state), which would swing every
+    // normalized total 2×. Each calibration point is therefore the
+    // MEDIAN of three shots, after one untimed warmup shot at startup
+    // (the probe's own codegen cost).
+    def calProbe(): Double = median((1 to 3).map(_ => calProbeOnce()))
+    calProbeOnce()
     val calibration = calProbe()
     // The probe re-runs every CalEvery queries (VERDICT r6 #4: a host that
     // degrades MID-run skews a startup-only normalization — round 6's
