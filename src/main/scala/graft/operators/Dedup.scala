@@ -69,6 +69,66 @@ object Dedup {
        |FROM documents GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------ d_incremental
+  /** INCREMENTAL exact dedup — the operation every recurring crawl runs:
+    * dedup a NEW batch of documents against a frozen corpus snapshot
+    * without re-deduping the snapshot itself. The last fifth of the id
+    * space (doc_id ≥ (4·max) div 5, an integer-derived boundary both
+    * engines compute identically) stands in for the increment; each
+    * increment doc is classified `dup_of_snapshot` (its fingerprint
+    * exists in the snapshot — snapshot canonical wins), else
+    * `dup_in_increment` (a smaller increment id shares the
+    * fingerprint), else `new`, with the canonical id it resolves to.
+    *
+    * Scale shape (100 TB): only (fp, doc_id) pairs move — the snapshot
+    * side reduces to one (fp, min id) row per fingerprint before the
+    * join, the increment joins it BY FINGERPRINT (at deployment scale
+    * the snapshot store is a bucketed-by-fp parquet table, so this join
+    * is co-located and the nightly increment never reshuffles the
+    * snapshot), and text is scanned once, never shuffled. */
+  def dIncremental(s: SparkSession, dir: String): DataFrame = {
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"md5($norm)").as("fp"))
+    val thr = docs.agg(expr("(4 * max(doc_id)) div 5").as("split_id"))
+    val wd = docs.crossJoin(broadcast(thr))
+    val snap = wd.filter(col("doc_id") < col("split_id"))
+      .groupBy("fp").agg(min("doc_id").as("snap_canonical"))
+    val inc = wd.filter(col("doc_id") >= col("split_id"))
+    val incMin = inc.groupBy("fp").agg(min("doc_id").as("inc_canonical"))
+    inc.join(snap, Seq("fp"), "left")
+      .join(incMin, "fp")
+      .select(col("doc_id"), col("fp"),
+        when(col("snap_canonical").isNotNull, lit("dup_of_snapshot"))
+          .when(col("inc_canonical") < col("doc_id"), lit("dup_in_increment"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("snap_canonical"),
+          when(col("inc_canonical") < col("doc_id"), col("inc_canonical"))
+            .otherwise(col("doc_id"))).as("canonical_id"))
+  }
+
+  val dIncrementalSql: String = {
+    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    s"""WITH d AS (
+       |  SELECT doc_id, md5($norm) AS fp FROM documents),
+       |t AS (SELECT (4 * MAX(doc_id)) // 5 AS split_id FROM d),
+       |snap AS (
+       |  SELECT fp, MIN(doc_id) AS snap_canonical
+       |  FROM d CROSS JOIN t WHERE doc_id < split_id GROUP BY fp),
+       |inc AS (SELECT doc_id, fp FROM d CROSS JOIN t WHERE doc_id >= split_id),
+       |incmin AS (SELECT fp, MIN(doc_id) AS inc_canonical FROM inc GROUP BY fp)
+       |SELECT i.doc_id, i.fp,
+       |  CASE WHEN s.snap_canonical IS NOT NULL THEN 'dup_of_snapshot'
+       |       WHEN m.inc_canonical < i.doc_id THEN 'dup_in_increment'
+       |       ELSE 'new' END AS status,
+       |  COALESCE(s.snap_canonical,
+       |    CASE WHEN m.inc_canonical < i.doc_id THEN m.inc_canonical
+       |         ELSE i.doc_id END) AS canonical_id
+       |FROM inc i
+       |LEFT JOIN snap s ON s.fp = i.fp
+       |JOIN incmin m ON m.fp = i.fp""".stripMargin
+  }
+
   // ------------------------------------------------------------ d_ngram_jaccard
   /** Word-3-gram Jaccard via inverted index: explode distinct shingles,
     * drop hot shingles (document frequency > [[MaxDfFrac]]·n_docs — the
@@ -544,6 +604,7 @@ object Dedup {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "d_exact" -> ((dExact _, Some(dExactSql))),
+    "d_incremental" -> ((dIncremental _, Some(dIncrementalSql))),
     "d_canonical" -> ((dCanonical _, Some(dCanonicalSql))),
     "d_ngram_jaccard" -> ((dNgramJaccard _, Some(dNgramJaccardSql))),
     "d_minhash" -> ((dMinhash _, Some(dMinhashSql))),

@@ -28,6 +28,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "d_ngram_jaccard",
       // corpus-total denominator: 1-row broadcast, like d_ngram_jaccard
       "t_perplexity",
+      // snapshot/increment boundary: a 1-row max-id broadcast
+      "d_incremental",
       // Σw mixture denominator: 1-row broadcast, like t_perplexity
       "t_mix_domains",
       // corpus-total denominator for the first-token surprise: 1-row
