@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, SQLOrderingUtil}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Nearest-centroid selection as ONE codegen'd expression — the fix for
+  * the IVF cell-assignment scale-killer (VERDICT r7 #1).
+  *
+  * The previous shape materialized corpus×C rows (broadcast join against
+  * every centroid) and then exchanged ALL of them through a
+  * `row_number().over(partitionBy(vec_id))` window just to pick a per-row
+  * argmax. At the documented deployment sizing (C → √n) that is
+  * corpus×10⁴ rows shuffled for a value each row can compute locally.
+  * Here the centroid matrix rides the expression itself (a plan-time
+  * constant, shipped once per task like any literal), and each row emits
+  * its `keep` nearest cell ids directly: zero extra rows, zero exchange,
+  * zero window, fused into the enclosing whole-stage-codegen span.
+  *
+  * Semantics are bit-identical to the window it replaces: score is
+  * `vec_dot(vd, cd_j) / (nrm * cn_j)` with the dot folded left-to-right
+  * over dimensions (the [[VecDot]] order, which the DuckDB oracle's
+  * `list_reduce` mirrors), ranking is cosine DESC with ties toward the
+  * smaller cent_id, and double comparison is Spark's own sort semantics
+  * ([[SQLOrderingUtil.compareDoubles]]: −0.0 == 0.0, NaN greatest) so the
+  * selection can never diverge from what `ORDER BY ccos DESC, cent_id`
+  * produced. Output is the `min(keep, C)` ids in rank order as
+  * `array<bigint>`: `keep = 1` callers take element 0, probe callers
+  * explode it.
+  *
+  * The matrix is stored flattened row-major (`centsFlat`, C·dim doubles)
+  * with the per-centroid norms (`cn`) and ids (`ids`) alongside — Seqs,
+  * so case-class equality stays structural for plan canonicalization.
+  * At C = √(10⁸) ≈ 10⁴ and dim 64 the constant is ~5 MB — the same
+  * order as a broadcast dimension table, shipped once per executor.
+  */
+case class NearestCells(vec: Expression, nrm: Expression,
+    centsFlat: Seq[Double], cn: Seq[Double], ids: Seq[Long], keep: Int)
+    extends BinaryExpression {
+
+  require(cn.nonEmpty && centsFlat.length % cn.length == 0 &&
+    ids.length == cn.length && keep >= 1,
+    "centsFlat must be C x dim row-major with one norm and id per centroid")
+
+  override def left: Expression = vec
+  override def right: Expression = nrm
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, nrm.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), got " +
+          s"${vec.dataType.sql} and ${nrm.dataType.sql}")
+    }
+
+  @transient private lazy val flatArr: Array[Double] = centsFlat.toArray
+  @transient private lazy val cnArr: Array[Double] = cn.toArray
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val dim: Int = centsFlat.length / cn.length
+
+  /** The per-row selection — called from both interpreted eval and the
+    * generated code (the loop is a compiled JVM method either way; what
+    * matters for codegen health is that the EXPRESSION doesn't fall back,
+    * so the surrounding stage stays fused). */
+  def selectCells(v: ArrayData, n: Double): ArrayData = {
+    val c = cnArr.length
+    val ccos = new Array[Double](c)
+    var j = 0
+    while (j < c) {
+      var s = 0.0
+      var d = 0
+      val off = j * dim
+      while (d < dim) { s += v.getDouble(d) * flatArr(off + d); d += 1 }
+      ccos(j) = s / (n * cnArr(j))
+      j += 1
+    }
+    val k = math.min(keep, c)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](c)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var i = 0
+      while (i < c) {
+        if (!taken(i) &&
+          (best < 0 || SQLOrderingUtil.compareDoubles(ccos(i), ccos(best)) > 0))
+          best = i
+        i += 1
+      }
+      taken(best) = true
+      out(r) = idArr(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    selectCells(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, (v, n) => s"${ev.value} = $ref.selectCells($v, $n);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCells =
+    copy(vec = newLeft, nrm = newRight)
+}

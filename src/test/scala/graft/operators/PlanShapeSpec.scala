@@ -30,7 +30,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // BucketedJoinSpec).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
-    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // d_semantic persists its assignment subtree at construction time
+      // (Caching.reuse); an accumulated CacheManager would substitute
+      // InMemoryRelation into later plans here (same hygiene as
+      // PlanGuardSpec.planOf)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   test("t_quality_model is a zero-shuffle scan") {
@@ -79,20 +87,33 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       assert(oha.nonEmpty, s"$name must rank via the bounded TopKAgg")
     }
-    // The IVF forms keep windows ONLY for per-vector cell assignment
-    // (partitionBy(vec_id/neighbor_id/query_id over centroid rows) — full
-    // key cardinality, no ceiling); their rank tail must still be the
-    // aggregator, i.e. no window ordered by cosine or adist.
-    for (name <- Seq("s_ann_ivf", "s_ann_ivf_probe", "s_ann_ivfpq")) {
+    // The IVF forms (r8): cell assignment is the NearestCells expression
+    // — a row-local codegen'd argmax over the plan-time centroid matrix —
+    // so there is NO window operator anywhere: not for the rank tail
+    // (TopKAgg) and not for assignment (the old corpus×C broadcast-join
+    // explosion + row_number exchange, VERDICT r7 #1).
+    // (d_semantic/_scale share the same assignment code path but persist
+    // it through Caching.reuse's RDD bridge, which hides the subtree from
+    // SQL-plan collects — the IVF pins below cover the shared helper.)
+    for (name <- Seq("s_ann_ivf", "s_ann_ivf_trained", "s_ann_ivf_probe",
+        "s_ann_ivfpq")) {
       val plan = planOf(name)
-      val rankWindows = plan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.orderSpec.exists(_.child.references.exists(a =>
-              a.name == "cosine" || a.name == "adist")) => w
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
-      assert(rankWindows.isEmpty,
-        s"$name must rank candidates via the bounded TopKAgg, not a window sort")
+      assert(windows.isEmpty,
+        s"$name must assign cells via NearestCells and rank via TopKAgg — no windows")
     }
+  }
+
+  test("IVF cell assignment adds no corpus-volume exchange") {
+    // s_ann_ivf_trained: corpus rows move through exactly ONE keyed
+    // exchange (the cent_id candidate join); the rank tail moves bounded
+    // TopKAgg buffers through a second. The old assignment shape added a
+    // corpus×C-row exchange on vec_id before either — 3 keyed exchanges
+    // here means the explosion is back.
+    assert(shuffles(planOf("s_ann_ivf_trained")) <= 2,
+      "cell assignment must stay row-local (no argmax exchange)")
   }
 
   test("p_ann_search prunes index partitions dynamically by probed cell") {

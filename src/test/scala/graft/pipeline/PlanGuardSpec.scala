@@ -15,16 +15,13 @@ class PlanGuardSpec extends AnyFunSuite {
     * vectors / IVF centroids / a 1-row corpus count), so the "nested
     * loop" is a per-row loop over a constant-size array. */
   private val allowedBnlj =
-    Set("s_ann_brute", "s_ann_ivf", "s_ann_ivf_trained", "s_ann_ivf_probe",
+    Set("s_ann_brute",
       // ADC scan: the 20-query side (with its per-subspace lookup
       // tables) is the broadcast side; candidates stream past it
       "s_ann_pq",
-      // centroid assignment joins: bounded trained-centroid broadcast,
-      // like s_ann_ivf_trained (the ADC pair join itself is cell-keyed)
-      "s_ann_ivfpq",
-      // same search served from the materialized parquet index — the
-      // BNLJ is the identical bounded centroid-assignment broadcast
-      "p_ann_search",
+      // NOTE (r8): the IVF family (s_ann_ivf*, s_ann_ivfpq, p_ann_search,
+      // d_semantic*) left this list — centroid assignment is now the
+      // NearestCells expression, so their plans contain no BNLJ at all.
       "d_ngram_jaccard",
       // corpus-total denominator: 1-row broadcast, like d_ngram_jaccard
       "t_perplexity",
@@ -37,11 +34,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "t_ngram_lm",
       // n_docs denominator for the percentile ranks: 1-row broadcast
       "t_dataset_card",
-      // composes the ANN variants (broadcast query/centroid sides) plus
+      // composes the ANN variants (brute/pq broadcast query sides) plus
       // a 1-row denominator broadcast
-      "s_ann_recall",
-      // centroid assignment: bounded broadcast side, like s_ann_ivf
-      "d_semantic", "d_semantic_scale")
+      "s_ann_recall")
 
   /** Build the plan string, then drop whatever the query persisted —
     * d_semantic registers a cached subtree at CONSTRUCTION time, and an
