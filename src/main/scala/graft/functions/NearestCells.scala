@@ -35,6 +35,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * so case-class equality stays structural for plan canonicalization.
   * At C = √(10⁸) ≈ 10⁴ and dim 64 the constant is ~5 MB — the same
   * order as a broadcast dimension table, shipped once per executor.
+  * That structural equality makes canonicalization-time comparisons
+  * O(C·dim) per pair (ADVICE r8) — budgeted: each plan holds a handful
+  * of these expressions, not thousands; if a larger-C profile ever shows
+  * canonicalization cost, wrap the matrix in an identity-hashed holder
+  * excluded from equality.
   */
 case class NearestCells(vec: Expression, nrm: Expression,
     centsFlat: Seq[Double], cn: Seq[Double], ids: Seq[Long], keep: Int)
@@ -69,15 +74,21 @@ case class NearestCells(vec: Expression, nrm: Expression,
   def selectCells(v: ArrayData, n: Double): ArrayData = {
     val c = cnArr.length
     val ccos = new Array[Double](c)
+    // Fold over min(dim, |v|) — the [[VecDot]] contract (a short vector
+    // scores its present dimensions; missing ones contribute 0) rather
+    // than an out-of-bounds read on malformed input (ADVICE r8).
+    val lim = math.min(dim, v.numElements())
     var j = 0
     while (j < c) {
       var s = 0.0
       var d = 0
       val off = j * dim
-      while (d < dim) { s += v.getDouble(d) * flatArr(off + d); d += 1 }
+      while (d < lim) { s += v.getDouble(d) * flatArr(off + d); d += 1 }
       ccos(j) = s / (n * cnArr(j))
       j += 1
     }
+    // Selection sort: O(keep·C) — fine at keep ≤ IvfProbeMax; switch to a
+    // bounded max-heap if keep is ever raised toward C (ADVICE r8).
     val k = math.min(keep, c)
     val out = new Array[Long](k)
     val taken = new Array[Boolean](c)

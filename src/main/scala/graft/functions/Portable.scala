@@ -38,6 +38,12 @@ object Portable {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  /** Full 128-bit md5 hex of a string — collision-safe key material for
+    * path derivation (32-bit String.hashCode is not, ADVICE r7). */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   /** Shared tokenization: split on single space (the synthetic corpus is
     * space-separated). Both fragments yield identical string arrays. */
   def sparkTokens(text: String): String = s"split($text, ' ')"

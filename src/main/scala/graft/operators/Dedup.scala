@@ -90,6 +90,13 @@ object Dedup {
     val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"md5($norm)").as("fp"))
+    // Id-range bound (ADVICE r7): `4 * max(doc_id)` overflows Long for
+    // max(doc_id) > 2⁶¹ ≈ 2.3e18 — Spark wraps silently while DuckDB
+    // raises, so the two engines would diverge instead of failing
+    // together. Synthetic ids are dense from 0 (max ≈ corpus size), and
+    // any real snapshot id allocator is orders of magnitude below 2⁶¹;
+    // if ids ever came from a 64-bit hash space, derive the boundary as
+    // `max div 5 * 4` (different rounding — retune the oracle with it).
     val thr = docs.agg(expr("(4 * max(doc_id)) div 5").as("split_id"))
     val wd = docs.crossJoin(broadcast(thr))
     val snap = wd.filter(col("doc_id") < col("split_id"))

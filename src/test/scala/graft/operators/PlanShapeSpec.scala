@@ -127,6 +127,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "index scan must carry a dynamicpruning partition filter on cent_id")
   }
 
+  test("s_centroid_outliers selects its P90 without a window sort") {
+    // VERDICT r8 #4: the old row_number().over(partitionBy(label)) put
+    // each label's FULL row set through one sorted partition — a hot
+    // label serialized the query. The two-phase bucketed selection must
+    // leave no WindowExec anywhere (phase 2/3 are plain aggregations
+    // over ≤OutlierBuckets rows per label and one bucket's rows).
+    val plan = planOf("s_centroid_outliers")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "P90 selection must be the bucketed two-phase rank, not a label-partitioned window")
+  }
+
   test("q_events_anomaly shuffles each scan once on event_type") {
     // the median branch and the deviation branch each hash-partition
     // their events scan once; the MAD rank and the flag join ride the
