@@ -709,6 +709,45 @@ object StreamBench {
         Seq("stream_statecomp_tws", "stream_sliding_tws").filter(wanted)
     }
 
+    // Untimed streaming warmup (the stream-pack analogue of Bench's
+    // batch warmup): pay the one-time streaming-engine costs — offset/
+    // commit-log and state-store class init, Janino codegen for the
+    // keyed-state host, RocksDB JNI load + column-family setup for the
+    // tws rows — BEFORE any timed trial. Without it the first trial of
+    // whichever row runs first absorbs seconds of fixed cost a
+    // long-running deployment never sees (r9's first interleaved run
+    // showed 15.2 s vs 3.4 s trials on identical code). The warmup
+    // stream is a tiny self-staged parquet (no dependence on the test
+    // tables), driven through the same keyBy→state→sink shape once per
+    // host config present in the registered rows.
+    if (rowDefs.nonEmpty) {
+      try {
+        val warmDir = Files.createTempDirectory("graft_stream_warm").toString
+        spark.range(2000)
+          .selectExpr("id % 50 as user_id", "id as cents", "id as ts_ns")
+          .repartition(4).write.mode("overwrite").parquet(warmDir)
+        def warmSource() = ParquetReplaySource[(Long, Long, Long)](
+          warmDir,
+          (r: Row) => (r.getLong(0), r.getLong(1), r.getLong(2)),
+          (r: Row) => r.getLong(2),
+          maxFilesPerTrigger = 2)
+        val hostConfs = rowDefs.map(_._3).distinct
+        hostConfs.foreach { confs =>
+          withConfs(confs) {
+            val h = Graft.source("bench-warmup", warmSource())
+              .keyBy(_._1.toString)
+              .to(SpreadCheck)(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+              .toSink(EmptySink[(Long, Long)](),
+                trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            h.awaitTermination()
+          }
+        }
+        deleteRecursively(new java.io.File(warmDir))
+      } catch { case e: Throwable =>
+        System.err.println(s"[stream] warmup failed (non-fatal): $e")
+      }
+    }
+
     // The interleaved execution loop: round r runs one trial of every
     // live row (in registration order) before any row's round r+1. A
     // row that throws is recorded in `failed` and dropped — later rounds
