@@ -74,55 +74,54 @@ object StreamBench {
     }
   }
 
-  /** Per-cell state for the stream_ann row: the cell's (id, 8 residual-PQ
-    * code ids) list — exactly the per-partition payload the materialized
-    * IVF-PQ index holds for one `cent_id`. Index rows append with
+  /** Per-cell state for the stream_ann row: the cell's (id, packed code
+    * word) list — exactly the per-partition payload the materialized
+    * IVF-PQ index holds for one `cent_id`, at 16 bytes per stored
+    * vector ([[graft.functions.AnnWire]]). Index rows append with
     * amortized-O(1) capacity doubling (a plain `:+` would copy the full
     * arrays per row — quadratic priming for a big cell); probe rows scan
-    * the first `n` slots with table lookups. */
+    * the first `n` slots with packed-table lookups. */
   final class AnnCell extends Serializable {
     var n: Int = 0
     var ids: Array[Long] = Array.emptyLongArray
-    var codes: Array[Array[Int]] = Array.empty[Array[Int]]
-    def append(id: Long, c: Array[Int]): Unit = {
+    var words: Array[Long] = Array.emptyLongArray
+    def append(id: Long, w: Long): Unit = {
       if (n == ids.length) {
         val cap = math.max(8, ids.length * 2)
         ids = java.util.Arrays.copyOf(ids, cap)
-        codes = java.util.Arrays.copyOf(codes, cap)
+        words = java.util.Arrays.copyOf(words, cap)
       }
       ids(n) = id
-      codes(n) = c
+      words(n) = w
       n += 1
     }
   }
 
-  /** Keyed-by-cell streaming ANN: kind 0 = index row (payload = the 8
-    * code ids), kind 1 = probe (payload = ‖q_res‖² followed by the 8
-    * concatenated PqK-entry ADC cost tables — see
-    * [[graft.operators.Similarity.annProbePayloads]]). A probe emits the
-    * cell-local nearest (query_id, neighbor_id, adist): 8 array lookups +
-    * 8 adds per stored code, no float multiplies, the query vector never
-    * ships.
+  /** Keyed-by-cell streaming ANN: kind 0 = index row (payload = ONE
+    * packed code word), kind 1 = probe (payload = the bit-packed
+    * uint16-quantized ADC tables — [[graft.functions.AnnWire]], 66
+    * longs ≈ 528 B vs the original float64 contract's ~2 KB). A probe
+    * emits the cell-local nearest (query_id, neighbor_id, adist):
+    * eight packed-table extracts + seven INT adds + one multiply per
+    * stored code, the query vector never ships.
     *
-    * WIRE CONTRACT (VERDICT r8 #5): the payload ships as FLOAT32 — the
-    * ADC tables are approximations already (quantization error ~2⁻²⁴
-    * relative, far below PQ's own distortion), and halving the ~2 KB
-    * per-probe wire cost is worth more at volume than the last 29 bits
-    * of a lookup table. Scoring widens each table entry to double and
-    * folds in the batch scorer's association (qrr + ((t0+t1)+…)), so the
-    * result is a deterministic function of the float32 tables —
-    * StreamAnnDifferentialSpec pins it bit-exactly against that fold and
-    * checks the winners against the float64 batch argmins. */
+    * WIRE CONTRACT (VERDICT r8 #5): the ADC tables are approximations
+    * already (uint16 granularity sits two orders below PQ's own
+    * distortion), and the payload's ELEMENT count is what the typed
+    * exchange pays per row (encoder boxing), so the packed format cuts
+    * both bytes (4×) and elements (257 → 66) — see AnnWire's scaladoc
+    * for the exact distance arithmetic. StreamAnnDifferentialSpec pins
+    * the scorer bit-exactly against AnnWire's fold over independently
+    * packed payloads and checks the winners against the float64 batch
+    * argmins. */
   object AnnCellProbe extends StateComputation[
-      (Long, Long, Long, Array[Float]), (Long, Long, Double), AnnCell] {
+      (Long, Long, Long, Array[Long]), (Long, Long, Double), AnnCell] {
     override val name = "ann cell probe"
-    private val PqSub = graft.operators.Similarity.PqSub
-    private val PqK = graft.operators.Similarity.PqK
     def initialState(): AnnCell = new AnnCell
-    def apply(e: (Long, Long, Long, Array[Float]), st: AnnCell): ComputationResult[(Long, Long, Double)] = {
+    def apply(e: (Long, Long, Long, Array[Long]), st: AnnCell): ComputationResult[(Long, Long, Double)] = {
       val (kind, _, id, payload) = e
       if (kind == 0L) {
-        st.append(id, payload.map(_.toInt))
+        st.append(id, payload(0))
         ComputationResult.Discard
       } else {
         // explicit `found` flag, not a Double.MaxValue/-1 sentinel — a
@@ -133,13 +132,7 @@ object StreamBench {
         var bestD = 0.0
         var i = 0
         while (i < st.n) {
-          val c = st.codes(i)
-          // fold the tables FIRST, add qrr last — the exact association
-          // of the batch scorer's (qrr + ((t0+t1)+...)) expression
-          var t: Double = payload(1 + (c(0) - 1)).toDouble
-          var m = 1
-          while (m < PqSub) { t += payload(1 + m * PqK + (c(m) - 1)).toDouble; m += 1 }
-          val d = payload(0).toDouble + t
+          val d = graft.functions.AnnWire.score(payload, st.words(i))
           if (!found || d < bestD || (d == bestD && st.ids(i) < bestId)) {
             found = true; bestD = d; bestId = st.ids(i)
           }
@@ -399,12 +392,13 @@ object StreamBench {
     // state row per coarse cell holding that cell's (id, codes) list, the
     // partition-pruned layout p_ann_search materializes to parquet), the
     // probe leg replays per-(query, cell) ADC probes — query_id, cent_id,
-    // and the wire payload [‖q_res‖², 8×PqK cost tables] from
-    // Similarity.annProbePayloads — keyed to the same cells. Each probe
-    // scores every stored code with 8 table lookups + 8 adds and emits
-    // the cell-local nearest candidate (the "alert over an embedding
-    // stream" shape; a deployment's query-side combiner merges the ≤32
-    // cell winners per query downstream — bounded, off the hot path).
+    // and Similarity.annProbePayloads' [‖q_res‖², 8×PqK cost tables]
+    // bit-packed to the AnnWire uint16 wire format — keyed to the same
+    // cells. Each probe scores every stored code word with packed-table
+    // extracts + integer adds and emits the cell-local nearest candidate
+    // (the "alert over an embedding stream" shape; a deployment's
+    // query-side combiner merges the ≤P cell winners per query
+    // downstream — bounded, off the hot path).
     // Index rows ride at ts=0 so the per-key within-batch event-time sort
     // seats a cell's codes before any same-batch probe; probes arriving
     // in later micro-batches see state already primed — the live-index
@@ -414,14 +408,17 @@ object StreamBench {
       else try {
         val idxDir = Files.createTempDirectory("graft_stream_annidx").toString
         val probeDir = Files.createTempDirectory("graft_stream_annprobe").toString
-        // wire contract: float32 payloads on BOTH legs (VERDICT r8 #5) —
-        // code ids are small ints (exact in float32), ADC tables are
-        // quantized by the documented contract
-        val codeArr = (0 until 8).map(m => s"cast(code_$m as float)")
-          .mkString("array(", ", ", ")")
+        // wire contract: the bit-packed AnnWire format on BOTH legs
+        // (VERDICT r8 #5) — one code word per index row, 66 packed longs
+        // per probe
+        import spark.implicits._
         graft.operators.Similarity.buildIvfPqIndex(spark, sfDir)
-          .select(lit(0L).as("kind"), col("cent_id"), col("neighbor_id").as("id"),
-            expr(codeArr).as("payload"), lit(0L).as("ts_ns"))
+          .select(col("cent_id"), col("neighbor_id"),
+            array((0 until 8).map(m => col(s"code_$m").cast("int")): _*).as("codes"))
+          .as[(Long, Long, Seq[Int])]
+          .map { case (cent, id, codes) =>
+            (0L, cent, id, Array(graft.functions.AnnWire.packCodes(codes.toArray)), 0L) }
+          .toDF("kind", "cent_id", "id", "payload", "ts_ns")
           .repartition(AnnIndexLegMaxFiles).write.mode("overwrite").parquet(idxDir)
         // State-priming invariant (ADVICE r7): index rows ride at ts=0 and
         // must ALL land in the index leg's FIRST micro-batch — the leg's
@@ -437,10 +434,14 @@ object StreamBench {
         // same vectors, so staging stays cheap while probe volume is real
         val probeReps = 2000L
         graft.operators.Similarity.annProbePayloads(spark, sfDir)
+          .select(col("query_id"), col("cent_id"), col("payload"))
+          .as[(Long, Long, Seq[Double])]
+          .map { case (q, cent, pl) =>
+            (cent, q, graft.functions.AnnWire.packProbe(pl.head, pl.drop(1).toArray)) }
+          .toDF("cent_id", "query_id", "payload")
           .crossJoin(spark.range(probeReps).select(col("id").as("rep")))
           .select(lit(1L).as("kind"), col("cent_id"),
-            (col("query_id") + col("rep") * 1000000L).as("id"),
-            col("payload").cast("array<float>").as("payload"),
+            (col("query_id") + col("rep") * 1000000L).as("id"), col("payload"),
             (lit(1000000000000000L) + col("rep")).as("ts_ns"))
           .repartition(64).write.mode("overwrite").parquet(probeDir)
         val n = spark.read.parquet(idxDir).count() +
@@ -450,16 +451,16 @@ object StreamBench {
         System.err.println(s"[stream] ann staging failed: $e")
         None
       }
-    implicit val annEnc: Encoder[(Long, Long, Long, Array[Float])] =
+    implicit val annEnc: Encoder[(Long, Long, Long, Array[Long])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     def annTrial(): (Double, Double, (Long, Long), (Long, Long, Long)) = {
       val (idxDir, probeDir, nAnnRows) = annStagedOpt.get
       val t0 = System.nanoTime()
       def leg(dir: String, maxFiles: Int) =
-        ParquetReplaySource[(Long, Long, Long, Array[Float])](
+        ParquetReplaySource[(Long, Long, Long, Array[Long])](
           dir,
           (r: Row) => (r.getLong(0), r.getLong(1), r.getLong(2),
-            r.getSeq[Float](3).toArray),
+            r.getSeq[Long](3).toArray),
           (r: Row) => r.getLong(4),
           maxFilesPerTrigger = maxFiles)
       val handle = Graft.source("bench-ann-index", leg(idxDir, AnnIndexLegMaxFiles))
