@@ -192,12 +192,18 @@ object Bench {
       calSeries.minBy { case (at, _) => (math.abs(at - qi), at) }._2
     val totalCalibratedInterleaved = medians.zipWithIndex
       .map { case ((_, m), qi) => m * (refCal / nearestCal(qi)) }.sum
+    // Wall-bound rows pace on triggers/sockets, not host speed — scaling
+    // them by the calibration ratio misprices them (a 2× slower host
+    // doesn't make a rate-limited generator take 2× longer). The split
+    // total discounts only the CPU-bound subtotal.
+    val totalCalibratedSplit =
+      totalWallBound + totalCpuBound * (refCal / calibration)
     val calSeriesJson = calSeries
       .map { case (at, sec) => s"""{"at":$at,"sec":$sec}""" }
       .mkString("[", ",", "]")
     val subsetJson = only.fold("false")(s =>
       s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"wall_bound_queries":$wallBoundJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
     println(json)
     // The round-4 driver capture truncated the stdout tail and destroyed
     // the artifact (VERDICT r4 #1) — also write the same JSON to a file so

@@ -127,6 +127,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "index scan must carry a dynamicpruning partition filter on cent_id")
   }
 
+  test("d_decontaminate_semantic is a zero-shuffle scan") {
+    // The eval set rides the plan as literals; the corpus max-cosine is
+    // a row-local greatest over codegen'd dots. An Exchange here means
+    // the eval comparison regressed to a join.
+    assert(shuffles(planOf("d_decontaminate_semantic")) === 0,
+      "semantic decontamination must stay a per-row projection")
+  }
+
   test("s_centroid_outliers selects its P90 without a window sort") {
     // VERDICT r8 #4: the old row_number().over(partitionBy(label)) put
     // each label's FULL row set through one sorted partition — a hot
