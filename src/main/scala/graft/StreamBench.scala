@@ -410,7 +410,13 @@ object StreamBench {
         val probeDir = Files.createTempDirectory("graft_stream_annprobe").toString
         // wire contract: the bit-packed AnnWire format on BOTH legs
         // (VERDICT r8 #5) — one code word per index row, 66 packed longs
-        // per probe
+        // per probe. AnnWire is self-contained (functions must not
+        // depend on operators), so pin the constant coupling here where
+        // both are visible: a PQ retune that diverges the wire format
+        // must fail loudly at staging, not scramble distances.
+        require(graft.functions.AnnWire.Tables == graft.operators.Similarity.PqSub &&
+          graft.functions.AnnWire.Codes == graft.operators.Similarity.PqK,
+          "AnnWire packing constants diverged from the PQ sizing")
         import spark.implicits._
         graft.operators.Similarity.buildIvfPqIndex(spark, sfDir)
           .select(col("cent_id"), col("neighbor_id"),
@@ -707,7 +713,7 @@ object StreamBench {
         register("stream_sliding_tws", "tws+rocksdb", twsConfs)(() =>
           trial("stream_sliding_tws")(sliding))
       } else failed ++=
-        Seq("stream_statecomp_tws", "stream_sliding_tws").filter(wanted)
+        eventRowNames.filter(n => wanted(n) && n.endsWith("_tws"))
     }
 
     // Untimed streaming warmup (the stream-pack analogue of Bench's
