@@ -51,7 +51,7 @@ object ScaleProbe {
       "s_knn_graph", "s_quantize", "p_neardup", "t_ngram_lm",
       "t_dataset_card", "p_topk", "s_ann_pq", "s_ann_ivfpq",
       "p_market_spread", "s_ann_brute", "t_sample_stratified", "p_unaligned",
-      "p_ann_search")
+      "p_ann_search", "d_decontaminate_semantic")
     // optional second arg: comma-separated probe subset
     val probes = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(allProbes).filter(allProbes.contains)
