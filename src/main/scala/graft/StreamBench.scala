@@ -433,6 +433,12 @@ object StreamBench {
         // same-batch probes. Assert the coupling instead of trusting it.
         val idxFiles = new java.io.File(idxDir).listFiles()
           .count(f => f.getName.endsWith(".parquet"))
+        // both bounds (ADVICE r9): 0 matches would mean a committer/codec
+        // layout drift changed the data-file suffix and the guard was
+        // counting nothing — fail the staging check, don't pass vacuously
+        require(idxFiles > 0,
+          s"index staging wrote no *.parquet data files under $idxDir — " +
+            "writer layout drifted; the micro-batch coupling guard can't count")
         require(idxFiles <= AnnIndexLegMaxFiles,
           s"index staging produced $idxFiles files > maxFilesPerTrigger=$AnnIndexLegMaxFiles; " +
             "index rows would straddle micro-batches and race probes")

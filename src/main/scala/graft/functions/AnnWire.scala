@@ -38,14 +38,19 @@ object AnnWire {
   val Tables = 8   // PqSub
   val Codes = 32   // PqK
 
-  /** 8 one-based code ids (each ≤ 256) → one long, 8 bits per code. */
+  /** 8 one-based code ids (each ≤ [[Codes]]) → one long, 8 bits per
+    * code. The range check is against [[Codes]], not the byte capacity
+    * (ADVICE r9): [[score]] indexes the flat m·Codes+c cost table, so a
+    * code id in [Codes, 256) would pass a byte-range check and silently
+    * read a NEIGHBORING subspace's table entry — a PQ retune or corrupt
+    * id must fail at pack time, not scramble distances. */
   def packCodes(codes: Array[Int]): Long = {
     require(codes.length == Tables, s"expected $Tables codes")
     var w = 0L
     var m = 0
     while (m < Tables) {
       val c = codes(m) - 1
-      require(c >= 0 && c < 256, s"code out of byte range: ${codes(m)}")
+      require(c >= 0 && c < Codes, s"code id out of [1, $Codes]: ${codes(m)}")
       w |= (c.toLong & 0xFFL) << (8 * m)
       m += 1
     }

@@ -6,6 +6,35 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, SQLOrderingUtil}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
+/** Plan-time vector-matrix constant for the matrix expressions below —
+  * a C×dim row-major flat array plus per-row norms and ids — with
+  * IDENTITY equality/hash (VERDICT r9 #1, the budget note at the old
+  * NearestCells:38-42 cashed in): Catalyst compares expression trees
+  * during canonicalization, subexpression elimination and plan-cache
+  * lookups, and a structural `Seq[Double]` compare is O(C·dim) per pair
+  * — at the count-laddered C → √n sizing that is ~10⁵–10⁶ doubles
+  * walked every time two plans are held side by side. The matrix is
+  * built exactly once per operator invocation and threaded by reference
+  * through every `copy()`/`withNewChildren` the optimizer performs, so
+  * reference identity IS value identity for any comparison that can
+  * occur within a plan; two independently-built matrices comparing
+  * unequal merely forgoes a subexpression-dedup no query here relies
+  * on. Arrays (not Seqs) also drop the per-element boxing on the eval
+  * hot path. */
+final class CentroidMatrix(val flat: Array[Double], val cn: Array[Double],
+    val ids: Array[Long]) extends Serializable {
+  require(cn.nonEmpty && flat.length % cn.length == 0 && ids.length == cn.length,
+    "flat must be C x dim row-major with one norm and id per row")
+  val rows: Int = cn.length
+  val dim: Int = flat.length / cn.length
+  override def hashCode(): Int = System.identityHashCode(this)
+  override def equals(o: Any): Boolean = o match {
+    case r: AnyRef => this eq r
+    case _ => false
+  }
+  override def toString: String = s"CentroidMatrix(${rows}x$dim)"
+}
+
 /** Nearest-centroid selection as ONE codegen'd expression — the fix for
   * the IVF cell-assignment scale-killer (VERDICT r7 #1).
   *
@@ -30,24 +59,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * `array<bigint>`: `keep = 1` callers take element 0, probe callers
   * explode it.
   *
-  * The matrix is stored flattened row-major (`centsFlat`, C·dim doubles)
-  * with the per-centroid norms (`cn`) and ids (`ids`) alongside — Seqs,
-  * so case-class equality stays structural for plan canonicalization.
-  * At C = √(10⁸) ≈ 10⁴ and dim 64 the constant is ~5 MB — the same
-  * order as a broadcast dimension table, shipped once per executor.
-  * That structural equality makes canonicalization-time comparisons
-  * O(C·dim) per pair (ADVICE r8) — budgeted: each plan holds a handful
-  * of these expressions, not thousands; if a larger-C profile ever shows
-  * canonicalization cost, wrap the matrix in an identity-hashed holder
-  * excluded from equality.
+  * The matrix rides in a [[CentroidMatrix]] holder — identity-hashed, so
+  * plan-time tree comparisons are O(1) instead of O(C·dim) at the
+  * laddered C → √n sizing. At C = √(10⁸) ≈ 10⁴ and dim 64 the constant
+  * is ~5 MB — the same order as a broadcast dimension table, shipped
+  * once per executor.
   */
 case class NearestCells(vec: Expression, nrm: Expression,
-    centsFlat: Seq[Double], cn: Seq[Double], ids: Seq[Long], keep: Int)
+    m: CentroidMatrix, keep: Int)
     extends BinaryExpression {
 
-  require(cn.nonEmpty && centsFlat.length % cn.length == 0 &&
-    ids.length == cn.length && keep >= 1,
-    "centsFlat must be C x dim row-major with one norm and id per centroid")
+  require(keep >= 1, "keep must be >= 1")
 
   override def left: Expression = vec
   override def right: Expression = nrm
@@ -62,27 +84,24 @@ case class NearestCells(vec: Expression, nrm: Expression,
           s"${vec.dataType.sql} and ${nrm.dataType.sql}")
     }
 
-  @transient private lazy val flatArr: Array[Double] = centsFlat.toArray
-  @transient private lazy val cnArr: Array[Double] = cn.toArray
-  @transient private lazy val idArr: Array[Long] = ids.toArray
-  @transient private lazy val dim: Int = centsFlat.length / cn.length
-
   /** The per-row selection — called from both interpreted eval and the
     * generated code (the loop is a compiled JVM method either way; what
     * matters for codegen health is that the EXPRESSION doesn't fall back,
     * so the surrounding stage stays fused). */
   def selectCells(v: ArrayData, n: Double): ArrayData = {
-    val c = cnArr.length
+    val c = m.rows
+    val flatArr = m.flat
+    val cnArr = m.cn
     val ccos = new Array[Double](c)
     // Fold over min(dim, |v|) — the [[VecDot]] contract (a short vector
     // scores its present dimensions; missing ones contribute 0) rather
     // than an out-of-bounds read on malformed input (ADVICE r8).
-    val lim = math.min(dim, v.numElements())
+    val lim = math.min(m.dim, v.numElements())
     var j = 0
     while (j < c) {
       var s = 0.0
       var d = 0
-      val off = j * dim
+      val off = j * m.dim
       while (d < lim) { s += v.getDouble(d) * flatArr(off + d); d += 1 }
       ccos(j) = s / (n * cnArr(j))
       j += 1
@@ -103,7 +122,7 @@ case class NearestCells(vec: Expression, nrm: Expression,
         i += 1
       }
       taken(best) = true
-      out(r) = idArr(best)
+      out(r) = m.ids(best)
       r += 1
     }
     new GenericArrayData(out)
@@ -119,5 +138,74 @@ case class NearestCells(vec: Expression, nrm: Expression,
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCells =
+    copy(vec = newLeft, nrm = newRight)
+}
+
+/** Max cosine of a row's vector against a plan-time eval matrix — the
+  * [[NearestCells]] sibling that lifts d_decontaminate_semantic's
+  * eval-set cap (VERDICT r9 #2). The previous form string-built one
+  * `greatest(vec_dot(vd, <64-double literal>) / ..., …)` term per eval
+  * vector: ideal at the 20-row bench eval set, but a realistic benchmark
+  * suite (10³–10⁵ prompts) would blow the generated expression past
+  * Janino method limits (interpreted fallback at best, a stalled driver
+  * building a multi-MB tree at worst). Here the eval matrix rides a
+  * [[CentroidMatrix]] holder and the row pays one compiled
+  * O(E·dim) loop — same zero-shuffle, zero-join plan shape
+  * (PlanShapeSpec pins exchange count 0), eval capacity bounded by
+  * executor memory (~5 MB per 10⁴ prompts) instead of codegen size.
+  *
+  * Bit-exactness contract (the DuckDB oracle re-derives the max over a
+  * join): each score folds dimensions 0..dim−1 left-to-right (the
+  * [[VecDot]] order) over min(dim, |v|) elements, divided by
+  * `(nrm * en_j)` exactly as the literal form's `/ (nrm * <en>D)`;
+  * the max scans eval rows in matrix order (the caller sorts by vec_id)
+  * keeping the earlier row on ties via [[SQLOrderingUtil.compareDoubles]]
+  * — `greatest(...)`'s own semantics (NaN greatest, −0.0 == 0.0), and
+  * order-independent for the non-NaN cosines real embeddings produce,
+  * which is what lets the oracle's unordered MAX agree. */
+case class EvalMaxCosine(vec: Expression, nrm: Expression, m: CentroidMatrix)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = nrm
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "eval_max_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, nrm.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), got " +
+          s"${vec.dataType.sql} and ${nrm.dataType.sql}")
+    }
+
+  def maxCos(v: ArrayData, n: Double): Double = {
+    val flatArr = m.flat
+    val cnArr = m.cn
+    val lim = math.min(m.dim, v.numElements())
+    var best = 0.0
+    var j = 0
+    while (j < m.rows) {
+      var s = 0.0
+      var d = 0
+      val off = j * m.dim
+      while (d < lim) { s += v.getDouble(d) * flatArr(off + d); d += 1 }
+      val c = s / (n * cnArr(j))
+      if (j == 0 || SQLOrderingUtil.compareDoubles(c, best) > 0) best = c
+      j += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    maxCos(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("evalMaxCosine", this, classOf[EvalMaxCosine].getName)
+    nullSafeCodeGen(ctx, ev, (v, n) => s"${ev.value} = $ref.maxCos($v, $n);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EvalMaxCosine =
     copy(vec = newLeft, nrm = newRight)
 }

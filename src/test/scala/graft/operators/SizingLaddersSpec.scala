@@ -22,22 +22,52 @@ class SizingLaddersSpec extends AnyFunSuite {
     // training sample scales with centroid count, floored at the default
     assert(ivfSampleTargetFor(IvfCentroids) === IvfSampleTarget)
     assert(ivfSampleTargetFor(IvfProbeCentroids) === 16L * IvfProbeCentroids)
+    // the C ladder (VERDICT r9 #1) keeps the base grid at both tested SFs
+    // (same hashes as the pinned-C rounds) and steps at the probe corpora
+    assert(ivfCellsFor(480) === IvfProbeCentroids)
+    assert(ivfCellsFor(1980) === IvfProbeCentroids)
+    assert(ivfCellsFor(19800) === 256)  // the x10 probe corpus
+    assert(ivfCellsFor(198000) === 1024) // the x100 probe corpus
   }
 
   test("caps hold at any corpus size") {
     for (n <- Seq(1L << 20, 1L << 30, 1L << 40)) {
       assert(ivfProbesFor(n) === IvfProbeMax,
-        "probe depth must cap at half the cells — growing C is the lever beyond")
+        "probe depth caps at the fixed scan budget — the C ladder routes growth")
       assert(pqCandFor(n) === PqCandMax,
         "the exact re-rank budget must stay bounded at scale")
     }
+    // C rides the sqrt slope longer (8 doublings from the 8192-row base
+    // put the cap at 2^29 corpus rows) but still caps
+    for (n <- Seq(1L << 30, 1L << 40))
+      assert(ivfCellsFor(n) === IvfCellMax,
+        "C caps where the 16*C training collect hits the driver budget")
     assert(IvfProbeMax * 2 === IvfProbeCentroids)
+    // C >= 2*probes everywhere: the probe depth never exceeds half the
+    // cells, at the base (128/64) and up the whole ladder (C grows, P caps)
+    for (n <- Seq(480L, 1980L, 19800L, 198000L, 1L << 24, 1L << 36))
+      assert(ivfCellsFor(n) >= 2 * ivfProbesFor(n))
+  }
+
+  test("C ladder slope is sqrt(n): C doubles per 4x corpus") {
+    var t = IvfCellBaseN
+    var c = IvfProbeCentroids
+    while (c < IvfCellMax) {
+      assert(ivfCellsFor(t) === c)
+      assert(ivfCellsFor(t + 1) === c * 2, s"C must double past n=$t")
+      t *= 4; c *= 2
+    }
   }
 
   test("ladders are monotone and constant between powers of two") {
     val probes = Seq(1L, 100L, 511L, 512L, 513L, 999L, 2048L, 5000L,
-      12345L, 1L << 16, (1L << 16) + 7, 1L << 22)
-    for (f <- Seq[Long => Int](ivfProbesFor, pqCandFor)) {
+      8193L, 12345L, 1L << 16, (1L << 16) + 7, 1L << 22)
+    // the composed sample-size ladder n -> mod(n, 16*C(n)) must ALSO be a
+    // power-of-two step function: duckTrainedCents emits its CASE at
+    // power-of-two boundaries only (VERDICT r9 #1's oracle mirror)
+    val sampleMod: Long => Int =
+      n => ivfSampleModFor(n, ivfSampleTargetFor(ivfCellsFor(n))).toInt
+    for (f <- Seq[Long => Int](ivfProbesFor, pqCandFor, ivfCellsFor, sampleMod)) {
       // monotone non-decreasing
       val vals = probes.sorted.map(f)
       assert(vals === vals.sorted, "ladder must be monotone in n")
