@@ -71,6 +71,50 @@ object CellsProbe {
     run("ann_search C=laddered")(ops.pAnnSearch(spark, staged))
     run("ann_search C=128 pinned")(ops.pAnnSearchAt(spark, staged, ops.IvfProbeCentroids))
 
+    // ---- SERVING-regime split: the registered entries fold the one-time
+    // train/build cost into every wall, which at probe corpora dominates
+    // the 20-query search and hides what the C ladder buys. A deployment
+    // pays train+build ONCE per index and the search cost per query
+    // forever, so price the phases separately — build (train coarse +
+    // residual books + write the partitioned index) vs serve (ADC probe +
+    // re-rank) at a serving-shaped query volume (the 20 queries jittered
+    // ×queryReps into distinct vectors).
+    val queryReps = args.lift(1).map(_.toInt).getOrElse(100)
+    def vecsOf(preds: org.apache.spark.sql.Column) = Tables.embeddings(spark, staged)
+      .filter(preds)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vd"))
+      .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+    val queries = vecsOf(col("vec_id") < ops.NumQueries)
+      .crossJoin(spark.range(queryReps).select(col("id").as("qrep")))
+      .select((col("vec_id") + col("qrep") * 1000000L).as("query_id"),
+        expr("""transform(vd, (x, i) -> case when qrep = 0 then x
+                 else x * (1.0d + 0.25d * (cast(xxhash64(vec_id, qrep, i) % 1000 as double) / 1000.0d)) end)""")
+          .as("qd"))
+      .withColumn("qn", expr("sqrt(vec_dot(qd, qd))"))
+      .withColumn("vn", expr("transform(qd, x -> x / qn)"))
+      .cache()
+    val nQueries = queries.count()
+    for ((label, c) <- Seq("laddered" -> ops.ivfCellsFor(corpusN),
+        "128 pinned" -> ops.IvfProbeCentroids)) {
+      val tb0 = System.nanoTime()
+      val coarse = ops.coarseArrAt(spark, staged, corpusN, c)
+      val books = ops.trainPqResidual(spark, staged, coarse, corpusN)
+      val idxDir = s"$staged/index_$c"
+      ops.buildIvfPqIndexWith(spark, staged, books, coarse)
+        .write.mode("overwrite").partitionBy("cent_id").parquet(idxDir)
+      val build = (System.nanoTime() - tb0) / 1e9
+      val index = spark.read.parquet(idxDir)
+        .withColumn("cent_id", col("cent_id").cast("long"))
+      val ts0 = System.nanoTime()
+      ops.ivfPqServe(spark, index, books, coarse, queries,
+          ops.ivfProbesFor(corpusN), ops.pqCandFor(corpusN))
+        .write.format("noop").mode("overwrite").save()
+      val serve = (System.nanoTime() - ts0) / 1e9
+      println(f"[cells x$n] serve($nQueries q) C=$label%-11s build ${build}%7.2f s  serve ${serve}%7.2f s")
+      System.gc()
+    }
+
     def deleteRecursively(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(deleteRecursively)

@@ -347,10 +347,10 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
             "retain frames past the last ACK")
       val lo = (s - base).toInt
       val hi = (e - base).toInt
-      Array(FramedSocketPartition(s, frames.slice(lo, hi).toArray))
+      Array(FramedArrayPartition(s, frames.slice(lo, hi).toArray))
     }
   }
-  override def createReaderFactory(): PartitionReaderFactory = new FramedSocketReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new FramedArrayReaderFactory
 
   /** Batch durably committed: trim the local buffer and report progress
     * to the sender — the ACK that lets it trim ITS replay buffer. The

@@ -70,19 +70,37 @@ final case class FrameCount(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
+/** A sealed run of concatenated framed bytes: `count` frames, each laid
+  * out as [4-byte BE length][payload]. Chunks are the buffer/shipping
+  * granularity: the driver holds ~frames/chunk-size objects instead of
+  * one per frame, task serialization moves a handful of byte arrays
+  * instead of 10⁵ small ones, and each chunk decodes as its own input
+  * partition — the per-frame object overhead that capped small-frame
+  * ingest at a few hundred K frames/s is gone from every hop. */
+private[pipeline] final case class FrameChunk(count: Int, bytes: Array[Byte])
+
 final class FramedSocketMicroBatchStream(host: String, port: Int,
     maxFramesPerTrigger: Long, maxBufferedFrames: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  // Driver-side frame buffer: frames[i] holds absolute frame (base + i);
-  // commit() trims delivered frames and advances base. On restart a fresh
-  // connection knows nothing about the old stream's counts, so the first
-  // offset Spark hands us REBASES the buffer: new frames take indices
-  // from the checkpointed position onward — the data that was in flight
-  // at the crash is acknowledged lost (at-most-once, see class doc)
-  // rather than silently skipping that many NEW frames.
+  /** Seal threshold: a chunk closes at this many bytes (or whenever the
+    * socket momentarily runs dry, so a trickle stream still surfaces
+    * frames to the next trigger promptly). */
+  private val ChunkBytes = 1 << 20
+
+  // Driver-side chunk buffer: `base` is the absolute frame index of the
+  // first unconsumed frame, `headSkip` how many frames of chunks.head are
+  // already consumed (commit can land mid-chunk), `buffered` the
+  // unconsumed frame count. On restart a fresh connection knows nothing
+  // about the old stream's counts, so the first offset Spark hands us
+  // REBASES the buffer: new frames take indices from the checkpointed
+  // position onward — the data that was in flight at the crash is
+  // acknowledged lost (at-most-once, see class doc) rather than silently
+  // skipping that many NEW frames.
   private val lock = new Object
-  private val frames = ArrayBuffer.empty[Array[Byte]]
+  private val chunks = ArrayBuffer.empty[FrameChunk]
+  private var headSkip = 0
+  private var buffered = 0L
   private var base = 0L
   private var rebased = false
   @volatile private var availableNowCap: Option[Long] = None
@@ -91,23 +109,40 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
   private val socket = new Socket(host, port)
   private val reader = new Thread(s"${FramedSocket.ShortName}:$host:$port") {
     override def run(): Unit = {
-      val in = new DataInputStream(socket.getInputStream)
+      // buffered stream: an unbuffered DataInputStream pays one read(2)
+      // for the 4-byte header and another for the payload — two syscalls
+      // per frame throttles small-frame ingest regardless of pipeline
+      // speed
+      val in = new DataInputStream(
+        new java.io.BufferedInputStream(socket.getInputStream, 1 << 16))
+      val open = new java.io.ByteArrayOutputStream(ChunkBytes + (1 << 12))
+      var openFrames = 0
+      def seal(): Unit = if (openFrames > 0) {
+        val c = FrameChunk(openFrames, open.toByteArray)
+        open.reset(); openFrames = 0
+        lock.synchronized {
+          // bounded buffer: park until the query drains — TCP flow
+          // control then backpressures the sender (the reference's
+          // connector-source behavior under a slow pipeline)
+          while (buffered >= maxBufferedFrames) lock.wait()
+          chunks += c
+          buffered += c.count
+        }
+      }
       try {
         while (true) {
           val len = in.readInt() // big-endian u32 — the TcpSink framing
           require(len >= 0, s"negative frame length $len from $host:$port")
           val payload = new Array[Byte](len)
           in.readFully(payload)
-          lock.synchronized {
-            // bounded buffer: park until the query drains — TCP flow
-            // control then backpressures the sender (the reference's
-            // connector-source behavior under a slow pipeline)
-            while (frames.length >= maxBufferedFrames) lock.wait()
-            frames += payload
-          }
+          open.write((len >>> 24) & 0xff); open.write((len >>> 16) & 0xff)
+          open.write((len >>> 8) & 0xff); open.write(len & 0xff)
+          open.write(payload, 0, payload.length)
+          openFrames += 1
+          if (open.size() >= ChunkBytes || in.available() == 0) seal()
         }
       } catch {
-        case _: EOFException | _: java.net.SocketException => // sender done
+        case _: EOFException | _: java.net.SocketException => seal() // sender done
         case _: InterruptedException => // stop()
         case t: Throwable =>
           readerError = t // surfaced to the query at the next trigger
@@ -117,7 +152,7 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
   reader.setDaemon(true)
   reader.start()
 
-  private def total: Long = lock.synchronized(base + frames.length)
+  private def total: Long = lock.synchronized(base + buffered)
   private def checkHealthyAndRebase(from: Long): Unit = {
     if (readerError != null)
       throw new IllegalStateException(
@@ -150,10 +185,24 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
     else lock.synchronized {
       // a replayed-after-restart range may exceed what the fresh
       // connection has buffered — deliver what exists (at-most-once)
-      val lo = math.max(0L, s - base).toInt
-      val hi = math.max(0L, math.min(e - base, frames.length.toLong)).toInt
-      val slice = frames.slice(lo, hi).toArray
-      Array(FramedSocketPartition(base + lo, slice))
+      var rel = headSkip + math.max(0L, s - base) // frame idx into chunks
+      var remaining = math.max(0L, math.min(e, base + buffered) -
+        math.max(s, base))
+      var absIdx = math.max(s, base)
+      val out = ArrayBuffer.empty[InputPartition]
+      val it = chunks.iterator
+      while (remaining > 0 && it.hasNext) {
+        val c = it.next()
+        if (rel >= c.count) rel -= c.count
+        else {
+          val take = math.min(c.count - rel, remaining).toInt
+          out += FramedSocketPartition(absIdx, c.bytes, rel.toInt, take)
+          remaining -= take
+          absIdx += take
+          rel = 0
+        }
+      }
+      out.toArray
     }
   }
   override def createReaderFactory(): PartitionReaderFactory = new FramedSocketReaderFactory
@@ -161,7 +210,13 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
   override def commit(end: Offset): Unit = lock.synchronized {
     val e = end.asInstanceOf[FrameCount].n
     if (e > base) {
-      frames.dropInPlace(math.min(e - base, frames.length.toLong).toInt)
+      var toDrop = math.min(e - base, buffered) + headSkip
+      while (chunks.nonEmpty && chunks.head.count <= toDrop) {
+        toDrop -= chunks.head.count
+        chunks.remove(0)
+      }
+      headSkip = toDrop.toInt // partial head chunk: skip its consumed prefix
+      buffered = math.max(0L, buffered - (e - base))
       base = e
     }
     lock.notifyAll() // wake a parked reader
@@ -172,17 +227,56 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
   }
 }
 
-final case class FramedSocketPartition(startIdx: Long, payloads: Array[Array[Byte]])
+/** One chunk slice: `take` frames starting `skip` frames into `bytes`,
+  * with `startIdx` the absolute index of the first emitted frame. Each
+  * slice is its own partition, so a large batch decodes in parallel. */
+final case class FramedSocketPartition(startIdx: Long, bytes: Array[Byte],
+    skip: Int, take: Int) extends InputPartition
+
+/** Per-frame-array partition kept for [[ConnectorSocketMicroBatchStream]]
+  * — the ALO connector path buffers per frame (its replay/ACK protocol
+  * is frame-addressed and its volumes are credit-bounded), so it doesn't
+  * need the chunked layout the throughput-oriented socket source uses. */
+final case class FramedArrayPartition(startIdx: Long, payloads: Array[Array[Byte]])
     extends InputPartition
 
-final class FramedSocketReaderFactory extends PartitionReaderFactory {
+final class FramedArrayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[FramedSocketPartition]
+    val p = partition.asInstanceOf[FramedArrayPartition]
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < p.payloads.length }
       override def get(): InternalRow =
         new GenericInternalRow(Array[Any](p.startIdx + i, p.payloads(i)))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+final class FramedSocketReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FramedSocketPartition]
+    new PartitionReader[InternalRow] {
+      private var pos = 0
+      private var skipped = 0
+      private var emitted = 0
+      private var current: Array[Byte] = _
+      private def frameLen: Int =
+        ((p.bytes(pos) & 0xff) << 24) | ((p.bytes(pos + 1) & 0xff) << 16) |
+          ((p.bytes(pos + 2) & 0xff) << 8) | (p.bytes(pos + 3) & 0xff)
+      override def next(): Boolean = {
+        while (skipped < p.skip) { pos += 4 + frameLen; skipped += 1 }
+        if (emitted >= p.take) false
+        else {
+          val len = frameLen
+          current = java.util.Arrays.copyOfRange(p.bytes, pos + 4, pos + 4 + len)
+          pos += 4 + len
+          emitted += 1
+          true
+        }
+      }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](p.startIdx + emitted - 1, current))
       override def close(): Unit = ()
     }
   }
