@@ -1,0 +1,115 @@
+package graft
+
+import java.net.ServerSocket
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/** Scratch probe (not part of the driver contract): per-layer cost of
+  * the framed-socket ingest path, to localize where wire rows/s goes.
+  * Serves N 24-byte frames over one localhost socket and times, as
+  * separate runs:
+  *   raw    — the DSv2 scan alone (offset, payload) → noop;
+  *   decode — the [[FramedSocketSource.load]] typed-decode path → noop;
+  *   dsl    — the full DSL wrap (Graft.source → filter → EmptySink).
+  */
+object WireScanProbe {
+  def main(args: Array[String]): Unit = {
+    val nFrames = args.headOption.map(_.toInt).getOrElse(4000000)
+    val spark = Sessions.local("graft-wire-scan-probe")
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    implicit val long5Enc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+
+    def serveAll(): ServerSocket = {
+      val ssk = new ServerSocket(0)
+      val t = new Thread("wire-scan-server") {
+        override def run(): Unit =
+          try {
+            val conn = ssk.accept()
+            val out = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(conn.getOutputStream, 1 << 20))
+            val bb = java.nio.ByteBuffer.allocate(24)
+            var i = 0L
+            while (i < nFrames) {
+              bb.clear(); bb.putLong(i % 1500); bb.putLong(i); bb.putLong(i * 1000)
+              out.writeInt(24); out.write(bb.array()); i += 1
+            }
+            out.flush(); conn.close()
+          } catch { case _: java.io.IOException => }
+      }
+      t.setDaemon(true); t.start(); ssk
+    }
+
+    def timed(label: String)(mk: Int => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val srv = serveAll()
+      val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          seen.addAndGet(e.progress.numInputRows)
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      try {
+        val t0 = System.nanoTime()
+        val q = mk(srv.getLocalPort)
+        val deadline = System.nanoTime() + 600L * 1000000000L
+        var lastLog = System.nanoTime()
+        while (seen.get() < nFrames && System.nanoTime() < deadline) {
+          Thread.sleep(25)
+          if (q.exception.isDefined) throw q.exception.get
+          if (System.nanoTime() - lastLog > 2000000000L) {
+            lastLog = System.nanoTime()
+            val lp = Option(q.lastProgress)
+            println(s"[wire-scan] ...$label seen=${seen.get()} lastBatch=" +
+              lp.map(p => s"${p.batchId}/${p.numInputRows}rows").getOrElse("none"))
+          }
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        println(f"[wire-scan] $label%-8s $nFrames rows  ${sec}%7.2f s  ${nFrames / sec / 1e6}%6.2f M rows/s")
+      } finally {
+        spark.streams.removeListener(listener)
+        srv.close()
+      }
+    }
+
+    // raw DSv2 scan, no typed ops
+    timed("raw") { port =>
+      spark.readStream
+        .format(classOf[FramedSocketTableProvider].getName)
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .load()
+        .writeStream.format("noop").option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wsp_raw").toString)
+        .start()
+    }
+
+    // the typed-decode path FramedSocketSource.load builds
+    timed("decode") { port =>
+      FramedSocketSource("127.0.0.1", port, StreamBench.SpreadWireDecoder(0L))
+        .load(spark)
+        .writeStream.format("noop").option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wsp_dec").toString)
+        .start()
+    }
+
+    // full DSL wrap
+    timed("dsl") { port =>
+      val h = Graft.source("wire-scan-dsl",
+          FramedSocketSource("127.0.0.1", port, StreamBench.SpreadWireDecoder(0L)))
+        .filter(_._4 >= 0)
+        .toSink(EmptySink[(Long, Long, Long, Long, Long)]())
+      h.query.get
+    }
+
+    spark.stop()
+  }
+}

@@ -318,7 +318,18 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
     val from = start.asInstanceOf[FrameCount].n
     ensureStarted(from)
     if (availableNowPending) { availableNowPending = false; resolveAvailableNowCap() }
-    val end = from + math.min(maxFramesPerTrigger, math.max(0L, total - from))
+    // Half-window cap: credits replenish on commit(), and Spark only
+    // commits batch N while constructing batch N+2 — so a batch that
+    // swallowed the ENTIRE credit window would leave the sender stalled
+    // at zero credits with no further batch to ride the commit out on
+    // (the same deferred-commit wedge the framed socket source hit at
+    // its buffer cap). Capping one batch at half the buffer guarantees
+    // the leftover half forms the next batch, whose construction commits
+    // the previous one and ACKs its slots back to the sender — the
+    // cascade that keeps credit flow live at any stream length.
+    val perTrigger =
+      math.min(maxFramesPerTrigger, math.max(1L, maxBufferedFrames.toLong / 2))
+    val end = from + math.min(perTrigger, math.max(0L, total - from))
     FrameCount(math.max(from, availableNowCap.fold(end)(math.min(end, _))))
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

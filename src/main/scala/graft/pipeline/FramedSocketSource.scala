@@ -102,6 +102,16 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
   private var headSkip = 0
   private var buffered = 0L
   private var base = 0L
+  // Highest frame index handed to a batch via planInputPartitions. The
+  // reader's backpressure parks on the UNPLANNED backlog (total −
+  // planned), NOT on the full buffer: Spark only calls commit(N) after
+  // batch N+1 exists, so a fast sender that fills the whole buffer into
+  // one batch would otherwise deadlock — all frames delivered, commit
+  // deferred until a next batch that can never form because the parked
+  // reader admits no new data. Planned-but-uncommitted frames stay
+  // buffered (a failed batch re-plans its range on retry), so peak
+  // retention is bounded by maxBufferedFrames + one batch ≤ 2× the cap.
+  private var planned = 0L
   private var rebased = false
   @volatile private var availableNowCap: Option[Long] = None
   @volatile private var readerError: Throwable = _
@@ -121,10 +131,12 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
         val c = FrameChunk(openFrames, open.toByteArray)
         open.reset(); openFrames = 0
         lock.synchronized {
-          // bounded buffer: park until the query drains — TCP flow
-          // control then backpressures the sender (the reference's
+          // bounded buffer: park while the UNPLANNED backlog is at the
+          // cap (see `planned`) until the query takes a batch — TCP
+          // flow control then backpressures the sender (the reference's
           // connector-source behavior under a slow pipeline)
-          while (buffered >= maxBufferedFrames) lock.wait()
+          while (base + buffered - math.max(planned, base) >= maxBufferedFrames)
+            lock.wait()
           chunks += c
           buffered += c.count
         }
@@ -202,6 +214,10 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
           rel = 0
         }
       }
+      // planning IS the reader's release point (commit lags a batch —
+      // see `planned`); wake a parked reader now that backlog shrank
+      planned = math.max(planned, math.min(e, base + buffered))
+      lock.notifyAll()
       out.toArray
     }
   }

@@ -100,4 +100,18 @@ class StreamAnnDifferentialSpec extends AnyFunSuite {
     assert(flipped.isEmpty,
       s"uint16 quantization flipped ${flipped.size} cell winners: ${flipped.take(5)}")
   }
+
+  test("packCodes rejects code ids past the cost-table width (ADVICE r9)") {
+    // score() indexes the flat m*Codes+c table, so a 1-based id in
+    // (Codes, 256] would silently read a NEIGHBORING subspace's entry —
+    // it must fail at pack time, not scramble distances
+    import graft.functions.AnnWire
+    val ok = Array.fill(AnnWire.Tables)(AnnWire.Codes) // max legal id
+    AnnWire.packCodes(ok) // must not throw
+    val bad = ok.clone(); bad(3) = AnnWire.Codes + 1
+    val e = intercept[IllegalArgumentException](AnnWire.packCodes(bad))
+    assert(e.getMessage.contains("code id"))
+    val zero = ok.clone(); zero(0) = 0 // below the 1-based floor
+    intercept[IllegalArgumentException](AnnWire.packCodes(zero))
+  }
 }

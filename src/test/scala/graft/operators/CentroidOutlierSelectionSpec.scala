@@ -74,4 +74,26 @@ class CentroidOutlierSelectionSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("empty embeddings degrade to an empty result (ADVICE r9)") {
+    // zero labels → zero thresholds; the driver-side selection must
+    // return an empty frame with the contract schema, not throw on
+    // reducing an empty threshold set (the pre-r10 failure mode)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_outlier_empty").toString
+    try {
+      Seq.empty[(Long, Array[Float], String)]
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.sCentroidOutliers(spark, dir)
+      assert(out.columns.toSeq ===
+        Seq("vec_id", "label", "d2_centroid", "is_outlier"))
+      assert(out.count() === 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

@@ -67,7 +67,12 @@ class SizingLaddersSpec extends AnyFunSuite {
     // power-of-two boundaries only (VERDICT r9 #1's oracle mirror)
     val sampleMod: Long => Int =
       n => ivfSampleModFor(n, ivfSampleTargetFor(ivfCellsFor(n))).toInt
-    for (f <- Seq[Long => Int](ivfProbesFor, pqCandFor, ivfCellsFor, sampleMod)) {
+    // d_semantic_scale's composition: k from the cluster ladder, sample
+    // floor 16·k, mod from both — still power-of-two stepped
+    val semSampleMod: Long => Int =
+      n => ivfSampleModFor(n, ivfSampleTargetFor(semScaleK(n))).toInt
+    for (f <- Seq[Long => Int](ivfProbesFor, pqCandFor, ivfCellsFor,
+        sampleMod, semSampleMod)) {
       // monotone non-decreasing
       val vals = probes.sorted.map(f)
       assert(vals === vals.sorted, "ladder must be monotone in n")

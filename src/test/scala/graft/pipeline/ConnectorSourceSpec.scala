@@ -200,6 +200,35 @@ class ConnectorSourceSpec extends AnyFunSuite {
     sender.close()
   }
 
+  test("unpaced trigger cannot wedge credit flow (half-window cap regression)") {
+    // With no maxFramesPerTrigger, one batch used to swallow the ENTIRE
+    // credit window; Spark commits batch N only after batch N+1 exists,
+    // so the sender sat at zero credits with no further batch to carry
+    // the commit ACK out — a permanent stall at any stream longer than
+    // the buffer. latestOffset now caps a batch at half the buffer, so
+    // the leftover half forms the next batch and the commit→ACK cascade
+    // keeps credits flowing.
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val n = 120
+    val cap = 30
+    val payloads = (0 until n).map(i => s"w-$i".getBytes(UTF_8))
+    val sender = new CreditSender(payloads, cookie = "s3cret")
+    val view = s"connector_wedge_out_${System.nanoTime()}"
+    val h = Graft.source("connector-wedge",
+        ConnectorSocketSource("127.0.0.1", sender.server.getLocalPort, StringFrames,
+          cookie = Some("s3cret"), maxBufferedFrames = cap)) // NO trigger pacing
+      .toSink(MemorySink(view))
+    assert(awaitCond(60000)(sender.sentAll), "sender stalled: credit flow wedged")
+    assert(awaitCond(30000)(spark.table(view).count() == n.toLong),
+      s"sink saw ${spark.table(view).count()} of $n")
+    h.stop()
+    assert(sender.creditViolations == 0)
+    val got = spark.table(view).collect().map(_.getString(0)).toSeq
+    assert(got.sorted == (0 until n).map(i => s"w-$i").sorted)
+    sender.close()
+  }
+
   test("credit refunds for dropped replay duplicates: a dup-sending sender can't stall") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._

@@ -150,4 +150,50 @@ class FramedSourceSpec extends AnyFunSuite {
     assert(got === (0 until 10).map(i => s"f$i")) // all frames, in order
     assert(batches.forall(_ <= 3) && batches.length >= 4, s"batches: ${batches.toSeq}")
   }
+
+  test("a stream larger than maxBufferedFrames drains (deferred-commit wedge regression)") {
+    // Spark only commits batch N after batch N+1 exists, so a reader that
+    // parks at the buffer cap until COMMIT frees slots deadlocks the
+    // moment an entire buffer-full lands in one batch: all frames
+    // delivered, nothing committed, no new data to form the next batch.
+    // The fix releases backpressure at PLAN time (`planned`); this pins
+    // it by pushing 10x the cap through a tiny buffer.
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val n = 200
+    val server = new java.net.ServerSocket(0)
+    val sender = new Thread("framed-overrun-sender") {
+      override def run(): Unit = {
+        val conn = server.accept()
+        val out = new DataOutputStream(
+          new java.io.BufferedOutputStream(conn.getOutputStream))
+        (0 until n).foreach { i =>
+          val payload = s"x$i".getBytes(UTF_8)
+          out.writeInt(payload.length)
+          out.write(payload)
+        }
+        out.flush()
+        conn.close()
+      }
+    }
+    sender.start()
+    val view = s"framed_overrun_out_${System.nanoTime()}"
+    val h = Graft.source("framed-overrun",
+        FramedSocketSource("127.0.0.1", server.getLocalPort, StringFrames,
+          maxBufferedFrames = 20)) // 10x smaller than the stream
+      .toSink(MemorySink(view))
+    sender.join()
+    // drain with a deadline: the pre-fix behavior hangs forever here
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    var count = 0L
+    while (count < n && System.nanoTime() < deadline) {
+      h.processAllAvailable()
+      count = spark.table(view).count()
+    }
+    val got = spark.table(view).collect().map(_.getString(0)).toSeq
+    h.stop()
+    server.close()
+    assert(got === (0 until n).map(i => s"x$i"),
+      s"drained ${got.length}/$n frames before the deadline")
+  }
 }
