@@ -504,6 +504,9 @@ object StreamBench {
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       handle.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("STREAM_BENCH_DEBUG"))
+        handle.query.foreach(_.recentProgress.foreach(p =>
+          System.err.println(s"[stream_ann] ${p.json}")))
       val (sustained, latency) = sustainedOf(handle.query, nAnnRows, sec)
       (sec, sustained, latency, stateOf(handle.query))
     }
@@ -929,6 +932,17 @@ object StreamBench {
         System.err.println(s"[stream] $name failed (trial $r): $e")
         failed += name; dead += name
       }
+      // Between-trials teardown (the stream analogue of the batch pack's
+      // clearCache + GC): every stopped query leaves its state-store
+      // providers CACHED in the executor (HDFS-backed loadedMaps,
+      // RocksDB native handles + column families) — across 14 rows × R
+      // trials that accumulation periodically erupted as one ~40 s
+      // trial (three full r10 runs each showed exactly one, on a
+      // varying round, while row-only reruns never did). Unloading the
+      // providers and collecting now puts the cost OUTSIDE the timed
+      // windows; the next query transparently reloads its own stores.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      System.gc()
     }
     val results = rowDefs.toSeq.collect { case (name, provider, _, _) if !dead(name) =>
       val ts = collected(name)
