@@ -121,8 +121,10 @@ object Bench {
     // zeroed the entire artifact). Either way the JSON below gets written.
     val empty = (Seq.empty[(String, Double)], Seq.empty[(String, Seq[Double])],
       Seq.empty[(String, Double)], Seq.empty[(String, (Long, Long))],
-      Seq.empty[(String, String)], Seq.empty[(String, String)], Seq.empty[String])
-    val (streamSecs, streamTrials, streamRps, streamLat, streamProviders, streamState, streamFailed) =
+      Seq.empty[(String, String)], Seq.empty[(String, String)], Seq.empty[String],
+      Seq.empty[(Int, Double)])
+    val (streamSecs, streamTrials, streamRps, streamLat, streamProviders, streamState,
+        streamFailed, streamCal) =
       if (only.isDefined) empty
       else try StreamBench.run(spark, sfDir)
       catch { case e: Throwable =>
@@ -157,6 +159,12 @@ object Bench {
     val streamTrialsJson = streamTrials.map { case (k, ts) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Round-boundary calibration for the stream phase — the batch
+    // calibration_series stops before the stream rows run, so a host
+    // window during the interleaved trials was previously invisible.
+    val streamCalJson = streamCal.map { case (r, sec) =>
+      s"""{"round":$r,"sec":$sec}"""
+    }.mkString("[", ",", "]")
     val lat = streamLat.map { case (k, (p50, mx)) =>
       "\"" + k + "\":{\"p50_ms\":" + p50 + ",\"max_ms\":" + mx + "}"
     }.mkString("{", ",", "}")
@@ -214,7 +222,7 @@ object Bench {
       .mkString("[", ",", "]")
     val subsetJson = only.fold("false")(s =>
       s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
     println(json)
     // The round-4 driver capture truncated the stdout tail and destroyed
     // the artifact (VERDICT r4 #1) — also write the same JSON to a file so

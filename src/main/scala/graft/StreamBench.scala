@@ -28,13 +28,15 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-stream-bench")
-    val (secs, trials, rps, lat, prov, state, failed) = run(spark, sfDir)
+    val (secs, trials, rps, lat, prov, state, failed, roundCal) = run(spark, sfDir)
     secs.zip(trials).zip(rps).zip(lat).zip(prov).zip(state).foreach {
       case ((((((n, s), (_, ts)), (_, r)), (_, (p50, mx))), (_, p)), (_, st)) =>
         val spread = ts.map(t => f"$t%.2f").mkString("/")
         println(f"[stream] $n%-22s $s%7.2f s  (trials $spread)  ${r.round}%9d rows/s  batch p50/max $p50%5d/$mx%5d ms  [$p] state=$st")
     }
     failed.foreach(n => println(s"[stream] $n FAILED (see stderr)"))
+    println("[stream] round calibration: " +
+      roundCal.map { case (r, s) => f"r$r=$s%.2f s" }.mkString(" "))
     spark.stop()
   }
 
@@ -187,7 +189,7 @@ object StreamBench {
   def run(spark: SparkSession, sfDir: String):
       (Seq[(String, Double)], Seq[(String, Seq[Double])], Seq[(String, Double)],
         Seq[(String, (Long, Long))], Seq[(String, String)],
-        Seq[(String, String)], Seq[String]) = {
+        Seq[(String, String)], Seq[String], Seq[(Int, Double)]) = {
     implicit val ss: SparkSession = spark
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // GRAFT_STREAM_ONLY="stream_neardup,stream_ann" runs a subset (and
@@ -926,23 +928,60 @@ object StreamBench {
     val collected = scala.collection.mutable.LinkedHashMap[String, Vector[Trial]](
       rowDefs.map(r => r._1 -> Vector.empty[Trial]).toSeq: _*)
     val dead = scala.collection.mutable.Set.empty[String]
-    for (r <- 1 to repeats; (name, _, confs, runTrial) <- rowDefs if !dead(name)) {
-      try collected(name) = collected(name) :+ withConfs(confs)(runTrial())
-      catch { case e: Throwable =>
-        System.err.println(s"[stream] $name failed (trial $r): $e")
-        failed += name; dead += name
+    // Round-boundary calibration (the stream phase's answer to the batch
+    // pack's calibration_series, which stops sampling before the stream
+    // rows run): the SAME fixed CPU+shuffle kernel, median of 3 shots,
+    // taken before round 1 and after every round. A host-contention
+    // window that inflates a contiguous stretch of trials — the shape
+    // every flagged "regression" since r7 has resolved to — now shows up
+    // as a riser in the bracketing samples, so a slow round is
+    // adjudicatable from the artifact alone, as batch rows have been
+    // since r6.
+    def calOnce(): Double = {
+      import org.apache.spark.sql.functions.{avg, expr, max, sum}
+      val t0 = System.nanoTime()
+      spark.range(1L << 26).selectExpr("id % 1024 as k", "id as v")
+        .groupBy("k").agg(sum("v"), avg("v"), max(expr("xxhash64(v)")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calSample(): Double = {
+      val xs = (1 to 3).map(_ => calOnce()).sorted
+      xs(1)
+    }
+    // Staging just wrote the replay corpora; settle that writeback before
+    // the first timed trial rather than during it.
+    syncFs()
+    val roundCal = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, calSample()))
+    for (r <- 1 to repeats) {
+      for ((name, _, confs, runTrial) <- rowDefs if !dead(name)) {
+        try collected(name) = collected(name) :+ withConfs(confs)(runTrial())
+        catch { case e: Throwable =>
+          System.err.println(s"[stream] $name failed (trial $r): $e")
+          failed += name; dead += name
+        }
+        // Between-trials teardown (the stream analogue of the batch pack's
+        // clearCache + GC): every stopped query leaves its state-store
+        // providers CACHED in the executor (HDFS-backed loadedMaps,
+        // RocksDB native handles + column families) — across 14 rows × R
+        // trials that accumulation periodically erupted as one ~40 s
+        // trial (three full r10 runs each showed exactly one, on a
+        // varying round, while row-only reruns never did). Unloading the
+        // providers and collecting now puts the cost OUTSIDE the timed
+        // windows; the next query transparently reloads its own stores.
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        System.gc()
+        // Flush dirty pages NOW, not under a later trial's commit path:
+        // the batch pack and each trial's checkpoint/state writes leave
+        // GBs of writeback debt on /tmp, and the kernel was repaying it
+        // mid-trial — the wedged full-run artifacts show the shape
+        // exactly (trial-1 commit_ms of 112 s on the wire row and 75 s
+        // on session against 3–5 s in the other trials, CPU calibration
+        // flat). A blocking sync between trials moves that I/O outside
+        // every timed window.
+        syncFs()
       }
-      // Between-trials teardown (the stream analogue of the batch pack's
-      // clearCache + GC): every stopped query leaves its state-store
-      // providers CACHED in the executor (HDFS-backed loadedMaps,
-      // RocksDB native handles + column families) — across 14 rows × R
-      // trials that accumulation periodically erupted as one ~40 s
-      // trial (three full r10 runs each showed exactly one, on a
-      // varying round, while row-only reruns never did). Unloading the
-      // providers and collecting now puts the cost OUTSIDE the timed
-      // windows; the next query transparently reloads its own stores.
-      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      System.gc()
+      roundCal += ((r, calSample()))
     }
     val results = rowDefs.toSeq.collect { case (name, provider, _, _) if !dead(name) =>
       val ts = collected(name)
@@ -964,8 +1003,19 @@ object StreamBench {
     (results.map(r => (r._1, r._2)), results.map(r => (r._1, r._3)),
       results.map(r => (r._1, r._4)), results.map(r => (r._1, r._5)),
       results.map(r => (r._1, r._6)), results.map(r => (r._1, r._7)),
-      failed.toList.distinct)
+      failed.toList.distinct, roundCal.toSeq)
   }
+
+  /** Blocking filesystem sync (best-effort): waits for outstanding dirty
+    * pages to reach disk so writeback never lands inside a timed trial.
+    * Failure (no /bin/sync, non-POSIX host) is ignored — it only means
+    * the old exposure. */
+  private def syncFs(): Unit =
+    try {
+      val p = new ProcessBuilder("sync").start()
+      p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    } catch { case _: Throwable => }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
