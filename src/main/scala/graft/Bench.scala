@@ -104,6 +104,12 @@ object Bench {
         // timed run — the round-4 forensics saw 10x outliers whenever a
         // prior query's cleanup landed inside a later query's window.
         System.gc()
+        // Drain dirty-page writeback the same way the stream pack does:
+        // staging-heavy entries (p_ann_search writes a partitioned index;
+        // the roundtrip rigs write checkpoints) leave flush debt the
+        // kernel otherwise repays inside a LATER query's timed window —
+        // the same channel behind the stream rows' commit_ms eruptions.
+        StreamBench.syncFs()
         (elapsed, ok)
       }.takeWhile(_._2).map(_._1).toVector match {
         case v if v.nonEmpty => v

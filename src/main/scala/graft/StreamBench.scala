@@ -1010,7 +1010,7 @@ object StreamBench {
     * pages to reach disk so writeback never lands inside a timed trial.
     * Failure (no /bin/sync, non-POSIX host) is ignored — it only means
     * the old exposure. */
-  private def syncFs(): Unit =
+  private[graft] def syncFs(): Unit =
     try {
       val p = new ProcessBuilder("sync").start()
       p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
