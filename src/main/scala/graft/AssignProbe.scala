@@ -76,12 +76,7 @@ object AssignProbe {
     }
     // ×N staging is multi-hundred-MB per run — delete it (same hygiene
     // as StreamBench's staging dirs) so repeated probes don't fill /tmp
-    def deleteRecursively(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(deleteRecursively)
-      f.delete()
-    }
-    deleteRecursively(new java.io.File(staged))
+    StreamBench.deleteRecursively(new java.io.File(staged))
     spark.stop()
   }
 }

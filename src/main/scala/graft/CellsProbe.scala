@@ -54,6 +54,11 @@ object CellsProbe {
       .select("query_id", "neighbor_id").cache()
     val nb = brute.count()
 
+    // df is deliberately evaluated twice: the timed wall must be the bare
+    // noop write (the Bench convention — no persist inside the window, or
+    // cache-materialization cost pollutes the laddered-vs-pinned compare),
+    // so the recall join below re-runs the search untimed. Probe runtime,
+    // not measurement, pays for it.
     def run(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -115,12 +120,7 @@ object CellsProbe {
       System.gc()
     }
 
-    def deleteRecursively(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(deleteRecursively)
-      f.delete()
-    }
-    deleteRecursively(new java.io.File(staged))
+    StreamBench.deleteRecursively(new java.io.File(staged))
     spark.stop()
   }
 }

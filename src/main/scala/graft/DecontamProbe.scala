@@ -63,12 +63,7 @@ object DecontamProbe {
       System.gc()
     }
 
-    def deleteRecursively(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(deleteRecursively)
-      f.delete()
-    }
-    deleteRecursively(new java.io.File(staged))
+    StreamBench.deleteRecursively(new java.io.File(staged))
     spark.stop()
   }
 }

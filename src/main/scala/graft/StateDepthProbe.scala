@@ -128,12 +128,7 @@ object StateDepthProbe {
     }
 
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    def deleteRecursively(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(deleteRecursively)
-      f.delete()
-    }
-    deleteRecursively(new java.io.File(staged))
+    StreamBench.deleteRecursively(new java.io.File(staged))
     spark.stop()
   }
 }

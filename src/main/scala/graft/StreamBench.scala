@@ -715,6 +715,11 @@ object StreamBench {
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
       spark.streams.addListener(listener)
+      // declared outside the try so a deadline/exception exit still stops
+      // the 8-source ProcessingTime(0) query — a leaked one keeps running
+      // micro-batches against stalled sockets for the rest of the bench,
+      // inflating every later row (and fighting the per-trial teardown)
+      var handleOpt: Option[SinkHandle] = None
       try {
         val t0 = System.nanoTime()
         // bounded triggers: ~1 M merged rows per micro-batch, so batches
@@ -739,6 +744,7 @@ object StreamBench {
             .to(graft.operators.PipelineQueries.MarketCheck)(spreadOutEnc)) match {
             case p: Pipeline[t] => p.toSink(EmptySink[t]())
           }
+        handleOpt = Some(handle)
         // a socket is not AvailableNow-complete at start (frames arrive
         // while the query runs), so drive ProcessingTime(0) micro-batches
         // until both legs' full logs have been PROCESSED, then stop
@@ -755,9 +761,9 @@ object StreamBench {
             System.err.println(s"[msw] ${p.json}")))
         val (sustained, latency) = sustainedOf(handle.query, expected.toDouble, sec)
         val st = stateOf(handle.query)
-        handle.stop()
         (sec, sustained, latency, st)
       } finally {
+        handleOpt.foreach(h => try h.stop() catch { case _: Throwable => })
         spark.streams.removeListener(listener)
         (sq ++ so).foreach(ss =>
           try ss.close() catch { case _: java.io.IOException => })
@@ -1017,7 +1023,7 @@ object StreamBench {
       ()
     } catch { case _: Throwable => }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
     f.delete()

@@ -74,7 +74,11 @@ object WireScanProbe {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         q.stop()
-        println(f"[wire-scan] $label%-8s $nFrames rows  ${sec}%7.2f s  ${nFrames / sec / 1e6}%6.2f M rows/s")
+        val done = seen.get()
+        if (done < nFrames)
+          println(f"[wire-scan] $label%-8s TIMED OUT at $done of $nFrames rows after ${sec}%7.2f s")
+        else
+          println(f"[wire-scan] $label%-8s $nFrames rows  ${sec}%7.2f s  ${nFrames / sec / 1e6}%6.2f M rows/s")
       } finally {
         spark.streams.removeListener(listener)
         srv.close()

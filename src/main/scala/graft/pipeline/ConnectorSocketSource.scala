@@ -141,6 +141,13 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   import ConnectorProtocol._
 
+  // The half-window cap in latestOffset needs a window of at least 2:
+  // at 1, max(1, 1/2) lets a single batch swallow the whole credit
+  // window and the deferred-commit wedge it exists to prevent returns.
+  require(maxBufferedFrames >= 2,
+    s"maxBufferedFrames must be >= 2 (got $maxBufferedFrames): a 1-frame " +
+      "credit window cannot keep the commit-to-ACK cascade live")
+
   // frames(i) holds absolute message id (base + i); base advances on
   // commit. `started` flips when the first offset-bearing callback tells
   // us where the checkpoint committed — the connection is LAZY because

@@ -154,7 +154,13 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
           if (open.size() >= ChunkBytes || in.available() == 0) seal()
         }
       } catch {
-        case _: EOFException | _: java.net.SocketException => seal() // sender done
+        case _: EOFException | _: java.net.SocketException =>
+          // sender done — flush the tail chunk. seal() can park on the
+          // bounded buffer; stop()'s interrupt must end that wait quietly
+          // too (the sibling case below can't catch from inside a
+          // handler, so an uncaught InterruptedException would escape
+          // run() on every teardown-before-drain).
+          try seal() catch { case _: InterruptedException => }
         case _: InterruptedException => // stop()
         case t: Throwable =>
           readerError = t // surfaced to the query at the next trigger
