@@ -88,6 +88,24 @@ class EvalMaxCosineSpec extends AnyFunSuite {
     assert(out > 0.0 && out <= 1.0 + 1e-9)
   }
 
+  test("mixed-dimension eval sets are rejected, not silently misaligned") {
+    // rows of length 63/65/64/64 sum to 256 = 4×64, so the flat matrix's
+    // divisibility check alone would pass and every row after the first
+    // would read its neighbor's elements — the library overload must
+    // fail loudly instead
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val evals = Seq(63, 65, 64, 64).zipWithIndex
+      .map { case (d, i) => (i.toLong, Array.fill(d)(0.5)) }
+      .toDF("vec_id", "vd")
+      .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.dDecontaminateSemanticWith(
+        corpus(10, seed = 23), evals, 0.9)
+    }
+    assert(ex.getMessage.contains("dimension"), ex.getMessage)
+  }
+
   test("CentroidMatrix equality is identity, not structure") {
     val a = new CentroidMatrix(Array(1.0, 2.0), Array(1.0), Array(0L))
     val b = new CentroidMatrix(Array(1.0, 2.0), Array(1.0), Array(0L))

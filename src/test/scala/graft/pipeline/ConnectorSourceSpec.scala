@@ -346,6 +346,18 @@ class ConnectorSourceSpec extends AnyFunSuite {
     sender.close()
   }
 
+  test("a 1-frame credit window is rejected at construction") {
+    // at maxBufferedFrames = 1 the half-window cap degenerates to the
+    // whole window and the deferred-commit wedge returns — fail at
+    // construction instead of wedging at runtime
+    val ex = intercept[IllegalArgumentException] {
+      new ConnectorSocketMicroBatchStream("127.0.0.1", 1,
+        maxFramesPerTrigger = Long.MaxValue, maxBufferedFrames = 1,
+        cookie = None, replayTimeoutMs = 1000)
+    }
+    assert(ex.getMessage.contains("maxBufferedFrames"), ex.getMessage)
+  }
+
   test("cookie mismatch fails the handshake loudly") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
