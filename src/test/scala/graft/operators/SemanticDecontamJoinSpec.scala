@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.TestSpark
+
+/** The broadcast-join decontamination path
+  * ([[Similarity.dDecontaminateSemanticJoinWith]]) is the documented
+  * escape hatch for eval sets past the plan-time matrix bound
+  * (SemEvalMaxDoubles). It must return bit-identical rows to the
+  * oracle-certified matrix path on the same inputs — the per-pair score
+  * is the same vec_dot fold and MAX over non-NaN doubles is
+  * order-independent — and its plan must actually be the advertised
+  * shape: eval side broadcast (BroadcastNestedLoopJoin, never a
+  * cartesian product), corpus un-shuffled before the pairing, one slim
+  * keyed exchange for the final max. */
+class SemanticDecontamJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def split() = {
+    val v = Similarity.vecs(spark, dir)
+    (v.filter(col("vec_id") >= Similarity.NumQueries),
+      v.filter(col("vec_id") < Similarity.NumQueries))
+  }
+
+  test("bit-identical to the plan-time matrix path") {
+    val (corpus, evals) = split()
+    val m = Similarity
+      .dDecontaminateSemanticWith(corpus, evals, Similarity.SemContamCos)
+    val j = Similarity
+      .dDecontaminateSemanticJoinWith(corpus, evals, Similarity.SemContamCos)
+    // exact float equality, not tolerance: the shared fold-order contract
+    // (EvalMaxCosine's scaladoc) is the thing under test
+    assert(m.count() === j.count())
+    assert(m.join(j, Seq("vec_id", "max_eval_cos", "contaminated")).count()
+      === m.count())
+  }
+
+  test("plan: eval side broadcast, no cartesian, no corpus pre-shuffle") {
+    val (corpus, evals) = split()
+    val plan = Similarity
+      .dDecontaminateSemanticJoinWith(corpus, evals, Similarity.SemContamCos)
+      .queryExecution.executedPlan
+    def all(p: SparkPlan): Seq[SparkPlan] = collect(p) { case n => n }
+    val nodes = all(plan).map(_.nodeName)
+    assert(nodes.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"eval side must broadcast, got: ${nodes.distinct.mkString(", ")}")
+    assert(!nodes.exists(_.contains("CartesianProduct")),
+      "the pairing must never plan a CartesianProduct")
+    // exactly one shuffle: the 16 B/row (vec_id, partial-max) exchange
+    // after the map-side partial aggregate — the corpus itself is paired
+    // and partially reduced without moving
+    val exchanges = all(plan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges === 1, s"expected the one slim max exchange, got $exchanges")
+  }
+}
