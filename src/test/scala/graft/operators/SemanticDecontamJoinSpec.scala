@@ -40,6 +40,25 @@ class SemanticDecontamJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
       === m.count())
   }
 
+  test("empty and ragged eval sets fail loudly, matching the matrix path") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val (corpus, evals) = split()
+    val empty = evals.filter(col("vec_id") < 0)
+    val exEmpty = intercept[IllegalArgumentException] {
+      Similarity.dDecontaminateSemanticJoinWith(corpus, empty, 0.4)
+    }
+    assert(exEmpty.getMessage.contains("non-empty"), exEmpty.getMessage)
+    // ragged dims would silently truncate every vec_dot to min(dim)
+    val ragged = Seq((0L, Array.fill(63)(0.5)), (1L, Array.fill(65)(0.5)))
+      .toDF("vec_id", "vd")
+      .withColumn("nrm", expr("sqrt(vec_dot(vd, vd))"))
+    val exRagged = intercept[IllegalArgumentException] {
+      Similarity.dDecontaminateSemanticJoinWith(corpus, ragged, 0.4)
+    }
+    assert(exRagged.getMessage.contains("dimension"), exRagged.getMessage)
+  }
+
   test("plan: eval side broadcast, no cartesian, no corpus pre-shuffle") {
     val (corpus, evals) = split()
     val plan = Similarity
