@@ -87,7 +87,13 @@ object StateDepthProbe {
         f"${nRows / sec / 1e6}%5.2f M rows/s  state_rows=$rows%-8d " +
         f"state_mb=${mem / 1e6}%8.1f  commit_ms=$commitMs")
       handle.stop()
+      // the StreamBench between-trials teardown: unload cached providers,
+      // collect, and drain writeback debt so a prior run's flush storm
+      // can't land inside this run's commit path (the r10 diagnosis —
+      // the first published x100 statecomp cell predates this)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       System.gc()
+      StreamBench.syncFs()
     }
 
     for (k <- keyMults) {
@@ -123,7 +129,9 @@ object StateDepthProbe {
           f"${nRows / sec / 1e6}%5.2f M rows/s  state_rows=$rows%-8d " +
           f"state_mb=${mem / 1e6}%8.1f  commit_ms=$commitMs")
         q.stop()
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         System.gc()
+        StreamBench.syncFs()
       }
     }
 
