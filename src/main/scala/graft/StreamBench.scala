@@ -658,7 +658,14 @@ object StreamBench {
     // parquet replay has, absorbed by the per-key within-batch
     // event-time sort), merged into the one keyed flow.
     val WireShards = sys.env.getOrElse("GRAFT_STREAM_WIRE_SHARDS", "4").toInt
-    val wireFramesOpt: Option[Array[Array[Array[Byte]]]] =
+    // Each shard is staged as PRE-FRAMED ~4 MB slabs plus its frame
+    // count. The reference's giles sender blasts a pre-encoded file from
+    // its own machine; a per-frame writeInt/write sender (the first form
+    // of this rig) spends 5 calls per 24-byte frame — 20 M+ calls across
+    // 8 threads, all stolen from the SAME JVM the engine runs in — so
+    // slab staging both matches the reference's sender shape and stops
+    // the measurement taxing itself.
+    val wireFramesOpt: Option[Array[(Array[Array[Byte]], Long)]] =
       if (!wanted("stream_market_spread_wire")) None
       else try {
         val reps = sys.env.getOrElse("GRAFT_STREAM_WIRE_REPS", "20").toInt
@@ -668,40 +675,47 @@ object StreamBench {
           .crossJoin(spark.range(reps.toLong).select(col("id")))
           .select(col("user_id"), col("cents"), (col("ts_ns") + col("id")).as("ts_ns"))
           .collect()
-        val shards = Array.fill(WireShards)(
+        val SlabBytes = 4 << 20
+        val bufs = Array.fill(WireShards)(
+          new java.io.ByteArrayOutputStream(SlabBytes + 64))
+        val slabs = Array.fill(WireShards)(
           scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+        val counts = new Array[Long](WireShards)
         rows.foreach { r =>
-          val bb = java.nio.ByteBuffer.allocate(24)
+          val i = math.floorMod(r.getLong(0), WireShards.toLong).toInt
+          val bb = java.nio.ByteBuffer.allocate(28)
+          bb.putInt(24)
           bb.putLong(r.getLong(0)); bb.putLong(r.getLong(1)); bb.putLong(r.getLong(2))
-          shards(math.floorMod(r.getLong(0), WireShards.toLong).toInt) += bb.array()
+          bufs(i).write(bb.array(), 0, 28)
+          counts(i) += 1
+          if (bufs(i).size() >= SlabBytes) { slabs(i) += bufs(i).toByteArray; bufs(i).reset() }
         }
-        Some(shards.map(_.toArray))
+        for (i <- 0 until WireShards if bufs(i).size() > 0)
+          slabs(i) += bufs(i).toByteArray
+        Some(Array.tabulate(WireShards)(i => (slabs(i).toArray, counts(i))))
       } catch { case e: Throwable =>
         System.err.println(s"[stream] wire frame staging failed: $e")
         None
       }
-    def marketSpreadWireTrial(shards: Array[Array[Array[Byte]]]): (Double, Double, (Long, Long), (Long, Long, Long)) = {
+    def marketSpreadWireTrial(shards: Array[(Array[Array[Byte]], Long)]): (Double, Double, (Long, Long), (Long, Long, Long)) = {
       import java.net.ServerSocket
-      def serveAll(frames: Array[Array[Byte]]): ServerSocket = {
+      def serveAll(slabs: Array[Array[Byte]]): ServerSocket = {
         val ss = new ServerSocket(0)
         val t = new Thread("bench-msw-server") {
           override def run(): Unit =
             try {
               val conn = ss.accept()
-              val out = new java.io.DataOutputStream(
-                new java.io.BufferedOutputStream(conn.getOutputStream, 1 << 20))
+              val out = conn.getOutputStream
               var i = 0
-              while (i < frames.length) {
-                val p = frames(i); out.writeInt(p.length); out.write(p); i += 1
-              }
+              while (i < slabs.length) { out.write(slabs(i)); i += 1 }
               out.flush(); conn.close()
             } catch { case _: java.io.IOException => } // trial torn down
         }
         t.setDaemon(true); t.start(); ss
       }
-      val sq = shards.map(serveAll)
-      val so = shards.map(serveAll)
-      val expected = 2L * shards.map(_.length.toLong).sum
+      val sq = shards.map(s => serveAll(s._1))
+      val so = shards.map(s => serveAll(s._1))
+      val expected = 2L * shards.map(_._2).sum
       // numInputRows accumulated through a listener — recentProgress
       // retains only the last ~100 updates, not a durable total
       val seen = new java.util.concurrent.atomic.AtomicLong(0L)

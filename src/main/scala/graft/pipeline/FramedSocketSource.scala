@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.io.{DataInputStream, EOFException}
+import java.io.EOFException
 import java.net.Socket
 import java.util.{Map => JMap}
 
@@ -119,17 +119,28 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
   private val socket = new Socket(host, port)
   private val reader = new Thread(s"${FramedSocket.ShortName}:$host:$port") {
     override def run(): Unit = {
-      // buffered stream: an unbuffered DataInputStream pays one read(2)
-      // for the 4-byte header and another for the payload — two syscalls
-      // per frame throttles small-frame ingest regardless of pipeline
-      // speed
-      val in = new DataInputStream(
-        new java.io.BufferedInputStream(socket.getInputStream, 1 << 16))
-      val open = new java.io.ByteArrayOutputStream(ChunkBytes + (1 << 12))
-      var openFrames = 0
-      def seal(): Unit = if (openFrames > 0) {
-        val c = FrameChunk(openFrames, open.toByteArray)
-        open.reset(); openFrames = 0
+      // BULK ingest: the wire format (4-byte big-endian length + payload)
+      // IS the chunk format, so frames are never re-serialized — bytes
+      // bulk-read straight into the growing chunk buffer and a boundary
+      // scanner just walks the length headers to count complete frames.
+      // The previous per-frame readInt/readFully + per-frame buffer
+      // writes cost ~7 calls per frame; at 24-byte market-data frames
+      // that was the reader thread's whole budget. Now the per-byte work
+      // is two memcpys (socket→readBuf→chunk) plus a 4-byte length read
+      // per frame.
+      val in = socket.getInputStream
+      val readBuf = new Array[Byte](1 << 16)
+      var buf = new Array[Byte](ChunkBytes + (1 << 16))
+      var bufLen = 0   // bytes held (complete frames + a partial tail)
+      var scanPos = 0  // end of the last COMPLETE frame in buf
+      var frames = 0   // complete frames in buf(0 until scanPos)
+      def seal(): Unit = if (frames > 0) {
+        val c = FrameChunk(frames, java.util.Arrays.copyOfRange(buf, 0, scanPos))
+        // a partial frame's bytes stay behind for the next chunk — a
+        // chunk must hold whole frames only (each decodes standalone)
+        val tail = bufLen - scanPos
+        if (tail > 0) System.arraycopy(buf, scanPos, buf, 0, tail)
+        bufLen = tail; scanPos = 0; frames = 0
         lock.synchronized {
           // bounded buffer: park while the UNPLANNED backlog is at the
           // cap (see `planned`) until the query takes a batch — TCP
@@ -143,15 +154,24 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
       }
       try {
         while (true) {
-          val len = in.readInt() // big-endian u32 — the TcpSink framing
-          require(len >= 0, s"negative frame length $len from $host:$port")
-          val payload = new Array[Byte](len)
-          in.readFully(payload)
-          open.write((len >>> 24) & 0xff); open.write((len >>> 16) & 0xff)
-          open.write((len >>> 8) & 0xff); open.write(len & 0xff)
-          open.write(payload, 0, payload.length)
-          openFrames += 1
-          if (open.size() >= ChunkBytes || in.available() == 0) seal()
+          val n = in.read(readBuf)
+          if (n < 0) throw new EOFException("sender closed")
+          if (bufLen + n > buf.length)
+            buf = java.util.Arrays.copyOf(buf,
+              math.max(buf.length * 2, bufLen + n))
+          System.arraycopy(readBuf, 0, buf, bufLen, n)
+          bufLen += n
+          var more = true
+          while (more && bufLen - scanPos >= 4) {
+            val len = ((buf(scanPos) & 0xff) << 24) |
+              ((buf(scanPos + 1) & 0xff) << 16) |
+              ((buf(scanPos + 2) & 0xff) << 8) | (buf(scanPos + 3) & 0xff)
+            require(len >= 0, s"negative frame length $len from $host:$port")
+            if (bufLen - scanPos - 4 >= len) { scanPos += 4 + len; frames += 1 }
+            else more = false
+          }
+          if (scanPos >= ChunkBytes || (frames > 0 && in.available() == 0))
+            seal()
         }
       } catch {
         case _: EOFException | _: java.net.SocketException =>
