@@ -40,6 +40,27 @@ class SemanticDecontamJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper 
       === m.count())
   }
 
+  test("duplicate corpus ids keep one output row each, like the matrix path") {
+    // VERDICT r10 #3: the old groupBy("vec_id") collapsed duplicate ids
+    // to one row where the matrix path's row-local withColumn keeps
+    // both; the per-row surrogate restores row-for-row agreement on
+    // arbitrary DataFrames, not just the unique-id vecs() shape.
+    val (corpus, evals) = split()
+    val dup = corpus.union(corpus.limit(3))
+    val m = Similarity
+      .dDecontaminateSemanticWith(dup, evals, Similarity.SemContamCos)
+    val j = Similarity
+      .dDecontaminateSemanticJoinWith(dup, evals, Similarity.SemContamCos)
+    assert(j.count() === dup.count(), "one output row per input row")
+    // bit-identical multiset: group both sides by the full row and
+    // compare multiplicities (exact doubles — same fold-order contract)
+    val mG = m.groupBy("vec_id", "max_eval_cos", "contaminated").count()
+    val jG = j.groupBy("vec_id", "max_eval_cos", "contaminated").count()
+    assert(mG.join(jG, Seq("vec_id", "max_eval_cos", "contaminated", "count"))
+      .count() === mG.count())
+    assert(mG.count() === jG.count())
+  }
+
   test("empty and ragged eval sets fail loudly, matching the matrix path") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)

@@ -36,7 +36,12 @@ class PlanGuardSpec extends AnyFunSuite {
       "t_dataset_card",
       // composes the ANN variants (brute/pq broadcast query sides) plus
       // a 1-row denominator broadcast
-      "s_ann_recall")
+      "s_ann_recall",
+      // the registered join-path escape hatch: the EVAL side (bounded by
+      // construction — it is the side too big only past 2²⁴ doubles as a
+      // plan-time matrix, still broadcast-sized) loops per corpus row;
+      // SemanticDecontamJoinSpec pins the exact shape
+      "d_decontaminate_semantic_join")
 
   /** Build the plan string, then drop whatever the query persisted —
     * d_semantic registers a cached subtree at CONSTRUCTION time, and an
