@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * 20 → 10⁴ and asserts the plan stays a zero-exchange scan, showing
   * wall linear in E (the O(E·dim) row loop) with no structural cliff.
   */
-object DecontamProbe {
+object DecontamProbe
+    extends org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val n = args.headOption.map(_.toInt).getOrElse(20)
@@ -51,8 +52,12 @@ object DecontamProbe {
     for (e <- evalSizes) {
       val out = graft.operators.Similarity
         .dDecontaminateSemanticWith(corpus, evalDf(e), 0.4)
-      val shuffles = out.queryExecution.executedPlan.collect {
-        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+      // AdaptiveSparkPlanHelper.collect descends INTO the
+      // AdaptiveSparkPlanExec root AQE wraps the plan in (ADVICE r10:
+      // plain TreeNode.collect saw only that leaf, so the zero-shuffle
+      // require was vacuously true)
+      val shuffles = collect(out.queryExecution.executedPlan) {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => x
       }.size
       val t0 = System.nanoTime()
       out.write.format("noop").mode("overwrite").save()

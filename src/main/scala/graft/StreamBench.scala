@@ -23,20 +23,35 @@ import graft.pipeline._
   */
 object StreamBench {
 
+  /** One published streaming row. `medianCleanSec`/`rowsPerSecClean`
+    * are medians over the trials NOT flagged by the spike detector (the
+    * headline numbers); `trialsSec` carries every wall actually used
+    * (spiked trials already replaced by their re-runs); `spikedJson`
+    * records each detected eruption — original wall, its commit_ms, and
+    * the replacement wall — so the artifact adjudicates itself
+    * (VERDICT r10 #1). */
+  final case class RowOut(name: String, medianCleanSec: Double,
+      trialsSec: Seq[Double], rowsPerSecClean: Double,
+      latency: (Long, Long), provider: String, stateJson: String,
+      spikedJson: String)
+
+  final case class Out(rows: Seq[RowOut], failed: Seq[String],
+      roundCal: Seq[(Int, Double)])
+
   /** Standalone entry for iterating on streaming throughput without
     * paying for the batch bench. */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-stream-bench")
-    val (secs, trials, rps, lat, prov, state, failed, roundCal) = run(spark, sfDir)
-    secs.zip(trials).zip(rps).zip(lat).zip(prov).zip(state).foreach {
-      case ((((((n, s), (_, ts)), (_, r)), (_, (p50, mx))), (_, p)), (_, st)) =>
-        val spread = ts.map(t => f"$t%.2f").mkString("/")
-        println(f"[stream] $n%-22s $s%7.2f s  (trials $spread)  ${r.round}%9d rows/s  batch p50/max $p50%5d/$mx%5d ms  [$p] state=$st")
+    val out = run(spark, sfDir)
+    out.rows.foreach { r =>
+      val spread = r.trialsSec.map(t => f"$t%.2f").mkString("/")
+      val spiked = if (r.spikedJson == "[]") "" else s"  spiked=${r.spikedJson}"
+      println(f"[stream] ${r.name}%-22s ${r.medianCleanSec}%7.2f s  (trials $spread)  ${r.rowsPerSecClean.round}%9d rows/s  batch p50/max ${r.latency._1}%5d/${r.latency._2}%5d ms  [${r.provider}] state=${r.stateJson}$spiked")
     }
-    failed.foreach(n => println(s"[stream] $n FAILED (see stderr)"))
+    out.failed.foreach(n => println(s"[stream] $n FAILED (see stderr)"))
     println("[stream] round calibration: " +
-      roundCal.map { case (r, s) => f"r$r=$s%.2f s" }.mkString(" "))
+      out.roundCal.map { case (r, s) => f"r$r=$s%.2f s" }.mkString(" "))
     spark.stop()
   }
 
@@ -186,10 +201,7 @@ object StreamBench {
     * pipeline is isolated — a failure records its name and the rest keep
     * running.
     */
-  def run(spark: SparkSession, sfDir: String):
-      (Seq[(String, Double)], Seq[(String, Seq[Double])], Seq[(String, Double)],
-        Seq[(String, (Long, Long))], Seq[(String, String)],
-        Seq[(String, String)], Seq[String], Seq[(Int, Double)]) = {
+  def run(spark: SparkSession, sfDir: String): Out = {
     implicit val ss: SparkSession = spark
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // GRAFT_STREAM_ONLY="stream_neardup,stream_ann" runs a subset (and
@@ -210,7 +222,8 @@ object StreamBench {
       Seq("stream_stateless", "stream_statecomp", "stream_market_spread",
         "stream_sliding", "stream_countwin", "stream_ephemeral",
         "stream_two_stage", "stream_topk", "stream_session",
-        "stream_statecomp_tws", "stream_sliding_tws")
+        "stream_statecomp_tws", "stream_sliding_tws",
+        "stream_session_rocksdb", "stream_market_spread_rocksdb")
     val evStaged: Option[(String, Double)] =
       if (!eventRowNames.exists(wanted)) None
       else try {
@@ -717,14 +730,25 @@ object StreamBench {
       val so = shards.map(s => serveAll(s._1))
       val expected = 2L * shards.map(_._2).sum
       // numInputRows accumulated through a listener — recentProgress
-      // retains only the last ~100 updates, not a durable total
-      val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+      // retains only the last ~100 updates, not a durable total. The
+      // listener bus is SESSION-global and async, so counts are kept
+      // per query id and only this trial's query is read (ADVICE r10:
+      // a straggler progress event from the previous trial's
+      // just-stopped query must not credit `seen` and end the timed
+      // window early).
+      val seenByQuery = new java.util.concurrent.ConcurrentHashMap[
+        java.util.UUID, java.util.concurrent.atomic.AtomicLong]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-          seen.addAndGet(e.progress.numInputRows)
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          seenByQuery
+            .computeIfAbsent(e.progress.id,
+              _ => new java.util.concurrent.atomic.AtomicLong(0L))
+            .addAndGet(e.progress.numInputRows)
+          ()
+        }
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
@@ -759,16 +783,21 @@ object StreamBench {
             case p: Pipeline[t] => p.toSink(EmptySink[t]())
           }
         handleOpt = Some(handle)
+        // this trial's query id — events from any other query (including
+        // a stopped prior trial's stragglers) never count toward it
+        val qid = handle.query.map(_.id)
+        def seenRows(): Long = qid
+          .flatMap(id => Option(seenByQuery.get(id))).map(_.get).getOrElse(0L)
         // a socket is not AvailableNow-complete at start (frames arrive
         // while the query runs), so drive ProcessingTime(0) micro-batches
         // until both legs' full logs have been PROCESSED, then stop
         val deadlineNs = System.nanoTime() + 600L * 1000000000L
-        while (seen.get() < expected && System.nanoTime() < deadlineNs) {
+        while (seenRows() < expected && System.nanoTime() < deadlineNs) {
           handle.query.foreach(q => q.exception.foreach(throw _))
           Thread.sleep(25)
         }
-        require(seen.get() >= expected,
-          s"wire legs processed ${seen.get()} of $expected rows before timeout")
+        require(seenRows() >= expected,
+          s"wire legs processed ${seenRows()} of $expected rows before timeout")
         val sec = (System.nanoTime() - t0) / 1e9
         if (sys.env.contains("STREAM_BENCH_DEBUG"))
           handle.query.foreach(_.recentProgress.foreach(p =>
@@ -902,6 +931,30 @@ object StreamBench {
         eventRowNames.filter(n => wanted(n) && n.endsWith("_tws"))
     }
 
+    // RocksDB variants of the two DEEPEST-state rows (VERDICT r10 #4):
+    // the 100 TB deployment story lives on RocksDB, but only the two
+    // _tws rows exercised it — and those change host AND provider at
+    // once. These rows differ from their base rows ONLY in the store
+    // provider (same flatMapGroupsWithState host, same topology, same
+    // replay), so base vs _rocksdb prices the provider at equal
+    // topology: stream_session carries the widest live-key state in the
+    // pack (one session window per user) and stream_market_spread the
+    // full keyed reject topology. Skipped when the whole run is already
+    // pinned to RocksDB (they would duplicate the base rows).
+    val rocksConfs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    if (!twsHost && !sys.env.get("STREAM_BENCH_PROVIDER").contains("rocksdb")) {
+      if (evStaged.isDefined) {
+        register("stream_session_rocksdb", "fmgws+rocksdb", rocksConfs)(() =>
+          sessionTrial())
+        register("stream_market_spread_rocksdb", "fmgws+rocksdb", rocksConfs)(() =>
+          trial("stream_market_spread_rocksdb")(_ => marketSpread()))
+      } else failed ++=
+        eventRowNames.filter(n => wanted(n) && n.endsWith("_rocksdb"))
+    }
+
     // Untimed streaming warmup (the stream-pack analogue of Bench's
     // batch warmup): pay the one-time streaming-engine costs — offset/
     // commit-log and state-store class init, Janino codegen for the
@@ -969,9 +1022,34 @@ object StreamBench {
       val xs = (1 to 3).map(_ => calOnce()).sorted
       xs(1)
     }
-    // Staging just wrote the replay corpora; settle that writeback before
-    // the first timed trial rather than during it.
-    syncFs()
+    // Between-trials teardown (the stream analogue of the batch pack's
+    // clearCache + GC): every stopped query leaves its state-store
+    // providers CACHED in the executor (HDFS-backed loadedMaps,
+    // RocksDB native handles + column families) — across 14 rows × R
+    // trials that accumulation periodically erupted as one ~40 s
+    // trial (three full r10 runs each showed exactly one, on a
+    // varying round, while row-only reruns never did). Unloading the
+    // providers and collecting now puts the cost OUTSIDE the timed
+    // windows; the next query transparently reloads its own stores.
+    // The blocking sync flushes dirty pages NOW, not under a later
+    // trial's commit path: the batch pack and each trial's
+    // checkpoint/state writes leave GBs of writeback debt on /tmp, and
+    // the kernel was repaying it mid-trial — the wedged full-run
+    // artifacts show the shape exactly (trial-1 commit_ms of 112 s on
+    // the wire row and 75 s on session against 3–5 s in the other
+    // trials, CPU calibration flat).
+    def teardown(): Unit = {
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      System.gc()
+      syncFs()
+    }
+    // The FULL teardown also runs before the first timed trial
+    // (VERDICT r10 #1a): the warmup queries above leave their own cached
+    // providers, and the batch pack + staging writes leave writeback
+    // debt — previously only the sync ran here, so trial 1 of the first
+    // row could still absorb the provider-unload + flush the driver's
+    // environment had accumulated.
+    teardown()
     val roundCal = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, calSample()))
     for (r <- 1 to repeats) {
       for ((name, _, confs, runTrial) <- rowDefs if !dead(name)) {
@@ -980,38 +1058,87 @@ object StreamBench {
           System.err.println(s"[stream] $name failed (trial $r): $e")
           failed += name; dead += name
         }
-        // Between-trials teardown (the stream analogue of the batch pack's
-        // clearCache + GC): every stopped query leaves its state-store
-        // providers CACHED in the executor (HDFS-backed loadedMaps,
-        // RocksDB native handles + column families) — across 14 rows × R
-        // trials that accumulation periodically erupted as one ~40 s
-        // trial (three full r10 runs each showed exactly one, on a
-        // varying round, while row-only reruns never did). Unloading the
-        // providers and collecting now puts the cost OUTSIDE the timed
-        // windows; the next query transparently reloads its own stores.
-        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        System.gc()
-        // Flush dirty pages NOW, not under a later trial's commit path:
-        // the batch pack and each trial's checkpoint/state writes leave
-        // GBs of writeback debt on /tmp, and the kernel was repaying it
-        // mid-trial — the wedged full-run artifacts show the shape
-        // exactly (trial-1 commit_ms of 112 s on the wire row and 75 s
-        // on session against 3–5 s in the other trials, CPU calibration
-        // flat). A blocking sync between trials moves that I/O outside
-        // every timed window.
-        syncFs()
+        teardown()
       }
       roundCal += ((r, calSample()))
     }
+    // --- Self-defending spike pass (VERDICT r10 #1) -------------------
+    // Three rounds of judges adjudicated driver-context eruptions by
+    // hand from the telemetry; this pass applies the same evidence
+    // MECHANICALLY. A trial is SPIKED when its wall is > 2× the row's
+    // min AND either (a) its commit_ms is > 2× the median of the row's
+    // sibling trials (the state-store/writeback stall signature) or
+    // (b) a round-boundary calibration sample bracketing it rose
+    // > 1.5× the series median (a whole-host contention window). Each
+    // spiked trial is re-run ONCE — after a full teardown, so the
+    // replacement starts from the same settled state as a clean trial —
+    // and the original wall + commit_ms + replacement wall are
+    // published under the row's `spiked` key. Headline numbers are
+    // median_clean: the median over trials not still flagged after
+    // replacement (a replacement that erupts again stays excluded; if
+    // every trial is flagged the plain median is used and the flags
+    // remain visible).
+    val calMedian = medianD(roundCal.toSeq.map(_._2))
+    def calSpikeAt(trialIdx: Int): Boolean =
+      Seq(trialIdx, trialIdx + 1)
+        .flatMap(r => roundCal.find(_._1 == r)).map(_._2)
+        .exists(_ > 1.5 * calMedian)
+    def spikedIdx(ts: Vector[Trial], calCounts: Boolean): Set[Int] =
+      if (ts.size < 2) Set.empty
+      else {
+        val minW = ts.map(_._1).min
+        ts.indices.filter { i =>
+          val sibMed = medianL(ts.indices.filter(_ != i).map(j => ts(j)._4._3))
+          val commitSpike = sibMed > 0 && ts(i)._4._3 > 2 * sibMed
+          ts(i)._1 > 2 * minW && (commitSpike || (calCounts && calSpikeAt(i)))
+        }.toSet
+      }
+    // (trial idx, original wall, original commit_ms, replacement wall)
+    val spikedLog = scala.collection.mutable.LinkedHashMap[String,
+      Vector[(Int, Double, Long, Option[Double])]]()
+    for ((name, _, confs, runTrial) <- rowDefs if !dead(name)) {
+      val flagged = spikedIdx(collected(name), calCounts = true)
+      for (i <- flagged.toSeq.sorted) {
+        val orig = collected(name)(i)
+        System.err.println(f"[stream] $name trial ${i + 1} flagged as spiked " +
+          f"(wall ${orig._1}%.2f s, commit ${orig._4._3} ms) — re-running once")
+        teardown()
+        val replaced =
+          try Some(withConfs(confs)(runTrial()))
+          catch { case e: Throwable =>
+            System.err.println(s"[stream] $name spike re-run failed (original kept): $e")
+            None
+          }
+        replaced.foreach(t => collected(name) = collected(name).updated(i, t))
+        spikedLog(name) = spikedLog.getOrElse(name, Vector.empty) :+
+          ((i, orig._1, orig._4._3, replaced.map(_._1)))
+        teardown()
+      }
+    }
     val results = rowDefs.toSeq.collect { case (name, provider, _, _) if !dead(name) =>
       val ts = collected(name)
+      // Final flags: re-evaluate on the post-replacement vector WITHOUT
+      // the calibration clause (replacements ran outside the calibrated
+      // rounds); a trial whose re-run failed keeps its original flag.
+      val rerunFailed = spikedLog.getOrElse(name, Vector.empty)
+        .collect { case (i, _, _, None) => i }.toSet
+      val flags = spikedIdx(ts, calCounts = false) ++ rerunFailed
+      val cleanIdx = ts.indices.filterNot(flags)
+      val used = if (cleanIdx.nonEmpty) cleanIdx.map(ts(_)) else ts
       // State metrics stay per-trial (not medianed): the point is reading
       // a contended run's trials individually (VERDICT r4 #6).
       val stateJson = ts.map { case (_, _, _, (rows, mem, commitMs)) =>
         s"""{"state_rows":$rows,"state_memory_bytes":$mem,"commit_ms":$commitMs}"""
       }.mkString("[", ",", "]")
-      (name, medianD(ts.map(_._1)), ts.map(_._1), medianD(ts.map(_._2)),
-        (medianL(ts.map(_._3._1)), medianL(ts.map(_._3._2))), provider, stateJson)
+      val spikedJson = spikedLog.getOrElse(name, Vector.empty).map {
+        case (i, w, c, repl) =>
+          s"""{"trial":${i + 1},"wall_sec":$w,"commit_ms":$c,""" +
+            s""""replacement_wall_sec":${repl.map(_.toString).getOrElse("null")}}"""
+      }.mkString("[", ",", "]")
+      RowOut(name, medianD(used.map(_._1)), ts.map(_._1),
+        medianD(used.map(_._2)),
+        (medianL(used.map(_._3._1)), medianL(used.map(_._3._2))),
+        provider, stateJson, spikedJson)
     }
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     evStaged.foreach(s => deleteRecursively(new java.io.File(s._1)))
@@ -1020,10 +1147,7 @@ object StreamBench {
       deleteRecursively(new java.io.File(idx))
       deleteRecursively(new java.io.File(probe))
     }
-    (results.map(r => (r._1, r._2)), results.map(r => (r._1, r._3)),
-      results.map(r => (r._1, r._4)), results.map(r => (r._1, r._5)),
-      results.map(r => (r._1, r._6)), results.map(r => (r._1, r._7)),
-      failed.toList.distinct, roundCal.toSeq)
+    Out(results, failed.toList.distinct, roundCal.toSeq)
   }
 
   /** Blocking filesystem sync (best-effort): waits for outstanding dirty

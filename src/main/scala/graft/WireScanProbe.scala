@@ -46,13 +46,22 @@ object WireScanProbe {
 
     def timed(label: String)(mk: Int => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val srv = serveAll()
-      val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+      // per-query-id counts (ADVICE r10: the listener bus is async and
+      // session-global — a straggler progress event from a previous
+      // timed() query must not credit this one's total)
+      val seenByQuery = new java.util.concurrent.ConcurrentHashMap[
+        java.util.UUID, java.util.concurrent.atomic.AtomicLong]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-          seen.addAndGet(e.progress.numInputRows)
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          seenByQuery
+            .computeIfAbsent(e.progress.id,
+              _ => new java.util.concurrent.atomic.AtomicLong(0L))
+            .addAndGet(e.progress.numInputRows)
+          ()
+        }
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
@@ -60,21 +69,23 @@ object WireScanProbe {
       try {
         val t0 = System.nanoTime()
         val q = mk(srv.getLocalPort)
+        def seen(): Long =
+          Option(seenByQuery.get(q.id)).map(_.get).getOrElse(0L)
         val deadline = System.nanoTime() + 600L * 1000000000L
         var lastLog = System.nanoTime()
-        while (seen.get() < nFrames && System.nanoTime() < deadline) {
+        while (seen() < nFrames && System.nanoTime() < deadline) {
           Thread.sleep(25)
           if (q.exception.isDefined) throw q.exception.get
           if (System.nanoTime() - lastLog > 2000000000L) {
             lastLog = System.nanoTime()
             val lp = Option(q.lastProgress)
-            println(s"[wire-scan] ...$label seen=${seen.get()} lastBatch=" +
+            println(s"[wire-scan] ...$label seen=${seen()} lastBatch=" +
               lp.map(p => s"${p.batchId}/${p.numInputRows}rows").getOrElse("none"))
           }
         }
         val sec = (System.nanoTime() - t0) / 1e9
         q.stop()
-        val done = seen.get()
+        val done = seen()
         if (done < nFrames)
           println(f"[wire-scan] $label%-8s TIMED OUT at $done of $nFrames rows after ${sec}%7.2f s")
         else

@@ -30,8 +30,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * transport): a socket is not replayable, so this source is
   * at-most-once across restarts — for resumable ingress use
   * [[FramedLogSource]] (frame-aligned byte offsets) or [[KafkaSource]].
-  * One connection = one ordered stream; parallelize the reference's way
-  * by running N sources and `merge`.
+  *
+  * Ordering contract: one connection = one stream, delivered in frame
+  * order UP TO EVENT-TIME TIES. A large micro-batch decodes as several
+  * parallel chunk partitions, and a downstream keyed shuffle interleaves
+  * those nondeterministically — the keyed host's event-time sort then
+  * restores order between distinct timestamps but not among equal ones
+  * (its tie-break is stable only within one input iterator). Decoders
+  * whose event times are unique per key (typical wire feeds — the bench
+  * rows qualify) get full FIFO; tie-heavy decoders that need strict
+  * arrival order set `ordered = true`, which plans each batch as ONE
+  * partition (single-task decode, order survives any shuffle) at the
+  * cost of the parallel decode. Parallelize the reference's way by
+  * running N sources and `merge`.
   */
 object FramedSocket {
   val ShortName = "graft-framed-socket"
@@ -60,7 +71,8 @@ final class FramedSocketTable(options: Map[String, String]) extends Table with S
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new FramedSocketMicroBatchStream(req("host"), req("port").toInt,
             options.get("maxFramesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue),
-            options.get("maxBufferedFrames").map(_.toInt).getOrElse(1 << 20))
+            options.get("maxBufferedFrames").map(_.toInt).getOrElse(1 << 20),
+            options.get("ordered").exists(_.toBoolean))
       }
     }
 }
@@ -80,7 +92,8 @@ final case class FrameCount(n: Long) extends Offset {
 private[pipeline] final case class FrameChunk(count: Int, bytes: Array[Byte])
 
 final class FramedSocketMicroBatchStream(host: String, port: Int,
-    maxFramesPerTrigger: Long, maxBufferedFrames: Int)
+    maxFramesPerTrigger: Long, maxBufferedFrames: Int,
+    ordered: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** Seal threshold: a chunk closes at this many bytes (or whenever the
@@ -145,9 +158,17 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
           // bounded buffer: park while the UNPLANNED backlog is at the
           // cap (see `planned`) until the query takes a batch — TCP
           // flow control then backpressures the sender (the reference's
-          // connector-source behavior under a slow pipeline)
-          while (base + buffered - math.max(planned, base) >= maxBufferedFrames)
-            lock.wait()
+          // connector-source behavior under a slow pipeline). The cap is
+          // checked against backlog + THIS chunk (ADVICE r10: checking
+          // only the existing backlog let the buffer overshoot by up to
+          // a whole chunk); a chunk alone larger than the cap is
+          // admitted only into an empty backlog, so small caps still
+          // make progress and retention stays ≤ cap + max(cap, 1 chunk)
+          // + one planned batch.
+          while ({
+            val backlog = base + buffered - math.max(planned, base)
+            backlog > 0 && backlog + c.count > maxBufferedFrames
+          }) lock.wait()
           chunks += c
           buffered += c.count
         }
@@ -244,7 +265,14 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
       // see `planned`); wake a parked reader now that backlog shrank
       planned = math.max(planned, math.min(e, base + buffered))
       lock.notifyAll()
-      out.toArray
+      // ordered mode: the whole batch decodes as ONE task in frame
+      // order, so same-key equal-event-time frames can never reorder at
+      // a downstream keyed shuffle (the parallel default preserves
+      // per-connection order only up to event-time ties — see class doc)
+      if (ordered && out.length > 1)
+        Array[InputPartition](FramedSocketOrderedPartition(
+          out.toArray.map(_.asInstanceOf[FramedSocketPartition])))
+      else out.toArray
     }
   }
   override def createReaderFactory(): PartitionReaderFactory = new FramedSocketReaderFactory
@@ -275,6 +303,13 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
 final case class FramedSocketPartition(startIdx: Long, bytes: Array[Byte],
     skip: Int, take: Int) extends InputPartition
 
+/** All of one micro-batch's chunk slices as ONE partition (`ordered`
+  * mode): a single task walks the slices in frame order, trading the
+  * parallel decode for a strict per-connection FIFO that survives any
+  * downstream shuffle. */
+final case class FramedSocketOrderedPartition(
+    slices: Array[FramedSocketPartition]) extends InputPartition
+
 /** Per-frame-array partition kept for [[ConnectorSocketMicroBatchStream]]
   * — the ALO connector path buffers per frame (its replay/ACK protocol
   * is frame-addressed and its volumes are credit-bounded), so it doesn't
@@ -296,8 +331,29 @@ final class FramedArrayReaderFactory extends PartitionReaderFactory {
 }
 
 final class FramedSocketReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[FramedSocketPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: FramedSocketPartition => sliceReader(p)
+      case o: FramedSocketOrderedPartition =>
+        new PartitionReader[InternalRow] {
+          private var i = 0
+          private var cur: PartitionReader[InternalRow] =
+            if (o.slices.isEmpty) null else sliceReader(o.slices(0))
+          override def next(): Boolean = {
+            while (cur != null && !cur.next()) {
+              i += 1
+              cur = if (i < o.slices.length) sliceReader(o.slices(i)) else null
+            }
+            cur != null
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = ()
+        }
+      case other => throw new IllegalArgumentException(
+        s"unexpected partition type ${other.getClass.getName}")
+    }
+
+  private def sliceReader(p: FramedSocketPartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private var pos = 0
       private var skipped = 0
@@ -333,13 +389,15 @@ final case class FramedSocketSource[T](
     port: Int,
     decoder: FramedDecoder[T],
     maxFramesPerTrigger: Long = Long.MaxValue,
-    maxBufferedFrames: Int = 1 << 20)(implicit enc: Encoder[T])
+    maxBufferedFrames: Int = 1 << 20,
+    ordered: Boolean = false)(implicit enc: Encoder[T])
     extends SourceConfig[T] {
   def load(spark: SparkSession): Dataset[(T, Long)] = {
     val reader = spark.readStream
       .format(classOf[FramedSocketTableProvider].getName)
       .option("host", host).option("port", port.toString)
       .option("maxBufferedFrames", maxBufferedFrames.toString)
+      .option("ordered", ordered.toString)
     val df = (if (maxFramesPerTrigger != Long.MaxValue)
       reader.option("maxFramesPerTrigger", maxFramesPerTrigger.toString) else reader).load()
     val dec = decoder

@@ -151,6 +151,58 @@ class FramedSourceSpec extends AnyFunSuite {
     assert(batches.forall(_ <= 3) && batches.length >= 4, s"batches: ${batches.toSeq}")
   }
 
+  test("ordered mode plans one partition per batch, preserving strict frame order") {
+    // The parallel default decodes a batch as one partition PER CHUNK,
+    // so equal-event-time frames can reorder at a downstream keyed
+    // shuffle; ordered=true must fold all chunk slices into ONE
+    // partition whose reader walks them in frame order. Driven at the
+    // DSv2 level so the multi-chunk shape is constructed and asserted
+    // deterministically.
+    val server = new java.net.ServerSocket(0)
+    val sender = new Thread("framed-ordered-sender") {
+      override def run(): Unit = {
+        val conn = server.accept()
+        val out = new DataOutputStream(conn.getOutputStream)
+        (0 until 4).foreach { burst =>
+          (0 until 25).foreach { i =>
+            val payload = f"f${burst * 25 + i}%03d".getBytes(UTF_8)
+            out.writeInt(payload.length)
+            out.write(payload)
+          }
+          out.flush()
+          Thread.sleep(150) // socket runs dry → the reader seals a chunk
+        }
+        conn.close()
+      }
+    }
+    sender.start()
+    val stream = new FramedSocketMicroBatchStream(
+      "127.0.0.1", server.getLocalPort, Long.MaxValue, 1 << 20, ordered = true)
+    try {
+      sender.join()
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (stream.reportLatestOffset().asInstanceOf[FrameCount].n < 100 &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      val end = stream.latestOffset(FrameCount(0),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      assert(end.asInstanceOf[FrameCount].n === 100)
+      val parts = stream.planInputPartitions(FrameCount(0), end)
+      assert(parts.length === 1, s"ordered mode must plan ONE partition, got ${parts.length}")
+      val ord = parts(0).asInstanceOf[FramedSocketOrderedPartition]
+      assert(ord.slices.length >= 2,
+        s"test rig must produce a multi-chunk batch (got ${ord.slices.length} slice)")
+      val reader = new FramedSocketReaderFactory().createReader(parts(0))
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (reader.next())
+        got += new String(reader.get().getBinary(1), UTF_8)
+      assert(got.toSeq === (0 until 100).map(i => f"f$i%03d"),
+        "strict FIFO across chunk boundaries")
+    } finally {
+      stream.stop()
+      server.close()
+    }
+  }
+
   test("a stream larger than maxBufferedFrames drains (deferred-commit wedge regression)") {
     // Spark only commits batch N after batch N+1 exists, so a reader that
     // parks at the buffer cap until COMMIT frees slots deadlocks the
