@@ -110,33 +110,70 @@ object StateDepthProbe {
             Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)))
       // session windows ride the Spark-native host (session_window needs
       // the SQL aggregation path, as in StreamBench's sessionTrial)
-      locally {
-        val t0 = System.nanoTime()
-        val schema = spark.read.parquet(staged).schema
-        val q = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 32).parquet(staged)
-          .select((col("user_id") * k + pmod(col("ts_ns"), lit(k.toLong))).as("user_id"),
-            timestamp_micros(expr("ts_ns div 1000")).as("ts"), col("cents"))
-          .withWatermark("ts", "3650 days")
-          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
-          .writeStream.format("noop").outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val (rows, mem, commitMs) = stats(Some(q))
-        println(f"[state-depth] session        keys x$k%-4d ${sec}%7.2f s  " +
-          f"${nRows / sec / 1e6}%5.2f M rows/s  state_rows=$rows%-8d " +
-          f"state_mb=${mem / 1e6}%8.1f  commit_ms=$commitMs")
-        q.stop()
-        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        System.gc()
-        StreamBench.syncFs()
-      }
+      sessionRun(spark, "session", k, staged, nRows)
+    }
+
+    // Attribution cell (VERDICT r10 #6): the session row's wall grows
+    // 5.0 → 19.0 s at ×100 keys — is that per-SESSION cost (aggregation
+    // over millions of live sessions) or per-ROW cost (replay volume)?
+    // One extra cell at the SAME key multiplier over HALF the replay
+    // volume separates them: key widening rides `(ts_ns + replica) mod
+    // K` over per-event-varied base timestamps, so halving the replica
+    // count keeps residue coverage (≈ the same live-session count —
+    // state_rows in the printout verifies) while halving rows. Wall
+    // ≈ half → per-row dominated; wall ≈ unchanged → per-session.
+    if (args.lift(2).contains("half")) {
+      val halfStaged = Files.createTempDirectory("graft_state_depth_half").toString
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
+          col("ts_ns"))
+        .crossJoin(spark.range((reps / 2).toLong).select(col("id")))
+        .select(col("user_id"), col("cents"), (col("ts_ns") + col("id")).as("ts_ns"))
+        .repartition(128).write.mode("overwrite").parquet(halfStaged)
+      val halfRows = spark.read.parquet(halfStaged).count()
+      StreamBench.syncFs()
+      sessionRun(spark, "session_half", keyMults.max, halfStaged, halfRows)
+      StreamBench.deleteRecursively(new java.io.File(halfStaged))
     }
 
     spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     StreamBench.deleteRecursively(new java.io.File(staged))
     spark.stop()
+  }
+
+  private def sessionRun(spark: org.apache.spark.sql.SparkSession, label: String,
+      k: Int, stagedDir: String, rowCount: Long): Unit = {
+    def stats(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long, Long) = {
+      val all = q.recentProgress.filter(_.numInputRows > 0)
+      val ps = if (all.length > 1) all.drop(1) else all
+      val ops = ps.flatMap(_.stateOperators)
+      if (ops.isEmpty) (0L, 0L, 0L)
+      else {
+        val last = ps.last.stateOperators
+        (last.map(_.numRowsTotal).sum, last.map(_.memoryUsedBytes).sum,
+          ops.map(_.commitTimeMs).sum)
+      }
+    }
+    val t0 = System.nanoTime()
+    val schema = spark.read.parquet(stagedDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 32).parquet(stagedDir)
+      .select((col("user_id") * k + pmod(col("ts_ns"), lit(k.toLong))).as("user_id"),
+        timestamp_micros(expr("ts_ns div 1000")).as("ts"), col("cents"))
+      .withWatermark("ts", "3650 days")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .writeStream.format("noop").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val (rows, mem, commitMs) = stats(q)
+    println(f"[state-depth] $label%-14s keys x$k%-4d ${sec}%7.2f s  " +
+      f"${rowCount / sec / 1e6}%5.2f M rows/s  state_rows=$rows%-8d " +
+      f"state_mb=${mem / 1e6}%8.1f  commit_ms=$commitMs")
+    q.stop()
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    System.gc()
+    StreamBench.syncFs()
   }
 }
