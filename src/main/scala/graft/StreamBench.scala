@@ -1078,21 +1078,9 @@ object StreamBench {
     // replacement (a replacement that erupts again stays excluded; if
     // every trial is flagged the plain median is used and the flags
     // remain visible).
-    val calMedian = medianD(roundCal.toSeq.map(_._2))
-    def calSpikeAt(trialIdx: Int): Boolean =
-      Seq(trialIdx, trialIdx + 1)
-        .flatMap(r => roundCal.find(_._1 == r)).map(_._2)
-        .exists(_ > 1.5 * calMedian)
     def spikedIdx(ts: Vector[Trial], calCounts: Boolean): Set[Int] =
-      if (ts.size < 2) Set.empty
-      else {
-        val minW = ts.map(_._1).min
-        ts.indices.filter { i =>
-          val sibMed = medianL(ts.indices.filter(_ != i).map(j => ts(j)._4._3))
-          val commitSpike = sibMed > 0 && ts(i)._4._3 > 2 * sibMed
-          ts(i)._1 > 2 * minW && (commitSpike || (calCounts && calSpikeAt(i)))
-        }.toSet
-      }
+      spikeFlags(ts.map(t => (t._1, t._4._3)),
+        if (calCounts) roundCal.toSeq else Nil)
     // (trial idx, original wall, original commit_ms, replacement wall)
     val spikedLog = scala.collection.mutable.LinkedHashMap[String,
       Vector[(Int, Double, Long, Option[Double])]]()
@@ -1149,6 +1137,60 @@ object StreamBench {
     }
     Out(results, failed.toList.distinct, roundCal.toSeq)
   }
+
+  /** Pure spike predicate over one row's trials (VERDICT r10 #1b) —
+    * factored out of [[run]] so the contract is unit-testable
+    * (SpikeDetectorSpec). `trials` = (wall sec, commit ms) in round
+    * order: trial i ran in round i+1, bracketed by `roundCal` samples
+    * i and i+1. Pass `roundCal` empty to disable the calibration
+    * clause (the post-replacement re-evaluation, where replacements
+    * ran outside the calibrated rounds). A trial is spiked when its
+    * wall exceeds 2× the row's min AND either its commit_ms exceeds
+    * 2× the sibling-trial median (the state-store/writeback stall
+    * signature) or a bracketing round-calibration sample rose >1.5×
+    * the series median (a whole-host contention window). Single-trial
+    * rows are never flagged — there is no sibling evidence. */
+  private[graft] def spikeFlags(trials: Seq[(Double, Long)],
+      roundCal: Seq[(Int, Double)]): Set[Int] =
+    if (trials.size < 2) Set.empty
+    else {
+      def medD(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      def medL(xs: Seq[Long]): Long = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      val calMedian = if (roundCal.isEmpty) 0.0 else medD(roundCal.map(_._2))
+      def calSpikeAt(i: Int): Boolean =
+        Seq(i, i + 1).flatMap(r => roundCal.find(_._1 == r)).map(_._2)
+          .exists(_ > 1.5 * calMedian)
+      val minW = trials.map(_._1).min
+      // Sibling commit medians are taken over trials NOT themselves
+      // flagged, iterated to a fixpoint: with 2 of 3 trials erupted
+      // (the r10 driver run's ann row, 12.36/26.60/4.94 s walls) a
+      // one-shot median is contaminated by the OTHER spike and the
+      // second eruption escapes. Excluding flagged siblings only ever
+      // lowers the baseline, so the flag set grows monotonically and
+      // the loop terminates within trials.size passes.
+      var flagged = Set.empty[Int]
+      var pass = 0
+      var changed = true
+      while (changed && pass < trials.size) {
+        val next = trials.indices.filter { i =>
+          val sibs = trials.indices
+            .filter(j => j != i && !flagged(j)).map(j => trials(j)._2)
+          val sibMed = if (sibs.isEmpty) 0L else medL(sibs)
+          val commitSpike = sibMed > 0 && trials(i)._2 > 2 * sibMed
+          trials(i)._1 > 2 * minW && (commitSpike || calSpikeAt(i))
+        }.toSet
+        changed = next != flagged
+        flagged = next
+        pass += 1
+      }
+      flagged
+    }
 
   /** Blocking filesystem sync (best-effort): waits for outstanding dirty
     * pages to reach disk so writeback never lands inside a timed trial.

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the stream bench's mechanical eruption detector
+  * ([[StreamBench.spikeFlags]], VERDICT r10 #1b): the hand-adjudication
+  * evidence three rounds of judges applied — wall vs row min, commit_ms
+  * vs sibling trials, round-boundary calibration vs its series — as a
+  * pure, pinned predicate. The real r10 driver-run eruptions (stream_ann
+  * 12.36/26.60/4.94 s walls with 13.2/9.8/15.9 s commits against 2.3 s
+  * siblings) must flag; the committed clean run's ±12% spreads must not.
+  */
+class SpikeDetectorSpec extends AnyFunSuite {
+
+  private val flatCal = Seq((0, 0.25), (1, 0.26), (2, 0.24), (3, 0.25))
+
+  test("clean trials within normal spread flag nothing") {
+    // the committed r10 stream_ann row: 4.89/5.17/5.37 s, commits ~2.4 s
+    val trials = Seq((4.89, 2400L), (5.17, 2300L), (5.37, 2500L))
+    assert(StreamBench.spikeFlags(trials, flatCal) === Set.empty[Int])
+  }
+
+  test("the r10 driver-run ann eruption flags exactly the spiked trials") {
+    // walls 12.36/26.60/4.94 with commit stalls on the slow trials —
+    // the shape VERDICT r10 adjudicated by hand. Both slow trials are
+    // > 2x the 4.94 min AND their commits dwarf the sibling median.
+    val trials = Seq((12.36, 13200L), (26.60, 9800L), (4.94, 2400L))
+    assert(StreamBench.spikeFlags(trials, flatCal) === Set(0, 1))
+  }
+
+  test("a slow wall WITHOUT commit or calibration evidence is not flagged") {
+    // honest spread (e.g. the wire row's pacing): wall > 2x min alone
+    // must not trigger a re-run — the detector wants corroboration
+    val trials = Seq((10.5, 2400L), (4.9, 2450L), (5.1, 2350L))
+    assert(StreamBench.spikeFlags(trials, flatCal) === Set.empty[Int])
+  }
+
+  test("a commit stall WITHOUT a slow wall is not flagged") {
+    // commit_ms evidence only corroborates; the trial must also be slow
+    val trials = Seq((5.0, 9000L), (4.9, 2450L), (5.1, 2350L))
+    assert(StreamBench.spikeFlags(trials, flatCal) === Set.empty[Int])
+  }
+
+  test("a bracketing calibration riser corroborates a slow wall") {
+    // trial 1 (round 2) is slow with NORMAL commits, but the round-2
+    // boundary sample spiked to 2x the series median — the whole-host
+    // contention window the r10 driver run showed (0.47 s vs 0.23-0.27)
+    val risingCal = Seq((0, 0.25), (1, 0.26), (2, 0.52), (3, 0.25))
+    val trials = Seq((5.0, 2400L), (11.0, 2500L), (5.1, 2350L))
+    assert(StreamBench.spikeFlags(trials, risingCal) === Set(1))
+    // the same trials with the calibration clause disabled (the
+    // post-replacement re-evaluation) flag nothing
+    assert(StreamBench.spikeFlags(trials, Nil) === Set.empty[Int])
+  }
+
+  test("single-trial rows are never flagged") {
+    assert(StreamBench.spikeFlags(Seq((40.0, 112000L)), flatCal)
+      === Set.empty[Int])
+  }
+
+  test("zero sibling commits (stateless rows) disable the commit clause") {
+    // stream_stateless carries no state operator: commit_ms is 0 on
+    // every trial; a slow wall alone must not divide by the zero median
+    val trials = Seq((3.0, 0L), (1.2, 0L), (1.3, 0L))
+    assert(StreamBench.spikeFlags(trials, flatCal) === Set.empty[Int])
+  }
+}
