@@ -61,17 +61,7 @@ object StateDepthProbe {
       maxFilesPerTrigger = 32)
 
     def stats(q: Option[org.apache.spark.sql.streaming.StreamingQuery]): (Long, Long, Long) =
-      q.map { query =>
-        val all = query.recentProgress.filter(_.numInputRows > 0)
-        val ps = if (all.length > 1) all.drop(1) else all
-        val ops = ps.flatMap(_.stateOperators)
-        if (ops.isEmpty) (0L, 0L, 0L)
-        else {
-          val last = ps.last.stateOperators
-          (last.map(_.numRowsTotal).sum, last.map(_.memoryUsedBytes).sum,
-            ops.map(_.commitTimeMs).sum)
-        }
-      }.getOrElse((0L, 0L, 0L))
+      q.map(progressStats).getOrElse((0L, 0L, 0L))
 
     def run(label: String, keyMult: Int)(
         build: SourceConfig[(Long, Long, Long)] => Pipeline[_]): Unit = {
@@ -113,15 +103,18 @@ object StateDepthProbe {
       sessionRun(spark, "session", k, staged, nRows)
     }
 
-    // Attribution cell (VERDICT r10 #6): the session row's wall grows
-    // 5.0 → 19.0 s at ×100 keys — is that per-SESSION cost (aggregation
-    // over millions of live sessions) or per-ROW cost (replay volume)?
-    // One extra cell at the SAME key multiplier over HALF the replay
-    // volume separates them: key widening rides `(ts_ns + replica) mod
-    // K` over per-event-varied base timestamps, so halving the replica
-    // count keeps residue coverage (≈ the same live-session count —
-    // state_rows in the printout verifies) while halving rows. Wall
-    // ≈ half → per-row dominated; wall ≈ unchanged → per-session.
+    // Attribution cell (VERDICT r10 #6): one extra session cell at the
+    // SAME ×K key multiplier over HALF the replica count. Measured
+    // finding (SCALING.md §r11): live sessions track the REPLICA
+    // count, not the key grid — each (base session, replica) pair is
+    // its own keyed session, so this cell halves live sessions AND
+    // replayed rows together while the key space stays ×K (state_rows
+    // in the printout verifies: 7 637 200 → 3 818 600 at ×100/80→40).
+    // Read it against the full-volume cell as a joint-volume scaling
+    // check: wall ≈ half with commit_ms flat (the measured outcome)
+    // means the ×K wall growth is LINEAR per-session aggregation work
+    // and the store commit is depth-independent; a wall that stayed
+    // high, or a commit that halved, would point at the store instead.
     if (args.lift(2).contains("half")) {
       val halfStaged = Files.createTempDirectory("graft_state_depth_half").toString
       Tables.events(spark, sfDir)
@@ -141,19 +134,24 @@ object StateDepthProbe {
     spark.stop()
   }
 
+  /** Steady-state telemetry from a finished query's progress events:
+    * (state rows at last batch, memory, summed commit ms) — one copy,
+    * shared by the tws ladder rows and the session cells. */
+  private def progressStats(
+      q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long, Long) = {
+    val all = q.recentProgress.filter(_.numInputRows > 0)
+    val ps = if (all.length > 1) all.drop(1) else all
+    val ops = ps.flatMap(_.stateOperators)
+    if (ops.isEmpty) (0L, 0L, 0L)
+    else {
+      val last = ps.last.stateOperators
+      (last.map(_.numRowsTotal).sum, last.map(_.memoryUsedBytes).sum,
+        ops.map(_.commitTimeMs).sum)
+    }
+  }
+
   private def sessionRun(spark: org.apache.spark.sql.SparkSession, label: String,
       k: Int, stagedDir: String, rowCount: Long): Unit = {
-    def stats(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long, Long) = {
-      val all = q.recentProgress.filter(_.numInputRows > 0)
-      val ps = if (all.length > 1) all.drop(1) else all
-      val ops = ps.flatMap(_.stateOperators)
-      if (ops.isEmpty) (0L, 0L, 0L)
-      else {
-        val last = ps.last.stateOperators
-        (last.map(_.numRowsTotal).sum, last.map(_.memoryUsedBytes).sum,
-          ops.map(_.commitTimeMs).sum)
-      }
-    }
     val t0 = System.nanoTime()
     val schema = spark.read.parquet(stagedDir).schema
     val q = spark.readStream.schema(schema)
@@ -167,7 +165,7 @@ object StateDepthProbe {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     val sec = (System.nanoTime() - t0) / 1e9
-    val (rows, mem, commitMs) = stats(q)
+    val (rows, mem, commitMs) = progressStats(q)
     println(f"[state-depth] $label%-14s keys x$k%-4d ${sec}%7.2f s  " +
       f"${rowCount / sec / 1e6}%5.2f M rows/s  state_rows=$rows%-8d " +
       f"state_mb=${mem / 1e6}%8.1f  commit_ms=$commitMs")

@@ -864,10 +864,14 @@ object StreamBench {
     // Provider label per row (ADVICE r3): host+provider, so the published
     // JSON can't be misread as a host-only comparison when the base rows
     // run HDFS-backed and the _tws rows run RocksDB.
-    val baseProvider =
-      (if (twsHost) "tws" else "fmgws") + "+" +
-        (if (twsHost || sys.env.get("STREAM_BENCH_PROVIDER").contains("rocksdb")) "rocksdb"
-         else "hdfs")
+    val baseStore =
+      if (twsHost || sys.env.get("STREAM_BENCH_PROVIDER").contains("rocksdb")) "rocksdb"
+      else "hdfs"
+    val baseProvider = (if (twsHost) "tws" else "fmgws") + "+" + baseStore
+    // the session rows ride Spark's native session_window aggregation,
+    // not a graft keyed host — label the host half accordingly so the
+    // artifact can't be read as an fmgws comparison
+    val sessionProvider = "native+" + baseStore
 
     // An events/documents staging failure skips that table's pipelines —
     // each is recorded individually in `failed` so the JSON shows exactly
@@ -888,7 +892,7 @@ object StreamBench {
       register("stream_ephemeral", baseProvider)(() => trial("stream_ephemeral")(ephemeral))
       register("stream_two_stage", baseProvider)(() => twoStageTrial())
       register("stream_topk", baseProvider)(() => topkTrial())
-      register("stream_session", baseProvider)(() => sessionTrial())
+      register("stream_session", sessionProvider)(() => sessionTrial())
     } else failed ++= eventRowNames.filter(n =>
       wanted(n) && !n.endsWith("_tws"))
     // the wire row stages its own frame log (no dependence on evStaged)
@@ -935,8 +939,9 @@ object StreamBench {
     // the 100 TB deployment story lives on RocksDB, but only the two
     // _tws rows exercised it — and those change host AND provider at
     // once. These rows differ from their base rows ONLY in the store
-    // provider (same flatMapGroupsWithState host, same topology, same
-    // replay), so base vs _rocksdb prices the provider at equal
+    // provider (same host — native session_window aggregation for
+    // session, the fmgws keyed host for market_spread — same topology,
+    // same replay), so base vs _rocksdb prices the provider at equal
     // topology: stream_session carries the widest live-key state in the
     // pack (one session window per user) and stream_market_spread the
     // full keyed reject topology. Skipped when the whole run is already
@@ -947,7 +952,7 @@ object StreamBench {
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
     if (!twsHost && !sys.env.get("STREAM_BENCH_PROVIDER").contains("rocksdb")) {
       if (evStaged.isDefined) {
-        register("stream_session_rocksdb", "fmgws+rocksdb", rocksConfs)(() =>
+        register("stream_session_rocksdb", "native+rocksdb", rocksConfs)(() =>
           sessionTrial())
         register("stream_market_spread_rocksdb", "fmgws+rocksdb", rocksConfs)(() =>
           trial("stream_market_spread_rocksdb")(_ => marketSpread()))
@@ -1108,9 +1113,18 @@ object StreamBench {
       // Final flags: re-evaluate on the post-replacement vector WITHOUT
       // the calibration clause (replacements ran outside the calibrated
       // rounds); a trial whose re-run failed keeps its original flag.
+      // Exclusion is CONFINED to trials that went through the spike
+      // pipeline (flagged, re-run, published in spikedJson): the
+      // re-evaluation's row minimum may now be a fast replacement wall,
+      // and letting that re-baseline flag ORIGINAL trials would drop
+      // walls from median_clean that were never re-run and appear
+      // nowhere in the artifact — silent cherry-picking, the exact
+      // failure this pass exists to prevent. Every excluded index is
+      // therefore visible in spikedJson by construction.
+      val piped = spikedLog.getOrElse(name, Vector.empty).map(_._1).toSet
       val rerunFailed = spikedLog.getOrElse(name, Vector.empty)
         .collect { case (i, _, _, None) => i }.toSet
-      val flags = spikedIdx(ts, calCounts = false) ++ rerunFailed
+      val flags = (spikedIdx(ts, calCounts = false) & piped) ++ rerunFailed
       val cleanIdx = ts.indices.filterNot(flags)
       val used = if (cleanIdx.nonEmpty) cleanIdx.map(ts(_)) else ts
       // State metrics stay per-trial (not medianed): the point is reading
@@ -1146,10 +1160,12 @@ object StreamBench {
     * clause (the post-replacement re-evaluation, where replacements
     * ran outside the calibrated rounds). A trial is spiked when its
     * wall exceeds 2× the row's min AND either its commit_ms exceeds
-    * 2× the sibling-trial median (the state-store/writeback stall
-    * signature) or a bracketing round-calibration sample rose >1.5×
-    * the series median (a whole-host contention window). Single-trial
-    * rows are never flagged — there is no sibling evidence. */
+    * 2× the median over NOT-already-flagged sibling trials (the
+    * state-store/writeback stall signature; flags accumulate across
+    * passes until none is added — see the loop comment) or a
+    * bracketing round-calibration sample rose >1.5× the series median
+    * (a whole-host contention window). Single-trial rows are never
+    * flagged — there is no sibling evidence. */
   private[graft] def spikeFlags(trials: Seq[(Double, Long)],
       roundCal: Seq[(Int, Double)]): Set[Int] =
     if (trials.size < 2) Set.empty
@@ -1167,24 +1183,30 @@ object StreamBench {
         Seq(i, i + 1).flatMap(r => roundCal.find(_._1 == r)).map(_._2)
           .exists(_ > 1.5 * calMedian)
       val minW = trials.map(_._1).min
-      // Sibling commit medians are taken over trials NOT themselves
-      // flagged, iterated to a fixpoint: with 2 of 3 trials erupted
-      // (the r10 driver run's ann row, 12.36/26.60/4.94 s walls) a
-      // one-shot median is contaminated by the OTHER spike and the
-      // second eruption escapes. Excluding flagged siblings only ever
-      // lowers the baseline, so the flag set grows monotonically and
-      // the loop terminates within trials.size passes.
+      // Sibling commit medians are taken over trials NOT already
+      // flagged, iterated until no NEW flag appears: with 2 of 3 trials
+      // erupted (the r10 driver run's ann row, 12.36/26.60/4.94 s
+      // walls) a one-shot median is contaminated by the OTHER spike and
+      // the second eruption escapes. Flags ACCUMULATE across passes —
+      // a trial flagged against a dirtier (higher) baseline stays
+      // flagged, which keeps the set genuinely monotone (excluding a
+      // cal-flagged LOW-commit sibling can RAISE the median, so a pure
+      // re-evaluation could oscillate and the pass cap would return a
+      // non-fixpoint set) and guarantees termination within
+      // trials.size passes.
       var flagged = Set.empty[Int]
       var pass = 0
       var changed = true
       while (changed && pass < trials.size) {
-        val next = trials.indices.filter { i =>
-          val sibs = trials.indices
-            .filter(j => j != i && !flagged(j)).map(j => trials(j)._2)
-          val sibMed = if (sibs.isEmpty) 0L else medL(sibs)
-          val commitSpike = sibMed > 0 && trials(i)._2 > 2 * sibMed
-          trials(i)._1 > 2 * minW && (commitSpike || calSpikeAt(i))
-        }.toSet
+        val next = flagged ++ trials.indices.filter { i =>
+          !flagged(i) && {
+            val sibs = trials.indices
+              .filter(j => j != i && !flagged(j)).map(j => trials(j)._2)
+            val sibMed = if (sibs.isEmpty) 0L else medL(sibs)
+            val commitSpike = sibMed > 0 && trials(i)._2 > 2 * sibMed
+            trials(i)._1 > 2 * minW && (commitSpike || calSpikeAt(i))
+          }
+        }
         changed = next != flagged
         flagged = next
         pass += 1

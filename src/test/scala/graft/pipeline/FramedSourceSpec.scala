@@ -158,20 +158,24 @@ class FramedSourceSpec extends AnyFunSuite {
     // partition whose reader walks them in frame order. Driven at the
     // DSv2 level so the multi-chunk shape is constructed and asserted
     // deterministically.
+    // > 2 chunk-seal thresholds of frames (1 KB payload × 3000 ≈ 3 MB vs
+    // the 1 MB ChunkBytes seal), so the reader MUST seal ≥ 2 chunks
+    // whatever the thread scheduling — no reliance on burst timing.
+    val n = 3000
+    def payloadOf(i: Int): Array[Byte] =
+      (f"f$i%04d" + "x" * 995).getBytes(UTF_8)
     val server = new java.net.ServerSocket(0)
     val sender = new Thread("framed-ordered-sender") {
       override def run(): Unit = {
         val conn = server.accept()
-        val out = new DataOutputStream(conn.getOutputStream)
-        (0 until 4).foreach { burst =>
-          (0 until 25).foreach { i =>
-            val payload = f"f${burst * 25 + i}%03d".getBytes(UTF_8)
-            out.writeInt(payload.length)
-            out.write(payload)
-          }
-          out.flush()
-          Thread.sleep(150) // socket runs dry → the reader seals a chunk
+        val out = new DataOutputStream(
+          new java.io.BufferedOutputStream(conn.getOutputStream))
+        (0 until n).foreach { i =>
+          val payload = payloadOf(i)
+          out.writeInt(payload.length)
+          out.write(payload)
         }
+        out.flush()
         conn.close()
       }
     }
@@ -181,21 +185,21 @@ class FramedSourceSpec extends AnyFunSuite {
     try {
       sender.join()
       val deadline = System.nanoTime() + 30L * 1000000000L
-      while (stream.reportLatestOffset().asInstanceOf[FrameCount].n < 100 &&
+      while (stream.reportLatestOffset().asInstanceOf[FrameCount].n < n &&
         System.nanoTime() < deadline) Thread.sleep(20)
       val end = stream.latestOffset(FrameCount(0),
         org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
-      assert(end.asInstanceOf[FrameCount].n === 100)
+      assert(end.asInstanceOf[FrameCount].n === n.toLong)
       val parts = stream.planInputPartitions(FrameCount(0), end)
       assert(parts.length === 1, s"ordered mode must plan ONE partition, got ${parts.length}")
       val ord = parts(0).asInstanceOf[FramedSocketOrderedPartition]
       assert(ord.slices.length >= 2,
-        s"test rig must produce a multi-chunk batch (got ${ord.slices.length} slice)")
+        s"a ${n} KB stream must span multiple 1 MB chunks (got ${ord.slices.length} slice)")
       val reader = new FramedSocketReaderFactory().createReader(parts(0))
       val got = scala.collection.mutable.ArrayBuffer.empty[String]
       while (reader.next())
-        got += new String(reader.get().getBinary(1), UTF_8)
-      assert(got.toSeq === (0 until 100).map(i => f"f$i%03d"),
+        got += new String(reader.get().getBinary(1), UTF_8).take(5)
+      assert(got.toSeq === (0 until n).map(i => f"f$i%04d"),
         "strict FIFO across chunk boundaries")
     } finally {
       stream.stop()
