@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * probe times the matrix form over a replicated corpus at eval sizes
   * 20 → 10⁴ and asserts the plan stays a zero-exchange scan, showing
   * wall linear in E (the O(E·dim) row loop) with no structural cliff.
+  * A second ladder times the registered JOIN path
+  * (d_decontaminate_semantic_join — the escape hatch past
+  * SemEvalMaxDoubles) on the same inputs, asserting its
+  * exactly-one-slim-exchange shape and pricing the matrix/join
+  * crossover the guard message names.
   */
 object DecontamProbe
     extends org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
@@ -65,6 +70,27 @@ object DecontamProbe
       println(f"[decontam x$n] corpus=$corpusN eval=$e%-6d ${wall}%8.2f s  " +
         s"exchanges=$shuffles")
       require(shuffles == 0, "decontamination must stay a zero-shuffle scan")
+      System.gc()
+    }
+
+    // The registered JOIN path (the escape hatch past SemEvalMaxDoubles)
+    // at the same eval ladder: its structural claim is ONE slim keyed
+    // exchange (~24 B/corpus row) whatever E — the broadcast pairing and
+    // the partial MAX never move the corpus. Timing it side by side with
+    // the matrix path prices the crossover the guard message names.
+    for (e <- evalSizes) {
+      val out = graft.operators.Similarity
+        .dDecontaminateSemanticJoinWith(corpus, evalDf(e), 0.4)
+      val shuffles = collect(out.queryExecution.executedPlan) {
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => x
+      }.size
+      val t0 = System.nanoTime()
+      out.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[decontam-join x$n] corpus=$corpusN eval=$e%-6d ${wall}%8.2f s  " +
+        s"exchanges=$shuffles")
+      require(shuffles == 1,
+        "the join path must pay exactly the one slim max exchange")
       System.gc()
     }
 
