@@ -125,6 +125,19 @@ object WireScanProbe {
       h.query.get
     }
 
+    // the strict-FIFO mode's price: ordered=true plans each batch as
+    // ONE partition (single-task decode), so ordered-vs-decode is the
+    // cost a tie-heavy decoder pays for arrival order surviving the
+    // keyed shuffle (FramedSocketSource class doc)
+    timed("ordered") { port =>
+      FramedSocketSource("127.0.0.1", port, StreamBench.SpreadWireDecoder(0L),
+        ordered = true)
+        .load(spark)
+        .writeStream.format("noop").option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wsp_ord").toString)
+        .start()
+    }
+
     spark.stop()
   }
 }
