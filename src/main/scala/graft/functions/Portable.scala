@@ -59,6 +59,18 @@ object Portable {
     s"list_distinct(list_transform(range(1, greatest(len(${duckTokens(text)}) - ${n - 2}, 1)), " +
       s"i -> array_to_string(list_slice(${duckTokens(text)}, i, i + ${n - 1}), ' ')))"
 
+  /** Normalized-text form underlying every exact-dedup fingerprint —
+    * THE cross-operator definition of "the same document" for d_exact,
+    * d_incremental, t_fingerprint, t_clean_corpus and t_dataset_card.
+    * One definition per engine (the 'g' flag is the only difference:
+    * DuckDB's regexp_replace is first-match-only without it, Spark's is
+    * global always) so a charset or flag edit can never silently split
+    * fingerprint identity across operators. */
+  def sparkNormText(text: String = "text"): String =
+    s"trim(regexp_replace(lower($text), '[^a-z0-9]+', ' '))"
+  def duckNormText(text: String = "text"): String =
+    s"trim(regexp_replace(lower($text), '[^a-z0-9]+', ' ', 'g'))"
+
   /** Stopword list shared by the quality score and [[TextAnalysis]]'s
     * signal columns. Lives here (a leaf module) so Dedup and TextAnalysis
     * can both embed the score without an init-order cycle between their
@@ -74,17 +86,31 @@ object Portable {
     * cross-engine ordering and equality agree exactly (t_quality is
     * hash-exact against the oracle). */
   def sparkQualityScore: String =
-    s"least(cast(size(${sparkTokens("text")}) as double) / 100, 1.0) * 0.5" +
-      s" + (cast(size(filter(${sparkTokens("text")}, t -> t IN ($stopList))) as double)" +
-      s" / size(${sparkTokens("text")})) * 0.3" +
-      " + (1.0 - cast(length(text) - length(regexp_replace(text, '[.,!?;:]', ''))" +
-      " as double) / length(text)) * 0.2"
+    qualityCombineSpark(s"size(${sparkTokens("text")})",
+      s"(cast(size(filter(${sparkTokens("text")}, t -> t IN ($stopList))) as double)" +
+        s" / size(${sparkTokens("text")}))",
+      "cast(length(text) - length(regexp_replace(text, '[.,!?;:]', ''))" +
+        " as double) / length(text)")
   def duckQualityScore: String =
-    s"least(CAST(len(${duckTokens("text")}) AS DOUBLE) / 100, 1.0) * 0.5" +
-      s" + (CAST(len(list_filter(${duckTokens("text")}, t -> t IN ($stopList))) AS DOUBLE)" +
-      s" / len(${duckTokens("text")})) * 0.3" +
-      " + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))" +
-      " AS DOUBLE) / length(text)) * 0.2"
+    qualityCombineDuck(s"len(${duckTokens("text")})",
+      s"(CAST(len(list_filter(${duckTokens("text")}, t -> t IN ($stopList))) AS DOUBLE)" +
+        s" / len(${duckTokens("text")}))",
+      "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))" +
+        " AS DOUBLE) / length(text)")
+
+  /** The weighted combination over ALREADY-COMPUTED component
+    * expressions — the score's weights exist exactly here, so operators
+    * that emit the components as columns (t_quality, t_clean_corpus)
+    * compose the same arithmetic the inline forms above embed; a weight
+    * retune can no longer desynchronize t_quality's published score
+    * from the score d_canonical ranks representatives by. Identical
+    * IEEE op order in both engines. */
+  def qualityCombineSpark(nTokens: String, stopRatio: String, punctRatio: String): String =
+    s"least(cast($nTokens as double) / 100, 1.0) * 0.5" +
+      s" + $stopRatio * 0.3 + (1.0 - $punctRatio) * 0.2"
+  def qualityCombineDuck(nTokens: String, stopRatio: String, punctRatio: String): String =
+    s"least(CAST($nTokens AS DOUBLE) / 100, 1.0) * 0.5" +
+      s" + $stopRatio * 0.3 + (1.0 - $punctRatio) * 0.2"
 
   /** Word n-grams WITH multiplicity (the shingle helpers above are
     * distinct sets for Jaccard/minhash; repetition signals need the

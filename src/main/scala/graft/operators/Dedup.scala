@@ -56,7 +56,7 @@ object Dedup {
   // ------------------------------------------------------------ d_exact
   /** Exact dedup via normalized-text hash: one shuffle of (hash, doc_id). */
   def dExact(s: SparkSession, dir: String): DataFrame = {
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    val norm = Portable.sparkNormText()
     Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"md5($norm)").as("fp"))
       .groupBy("fp")
@@ -64,7 +64,7 @@ object Dedup {
   }
 
   val dExactSql: String = {
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val norm = Portable.duckNormText()
     s"""SELECT md5($norm) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
        |FROM documents GROUP BY 1""".stripMargin
   }
@@ -87,9 +87,15 @@ object Dedup {
     * is co-located and the nightly increment never reshuffles the
     * snapshot), and text is scanned once, never shuffled. */
   def dIncremental(s: SparkSession, dir: String): DataFrame = {
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(s"md5($norm)").as("fp"))
+    val norm = Portable.sparkNormText()
+    // cache the slim (doc_id, fp) projection: snap / inc / incMin / thr
+    // are four plan branches over it, and Catalyst does not dedupe
+    // identical subtrees — uncached, the text scan + normalize + md5
+    // (the operator's dominant cost) would run four times
+    // ([[Caching.reuse]]: blocks die with the result, d_ngram_jaccard's
+    // discipline)
+    val docs = Caching.reuse(Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"md5($norm)").as("fp")))
     // Id-range bound (ADVICE r7): `4 * max(doc_id)` overflows Long for
     // max(doc_id) > 2⁶¹ ≈ 2.3e18 — Spark wraps silently while DuckDB
     // raises, so the two engines would diverge instead of failing
@@ -115,7 +121,7 @@ object Dedup {
   }
 
   val dIncrementalSql: String = {
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val norm = Portable.duckNormText()
     s"""WITH d AS (
        |  SELECT doc_id, md5($norm) AS fp FROM documents),
        |t AS (SELECT (4 * MAX(doc_id)) // 5 AS split_id FROM d),

@@ -67,8 +67,7 @@ object TextAnalysis {
         " / length(text)").as("punct_ratio"),
       expr(s"cast(length(text) as double) / size($toks)").as("avg_token_len"))
       .withColumn("quality_score",
-        expr("least(cast(n_tokens as double) / 100, 1.0) * 0.5" +
-          " + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2"))
+        expr(Portable.qualityCombineSpark("n_tokens", "stopword_ratio", "punct_ratio")))
   }
 
   val tQualitySql: String = {
@@ -83,8 +82,7 @@ object TextAnalysis {
        |      / length(text) AS punct_ratio,
        |    CAST(length(text) AS DOUBLE) / len($toks) AS avg_token_len
        |  FROM documents)
-       |SELECT *, least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5
-       |  + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2 AS quality_score
+       |SELECT *, ${Portable.qualityCombineDuck("n_tokens", "stopword_ratio", "punct_ratio")} AS quality_score
        |FROM q""".stripMargin
   }
 
@@ -181,7 +179,7 @@ object TextAnalysis {
     * dedup partitions on at scale — an 8-byte shuffle key, not a 32-byte
     * hex string). */
   def tFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    val norm = Portable.sparkNormText()
     Tables.documents(s, dir).select(
       col("doc_id"),
       expr(s"md5($norm)").as("fp_md5"),
@@ -189,7 +187,7 @@ object TextAnalysis {
   }
 
   val tFingerprintSql: String = {
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val norm = Portable.duckNormText()
     s"""SELECT doc_id, md5($norm) AS fp_md5,
        |  ${Portable.duckHash(norm, "fp")} AS fp_int
        |FROM documents""".stripMargin
@@ -208,7 +206,7 @@ object TextAnalysis {
   def tCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val toks = Portable.sparkTokens("text")
     val ltoks = Portable.sparkTokens("lower(text)")
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    val norm = Portable.sparkNormText()
     val base = Tables.documents(s, dir).select(
       Seq(
         col("doc_id"),
@@ -229,8 +227,7 @@ object TextAnalysis {
     }
     base
       .withColumn("quality_score",
-        expr("least(cast(n_tokens as double) / 100, 1.0) * 0.5" +
-          " + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2"))
+        expr(Portable.qualityCombineSpark("n_tokens", "stopword_ratio", "punct_ratio")))
       .withColumn("best", expr(best))
       .withColumn("pred_lang", expr(pick))
       .withColumn("canonical_id",
@@ -246,7 +243,7 @@ object TextAnalysis {
   val tCleanCorpusSql: String = {
     val toks = Portable.duckTokens("text")
     val ltoks = Portable.duckTokens("lower(text)")
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val norm = Portable.duckNormText()
     val scoreCols = langMarkers.map { case (l, m) =>
       s"CAST(len(list_filter($ltoks, t -> t IN (${sqlList(m)}))) AS BIGINT) AS score_$l"
     }.mkString(",\n    ")
@@ -267,8 +264,7 @@ object TextAnalysis {
        |  FROM documents),
        |q AS (
        |  SELECT *,
-       |    least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5
-       |      + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2 AS quality_score,
+       |    ${Portable.qualityCombineDuck("n_tokens", "stopword_ratio", "punct_ratio")} AS quality_score,
        |    $best AS best
        |  FROM scored),
        |p AS (SELECT *, $pick AS pred_lang FROM q),
@@ -822,9 +818,14 @@ object TextAnalysis {
     * broadcasts back onto the un-shuffled window stream; the per-doc
     * kill list (doc_id, starts[]) — longs only — broadcasts onto the
     * original documents scan, where a nested higher-order `filter` /
-    * `exists` drops covered tokens inside one codegen'd projection. If a
-    * dup-riddled corpus outgrows those broadcasts, both degrade to
-    * shuffle joins on 8-byte keys; the text still moves zero times. A
+    * `exists` drops covered tokens inside one codegen'd projection. The
+    * broadcast() calls are HINTS that force the strategy, so a
+    * dup-riddled corpus whose kill lists outgrow the broadcast ceiling
+    * (8 GB / driver memory) fails the exchange rather than silently
+    * degrading — at that scale, drop the two hints and Spark plans
+    * shuffle joins on the same 8-byte keys (the text still moves zero
+    * times); the hints stay because at every realistic dup fraction the
+    * kill list is lexicon-sized and the broadcast saves the shuffle. A
     * 2⁻⁶⁴ hash collision could remove a span the oracle keeps — the
     * same documented trade as [[tLineDedup]]. */
   val SubstrWindow = 15
@@ -1050,7 +1051,7 @@ object TextAnalysis {
   def tDatasetCard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Portable.sparkTokens("text")
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    val norm = Portable.sparkNormText()
     val base = Tables.documents(s, dir).select(
       col("lang"), col("source"),
       expr(s"cast(size($toks) as bigint)").as("n"),
@@ -1086,7 +1087,7 @@ object TextAnalysis {
 
   val tDatasetCardSql: String = {
     val toks = Portable.duckTokens("text")
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val norm = Portable.duckNormText()
     s"""WITH base AS (
        |  SELECT lang, source, CAST(len($toks) AS BIGINT) AS n, md5($norm) AS fp
        |  FROM documents),
@@ -1233,13 +1234,20 @@ object TextAnalysis {
     * frequency, take the argmax (count desc, pair asc — a total order,
     * no RNG), and greedily merge that pair in every word type.
     *
-    * Words are represented as 'sym|sym|…|' strings; pair merge is plain
-    * left-to-right non-overlapping string `replace` of 'L|R|' → 'LR|',
-    * whose scan-resume semantics are exactly BPE's greedy merge (the
-    * trailing '|' keeps adjacent matches from sharing a boundary char —
-    * a ' L R ' space-padded form would eat the next match's leading
-    * space). '|' cannot collide: the corpus is [a-z ] (asserted by the
-    * oracle's charset and this file's tokenizer).
+    * Words are represented as '|sym||sym|…' strings — every symbol
+    * wrapped in its OWN '|' pair — and pair merge is plain
+    * left-to-right non-overlapping string `replace` of '|L||R|' →
+    * '|LR|'. Both anchors matter: the leading '|' of L makes a match
+    * start only at a symbol BOUNDARY (the earlier 'L|R|' form matched a
+    * pattern whose L equaled the SUFFIX of a longer symbol — [st][o]
+    * merged as if it were [s][t][o] once ('t','o') won a round — a
+    * latent corruption invisible to the oracle because the SQL twin
+    * shared it), and per-symbol wrapping means adjacent occurrences
+    * share no boundary char, so replace's scan-resume semantics stay
+    * exactly BPE's greedy merge ([t][o][t][o] → [to][to] in one pass;
+    * a single shared separator would consume the second match's
+    * anchor). '|' cannot collide: the corpus is [a-z ] (asserted by
+    * the oracle's charset and this file's tokenizer).
     *
     * The per-round 1-row argmax is collected to the driver (R rows total
     * — the same bounded-training-collect contract as s_ann_ivf_trained);
@@ -1259,7 +1267,8 @@ object TextAnalysis {
       .select(explode(expr(toks)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .select(col("w"),
-        expr("concat(array_join(filter(split(w, ''), x -> x != ''), '|'), '|')")
+        expr("array_join(transform(filter(split(w, ''), x -> x != ''), " +
+          "x -> concat('|', x, '|')), '')")
           .as("s"), col("f"))
     var (handle, vocab) = Caching.reuseWithHandle(init)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
@@ -1281,7 +1290,7 @@ object TextAnalysis {
       val Array(l, rr) = pr.split("[|]")
       merges += ((r.toLong, l, rr, l + rr, cnt))
       val (h2, v2) = Caching.reuseWithHandle(vocab.select(col("w"),
-        expr(s"replace(s, '$pr|', '${l + rr}|')").as("s"), col("f")))
+        expr(s"replace(s, '|$l||$rr|', '|${l + rr}|')").as("s"), col("f")))
       v2.count() // materialize from the old cache before dropping it
       handle.unpersist(blocking = false)
       handle = h2; vocab = v2
@@ -1305,7 +1314,7 @@ object TextAnalysis {
          |  FROM (SELECT unnest(${Portable.duckTokens("text")}) AS w FROM documents) t
          |  GROUP BY w)""".stripMargin,
       """w0 AS (
-        |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), '|') || '|' AS s, f
+        |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1), i -> '|' || w[i] || '|'), '') AS s, f
         |  FROM wf)""".stripMargin)
     // DuckDB range(1, n) is empty for n <= 1 — no short-word guard needed
     val rounds = (1 to BpeMerges).flatMap { r =>
@@ -1317,7 +1326,7 @@ object TextAnalysis {
            |  GROUP BY pr)""".stripMargin,
         s"b$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr ASC LIMIT 1)",
         s"""w$r AS (
-           |  SELECT w.w, replace(w.s, b.pr || '|', replace(b.pr, '|', '') || '|') AS s, w.f
+           |  SELECT w.w, replace(w.s, '|' || replace(b.pr, '|', '||') || '|', '|' || replace(b.pr, '|', '') || '|') AS s, w.f
            |  FROM w${r - 1} w, b$r b)""".stripMargin)
     }
     (base ++ rounds).mkString(",\n")
