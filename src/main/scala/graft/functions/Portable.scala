@@ -31,11 +31,19 @@ object Portable {
   /** Same 48-bit hash computed on the JVM — used to pre-materialize
     * data-independent randomness (e.g. LSH hyperplanes) as literals so
     * the hot path never touches md5. */
-  def jvmHash(s: String, seed: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.substring(0, 12)
-    java.lang.Long.parseLong(hex, 16)
+  def jvmHash(s: String, seed: String): Long =
+    jvmHash(java.security.MessageDigest.getInstance("MD5"), s, seed)
+
+  /** The reusable-digest form for per-ROW callers
+    * (Multimodal.decodeStub's mapPartitions): one digest per partition
+    * instead of a provider lookup per row, and the 48-bit value read
+    * straight off the first 6 digest bytes — arithmetically identical
+    * to parsing the first 12 hex chars, with no hex-string detour. */
+  def jvmHash(md: java.security.MessageDigest, s: String, seed: String): Long = {
+    md.reset()
+    val d = md.digest(s"$seed:$s".getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 
   /** Full 128-bit md5 hex of a string — collision-safe key material for

@@ -28,6 +28,41 @@ object Multimodal {
       docId: Long, mediaType: String, nBytes: Long,
       width: Long, height: Long, nFrames: Long, fingerprint: Long)
 
+  /** source → media_type, ONE definition rendering every consumer form
+    * (decodeStub's Scala match, the Spark CASE, both DuckDB CASEs) so a
+    * new source mapping can't be added to three of the four sites. */
+  private val MediaTypeBySource =
+    Seq("src0" -> "image", "src1" -> "audio", "src2" -> "video")
+  private val MediaTypeDefault = "text"
+  private val mediaTypeScala: Map[String, String] = MediaTypeBySource.toMap
+  private def sparkMediaTypeCase: String =
+    "case source " +
+      MediaTypeBySource.map { case (s, t) => s"when '$s' then '$t'" }.mkString(" ") +
+      s" else '$MediaTypeDefault' end"
+  private def duckMediaTypeCase: String =
+    "CASE source " +
+      MediaTypeBySource.map { case (s, t) => s"WHEN '$s' THEN '$t'" }.mkString(" ") +
+      s" ELSE '$MediaTypeDefault' END"
+
+  /** The blob → fixed 32-CHARACTER "frame" chunking shared by
+    * [[mFrameSample]] and [[mPhashDedup]] (substring/length are
+    * character-based in both engines; the synthetic corpus is ASCII so
+    * chars = bytes — a real codec integration would chunk the binary
+    * blob instead). The empty-doc guard matters: sequence(0, -1) in
+    * Spark yields a DESCENDING [0, -1] (same gotcha as
+    * Portable.sparkShingles) and would emit a spurious frame_idx=0 row
+    * that DuckDB's range(0, 0) does not. */
+  private val frameExpr: String =
+    "case when length(text) = 0 then array() else " +
+      "transform(sequence(0, cast(ceil(length(text) / 32.0) as int) - 1), " +
+      "i -> substring(text, i * 32 + 1, 32)) end"
+  private val framesCte: String =
+    """f AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS frame_idx,
+      |    text
+      |  FROM documents)""".stripMargin
+
   /** Deterministic stand-in for a real decoder (libjpeg/ffmpeg/...):
     * derives plausible metadata purely from the bytes. Runs once per
     * partition-iterator — the real-codec integration point. The
@@ -39,13 +74,12 @@ object Multimodal {
       .select(col("doc_id"), col("source"), expr("cast(text as binary)").as("blob"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init (codec handles, model weights) would go here
+        // per-partition init (codec handles, model weights) goes here —
+        // one reused digest instead of a provider lookup per row
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, source, blob) =>
-          val h = Portable.jvmHash(new String(blob, "UTF-8"), "mm")
-          val mediaType = source match {
-            case "src0" => "image"; case "src1" => "audio"
-            case "src2" => "video"; case _ => "text"
-          }
+          val h = Portable.jvmHash(md, new String(blob, "UTF-8"), "mm")
+          val mediaType = mediaTypeScala.getOrElse(source, MediaTypeDefault)
           MediaFeature(id, mediaType, blob.length.toLong,
             width = 64 + (h & 0xff), height = 64 + ((h >> 8) & 0xff),
             nFrames = 1 + ((h >> 16) & 0x0f), fingerprint = h)
@@ -68,8 +102,7 @@ object Multimodal {
     val h = Portable.duckHash("text", "mm")
     s"""WITH d AS (SELECT doc_id, source, text, $h AS h FROM documents)
        |SELECT doc_id,
-       |  CASE source WHEN 'src0' THEN 'image' WHEN 'src1' THEN 'audio'
-       |    WHEN 'src2' THEN 'video' ELSE 'text' END AS media_type,
+       |  $duckMediaTypeCase AS media_type,
        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        |  64 + (h & 255) AS width,
        |  64 + ((h >> 8) & 255) AS height,
@@ -86,8 +119,7 @@ object Multimodal {
   def mMediaMeta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
-      expr("case source when 'src0' then 'image' when 'src1' then 'audio' " +
-        "when 'src2' then 'video' else 'text' end").as("media_type"),
+      expr(sparkMediaTypeCase).as("media_type"),
       octet_length(col("text")).cast("long").as("n_bytes"),
       sha2(col("text").cast("binary"), 256).as("content_hash"),
       expr(s"64 + (${Portable.sparkHash("text", "mmw")} & 255)").cast("long").as("fake_width"),
@@ -96,8 +128,7 @@ object Multimodal {
 
   val mMediaMetaSql: String =
     s"""SELECT doc_id,
-       |  CASE source WHEN 'src0' THEN 'image' WHEN 'src1' THEN 'audio'
-       |    WHEN 'src2' THEN 'video' ELSE 'text' END AS media_type,
+       |  $duckMediaTypeCase AS media_type,
        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        |  sha256(text) AS content_hash,
        |  CAST(64 + (${Portable.duckHash("text", "mmw")} & 255) AS BIGINT) AS fake_width,
@@ -105,31 +136,20 @@ object Multimodal {
        |FROM documents""".stripMargin
 
   // ------------------------------------------------------------ m_frame_sample
-  /** Frame sampling: the blob is cut into fixed 32-byte "frames"; every
-    * 4th frame is sampled and fingerprinted — the plumbing shape of video
-    * frame extraction (explode + per-frame feature), with the decoder
-    * stubbed by the portable hash. */
+  /** Frame sampling: the blob is cut into fixed 32-character "frames"
+    * ([[frameExpr]]); every 4th frame is sampled and fingerprinted — the
+    * plumbing shape of video frame extraction (explode + per-frame
+    * feature), with the decoder stubbed by the portable hash. */
   def mFrameSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
-        // empty doc guard: sequence(0, -1) in Spark yields a DESCENDING
-        // [0, -1] (same gotcha as Portable.sparkShingles) and would emit a
-        // spurious frame_idx=0 row that DuckDB's range(0, 0) does not
-        posexplode(expr(
-          "case when length(text) = 0 then array() else " +
-            "transform(sequence(0, cast(ceil(length(text) / 32.0) as int) - 1), " +
-            "i -> substring(text, i * 32 + 1, 32)) end"))
-          .as(Seq("frame_idx", "frame")))
+        posexplode(expr(frameExpr)).as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % 4 === 0)
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         expr(Portable.sparkHash("frame", "frame")).as("frame_hash"))
 
   val mFrameSampleSql: String =
-    s"""WITH f AS (
-       |  SELECT doc_id,
-       |    unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS frame_idx,
-       |    text
-       |  FROM documents)
+    s"""WITH ${framesCte}
        |SELECT doc_id, frame_idx,
        |  ${Portable.duckHash("substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32)", "frame")} AS frame_hash
        |FROM f WHERE frame_idx % 4 = 0""".stripMargin
@@ -188,7 +208,7 @@ object Multimodal {
 
   // ------------------------------------------------------------ m_phash_dedup
   /** Perceptual-hash near-dup pairs across media blobs — video/image
-    * dedup's shape: sample frames (every 4th 32-byte chunk, the
+    * dedup's shape: sample frames (every 4th 32-character chunk, the
     * [[mFrameSample]] stub for a real decoder+pHash), build a 60-bit
     * SimHash over the sampled frames' content hashes (per-bit exact
     * integer vote sums — order-independent at any parallelism), then
@@ -206,11 +226,7 @@ object Multimodal {
     import Dedup.{SimBands, SimBandBits, SimBits, SimMaxHamming}
     val frames = Tables.documents(s, dir)
       .select(col("doc_id"),
-        posexplode(expr(
-          "case when length(text) = 0 then array() else " +
-            "transform(sequence(0, cast(ceil(length(text) / 32.0) as int) - 1), " +
-            "i -> substring(text, i * 32 + 1, 32)) end"))
-          .as(Seq("frame_idx", "frame")))
+        posexplode(expr(frameExpr)).as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % 4 === 0)
       .withColumn("h1", expr(Portable.sparkHash("frame", "ph1")))
       .withColumn("h2", expr(Portable.sparkHash("frame", "ph2")))
@@ -264,11 +280,7 @@ object Multimodal {
       s"SELECT doc_id, phash, $c AS chunk_idx, (phash >> ${c * SimBandBits}) & $mask AS chunk FROM sig")
       .mkString("\n  UNION ALL\n  ")
     val fr = "substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32)"
-    s"""WITH f AS (
-       |  SELECT doc_id,
-       |    unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS frame_idx,
-       |    text
-       |  FROM documents),
+    s"""WITH ${framesCte},
        |fh AS (
        |  SELECT doc_id, ${Portable.duckHash(fr, "ph1")} AS h1,
        |    ${Portable.duckHash(fr, "ph2")} AS h2

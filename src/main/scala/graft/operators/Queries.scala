@@ -161,13 +161,20 @@ object Queries {
         coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
   }
 
+  // EXISTS / NOT EXISTS, not IN / NOT IN: 'x NOT IN (subquery)' is
+  // three-valued — ONE NULL o_custkey makes it NULL for every customer
+  // and wo returns zero rows, where Spark's left_anti (equality
+  // semantics) still counts all order-less customers. NOT EXISTS is the
+  // anti-join-faithful form; identical on NULL-free keys.
   val qSemiAntiSql: String =
     """WITH w AS (
-      |  SELECT c_mktsegment, COUNT(*) AS n_with_orders FROM customer
-      |  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY c_mktsegment),
+      |  SELECT c_mktsegment, COUNT(*) AS n_with_orders FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY c_mktsegment),
       |wo AS (
-      |  SELECT c_mktsegment, COUNT(*) AS n_without_orders FROM customer
-      |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY c_mktsegment)
+      |  SELECT c_mktsegment, COUNT(*) AS n_without_orders FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  GROUP BY c_mktsegment)
       |SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
       |  COALESCE(n_with_orders, 0) AS n_with_orders,
       |  COALESCE(n_without_orders, 0) AS n_without_orders
@@ -454,7 +461,9 @@ object Queries {
     *
     * The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — the two engines
     * reach the semantics by entirely different algorithms, which is the
-    * strongest kind of cross-check. */
+    * strongest kind of cross-check; its view side pre-aggregates to one
+    * (user, µs, max event_id) row so both engines share the exact tie
+    * contract above rather than agreeing only on tie-free data. */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
@@ -478,12 +487,23 @@ object Queries {
         col("ts_us").as("pts_us"), col("view_event_id"), col("view_ts_us"))
   }
 
+  // The view side pre-aggregates to one row per (user, µs) keeping
+  // MAX(event_id) — exactly the Spark side's tie contract (µs
+  // truncation, then highest vid wins the carry-forward). Without it
+  // the native ASOF picks an ARBITRARY row among equal-ts views (and at
+  // nanosecond storage precision would tie-break at ns where Spark
+  // compares at µs), so the oracle was deterministic only on tie-free
+  // data. Identical output when (user, µs) is unique — the registered
+  // corpora — and deterministic on tie-heavy data both engines agree on.
   val qAsofJoinSql: String =
     """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS pts_us,
-      |  v.event_id AS view_event_id, epoch_us(v.ts) AS view_ts_us
+      |  v.event_id AS view_event_id, v.vts_us AS view_ts_us
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, epoch_us(ts) AS vts_us, MAX(event_id) AS event_id
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY user_id, epoch_us(ts)) v
+      |  ON p.user_id = v.user_id AND v.vts_us <= epoch_us(p.ts)""".stripMargin
 
   // ------------------------------------------------------- q_events_interval_join
   /** Interval (range) join — click→purchase conversions: every purchase
@@ -767,7 +787,12 @@ object Queries {
       .distinct()
       .withColumn("cohort_week", min(col("week_idx")).over(byUser))
       .groupBy(col("cohort_week"), (col("week_idx") - col("cohort_week")).as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      // plain count, not countDistinct: the upstream (user, week)
+      // distinct plus cohort_week being a pure function of user_id
+      // already guarantee one row per user per (cohort, offset) group —
+      // countDistinct would plan a second two-phase distinct aggregation
+      // for an identical result
+      .agg(count(lit(1)).as("n_users"))
   }
 
   val qEventsRetentionSql: String =
@@ -778,7 +803,7 @@ object Queries {
       |  SELECT *, MIN(week_idx) OVER (PARTITION BY user_id) AS cohort_week
       |  FROM uw)
       |SELECT cohort_week, week_idx - cohort_week AS week_offset,
-      |  COUNT(DISTINCT user_id) AS n_users
+      |  COUNT(*) AS n_users
       |FROM c GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- q_events_anomaly
