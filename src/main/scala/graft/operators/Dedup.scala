@@ -383,53 +383,70 @@ object Dedup {
     *     against the (doc_id, simhash) table.
     * The output set is identical to banding raw docs, so the DuckDB
     * oracle keeps the straightforward doc-level formulation. */
-  def dSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = Caching.reuse(dSimhash(s, dir))
-    // hamming-0 cliques: one equi-join keyed by the signature itself
+  def dSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    bandedSigPairs(dSimhash(s, dir), "simhash")
+
+  /** The banded near-dup pair pipeline over a (doc_id, `sigCol`)
+    * signature table — ONE home for the LSH invariants
+    * ([[dSimhashPairs]] over text simhashes and
+    * [[Multimodal.mPhashDedup]] over frame phashes previously carried
+    * structural copies): hamming-0 cliques from a sig-keyed equi-join
+    * (each pair once, no DISTINCT), banding over DISTINCT signatures
+    * (a dup-clique collides once per band, not C(k,2) times), the
+    * hamming filter applied BEFORE doc expansion, and intra/cross
+    * disjoint by construction. */
+  private[operators] def bandedSigPairs(sigTable: DataFrame, sigCol: String): DataFrame = {
+    val sig = Caching.reuse(sigTable)
     val intra = sig.as("a").join(sig.as("b"),
-        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+        col(s"a.$sigCol") === col(s"b.$sigCol") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         lit(0L).as("hamming"))
-    // band join over distinct signatures; filter on hamming BEFORE expansion
-    val dsig = sig.select("simhash").distinct()
-    val chunks = dsig.select(col("simhash"),
+    val dsig = sig.select(sigCol).distinct()
+    val chunks = dsig.select(col(sigCol),
       posexplode(expr(
-        (0 until SimBands).map(c => s"shiftright(simhash, ${c * SimBandBits}) & ${(1 << SimBandBits) - 1}")
+        (0 until SimBands).map(c => s"shiftright($sigCol, ${c * SimBandBits}) & ${(1 << SimBandBits) - 1}")
           .mkString("array(", ", ", ")"))).as(Seq("chunk_idx", "chunk")))
     val sigPairs = chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk") === col("b.chunk") &&
-        col("a.simhash") < col("b.simhash"))
-      .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        col(s"a.$sigCol") < col(s"b.$sigCol"))
+      .select(col(s"a.$sigCol").as("sig_a"), col(s"b.$sigCol").as("sig_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
       .filter(col("hamming") <= SimMaxHamming)
     val cross = sigPairs
-      .join(sig.as("da"), col("sig_a") === col("da.simhash"))
-      .join(sig.as("db"), col("sig_b") === col("db.simhash"))
+      .join(sig.as("da"), col("sig_a") === col(s"da.$sigCol"))
+      .join(sig.as("db"), col("sig_b") === col(s"db.$sigCol"))
       .select(least(col("da.doc_id"), col("db.doc_id")).as("doc_a"),
         greatest(col("da.doc_id"), col("db.doc_id")).as("doc_b"),
         col("hamming"))
     intra.unionByName(cross)
   }
 
-  val dSimhashPairsSql: String = {
+  /** SQL twin of [[bandedSigPairs]] — expects a CTE named `sig` with
+    * (doc_id, `sigCol`) in scope; the oracle keeps the straightforward
+    * doc-level band-join formulation (set-identical to the
+    * distinct-signature plan). */
+  private[operators] def bandedSigPairsSql(sigCol: String): String = {
     val mask = (1 << SimBandBits) - 1
     val chunkSelects = (0 until SimBands).map(c =>
-      s"SELECT doc_id, simhash, $c AS chunk_idx, (simhash >> ${c * SimBandBits}) & $mask AS chunk FROM sig")
+      s"SELECT doc_id, $sigCol, $c AS chunk_idx, ($sigCol >> ${c * SimBandBits}) & $mask AS chunk FROM sig")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH $duckSimhashCtes,
-       |chunks AS (
+    s"""chunks AS (
        |  $chunkSelects),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.simhash AS sig_a, b.simhash AS sig_b
+       |    a.$sigCol AS sig_a, b.$sigCol AS sig_b
        |  FROM chunks a JOIN chunks b
        |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
        |   AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
        |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= $SimMaxHamming""".stripMargin
   }
+
+  val dSimhashPairsSql: String =
+    s"""WITH $duckSimhashCtes,
+       |${bandedSigPairsSql("simhash")}""".stripMargin
 
   // ------------------------------------------------------------ d_cluster
   /** Dedup-group assignment: connected components over the minhash-LSH

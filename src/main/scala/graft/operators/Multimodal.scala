@@ -223,7 +223,7 @@ object Multimodal {
     * expansion. Blobs never cross a shuffle — only (doc_id, 8-byte
     * signature) rows do. */
   def mPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    import Dedup.{SimBands, SimBandBits, SimBits, SimMaxHamming}
+    import Dedup.SimBits
     val frames = Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(expr(frameExpr)).as(Seq("frame_idx", "frame")))
@@ -237,37 +237,15 @@ object Multimodal {
     val sigExpr = (0 until SimBits)
       .map(b => s"(case when s$b > 0 then cast(${1L << b} as bigint) else cast(0 as bigint) end)")
       .mkString(" + ")
-    val sig = Caching.reuse(frames.groupBy("doc_id")
+    // the candidate pipeline itself is Dedup's shared banded helper —
+    // the LSH invariants live once, not per modality
+    Dedup.bandedSigPairs(frames.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(sigExpr).as("phash")))
-    val intra = sig.as("a").join(sig.as("b"),
-        col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        lit(0L).as("hamming"))
-    val dsig = sig.select("phash").distinct()
-    val chunks = dsig.select(col("phash"),
-      posexplode(expr(
-        (0 until SimBands).map(c => s"shiftright(phash, ${c * SimBandBits}) & ${(1 << SimBandBits) - 1}")
-          .mkString("array(", ", ", ")"))).as(Seq("chunk_idx", "chunk")))
-    val sigPairs = chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-        col("a.chunk") === col("b.chunk") &&
-        col("a.phash") < col("b.phash"))
-      .select(col("a.phash").as("sig_a"), col("b.phash").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
-      .filter(col("hamming") <= SimMaxHamming)
-    val cross = sigPairs
-      .join(sig.as("da"), col("sig_a") === col("da.phash"))
-      .join(sig.as("db"), col("sig_b") === col("db.phash"))
-      .select(least(col("da.doc_id"), col("db.doc_id")).as("doc_a"),
-        greatest(col("da.doc_id"), col("db.doc_id")).as("doc_b"),
-        col("hamming"))
-    intra.unionByName(cross)
+      .select(col("doc_id"), expr(sigExpr).as("phash")), "phash")
   }
 
   val mPhashDedupSql: String = {
-    import Dedup.{SimBands, SimBandBits, SimBits, SimMaxHamming}
+    import Dedup.SimBits
     val bitSums = (0 until SimBits).map { b =>
       val (src, off) = if (b < 48) ("h1", b) else ("h2", b - 48)
       s"SUM((($src >> $off) & 1) * 2 - 1) AS s$b"
@@ -275,10 +253,6 @@ object Multimodal {
     val sigExpr = (0 until SimBits)
       .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    val mask = (1 << SimBandBits) - 1
-    val chunkSelects = (0 until SimBands).map(c =>
-      s"SELECT doc_id, phash, $c AS chunk_idx, (phash >> ${c * SimBandBits}) & $mask AS chunk FROM sig")
-      .mkString("\n  UNION ALL\n  ")
     val fr = "substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32)"
     s"""WITH ${framesCte},
        |fh AS (
@@ -290,16 +264,7 @@ object Multimodal {
        |    $bitSums
        |  FROM fh GROUP BY doc_id),
        |sig AS (SELECT doc_id, $sigExpr AS phash FROM bsum),
-       |chunks AS (
-       |  $chunkSelects),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.phash AS sig_a, b.phash AS sig_b
-       |  FROM chunks a JOIN chunks b
-       |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
-       |   AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-       |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= $SimMaxHamming""".stripMargin
+       |${Dedup.bandedSigPairsSql("phash")}""".stripMargin
   }
 
   val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
