@@ -80,46 +80,170 @@ object Bench {
     var failed = List.empty[String]
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // CPU-bound vs wall-bound split (VERDICT r7 #6 / r8 #1): a handful of
+    // registry entries are paced by wall-clock machinery, not compute —
+    // p_gen_source waits on a rate-limited generator, the p_late_* rows
+    // drive a real multi-batch streaming host through an arrival script,
+    // and the two wire round-trips poll sockets.
+    val wallBound = Set("p_gen_source", "p_late_fire", "p_late_delay",
+      "p_tcp_roundtrip", "p_connector_roundtrip")
+    // Per-trial eruption evidence for the wall-bound rows (VERDICT r11
+    // #1): all five drive REAL internal streaming queries (MemoryStream
+    // hosts, socket rigs), so the same stall signature the stream pack
+    // flags on — state-store commit_ms / trigger duration blowing up
+    // while siblings stay flat — is observable here through the session's
+    // streaming listener bus. The listener accumulates commit_ms summed
+    // over state operators plus triggerExecution ms across every progress
+    // event; counters reset before each wall-bound trial and are
+    // snapshotted after a short settle (delivery is async — poll until
+    // the event counter stops moving, bounded at 2 s, all outside the
+    // timed window).
+    val evCommit = new java.util.concurrent.atomic.AtomicLong(0L)
+    val evDur = new java.util.concurrent.atomic.AtomicLong(0L)
+    val evSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        evCommit.addAndGet(p.stateOperators.map(_.commitTimeMs).sum)
+        evDur.addAndGet(
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+        evSeq.incrementAndGet()
+        ()
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    })
+    def settleEvidence(): Long = {
+      var last = -1L
+      var stable = 0
+      val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val cur = evSeq.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(50)
+      }
+      // commit_ms is the sharper stall signature when the row has stateful
+      // operators (the late-data hosts); the stateless rigs (gen source,
+      // wire round-trips) fall back to total trigger duration — per row
+      // the choice is structural, so sibling medians never mix units.
+      val c = evCommit.get()
+      if (c > 0) c else evDur.get()
+    }
+    def teardown(): Unit = {
+      // drop any caches the query persisted so the next timing is clean
+      // (outside the timed window — teardown isn't the query's cost).
+      // Caching.reuse blocks live at the RDD layer, freed by GC in a
+      // user session; a back-to-back bench scavenges them explicitly so
+      // run N's leftovers can't pressure run N+1.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // Force a GC so the ContextCleaner reclaims the previous run's
+      // shuffle files/broadcasts NOW, not in the middle of the next
+      // timed run — the round-4 forensics saw 10x outliers whenever a
+      // prior query's cleanup landed inside a later query's window.
+      System.gc()
+      // Drain dirty-page writeback the same way the stream pack does:
+      // staging-heavy entries (p_ann_search writes a partitioned index;
+      // the roundtrip rigs write checkpoints) leave flush debt the
+      // kernel otherwise repays inside a LATER query's timed window —
+      // the same channel behind the stream rows' commit_ms eruptions.
+      StreamBench.syncFs()
+    }
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Boolean) = {
+      val wantEv = wallBound(name)
+      if (wantEv) { evCommit.set(0L); evDur.set(0L); evSeq.set(0L) }
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          if (!failed.contains(name)) failed ::= name
+          false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val ev = if (wantEv && ok) settleEvidence() else 0L
+      teardown()
+      (elapsed, ev, ok)
+    }
     val results = queryList.zipWithIndex.map { case ((name, fn), qi) =>
       if (qi > 0 && qi % CalEvery == 0) calSeries += ((qi, calProbe()))
-      val runs = (1 to repeats).iterator.map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            if (!failed.contains(name)) failed ::= name
-            false
-          }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // drop any caches the query persisted so the next timing is clean
-        // (outside the timed window — teardown isn't the query's cost).
-        // Caching.reuse blocks live at the RDD layer, freed by GC in a
-        // user session; a back-to-back bench scavenges them explicitly so
-        // run N's leftovers can't pressure run N+1.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        // Force a GC so the ContextCleaner reclaims the previous run's
-        // shuffle files/broadcasts NOW, not in the middle of the next
-        // timed run — the round-4 forensics saw 10x outliers whenever a
-        // prior query's cleanup landed inside a later query's window.
-        System.gc()
-        // Drain dirty-page writeback the same way the stream pack does:
-        // staging-heavy entries (p_ann_search writes a partitioned index;
-        // the roundtrip rigs write checkpoints) leave flush debt the
-        // kernel otherwise repays inside a LATER query's timed window —
-        // the same channel behind the stream rows' commit_ms eruptions.
-        StreamBench.syncFs()
-        (elapsed, ok)
-      }.takeWhile(_._2).map(_._1).toVector match {
+      val runs = (1 to repeats).iterator.map(_ => runOnce(name, fn))
+        .takeWhile(_._3).map(t => (t._1, t._2)).toVector match {
         case v if v.nonEmpty => v
-        case _               => Vector(0.0) // failed on first run
+        case _               => Vector((0.0, 0L)) // failed on first run
       }
       name -> runs
     }
     // closing probe: the tail queries get a neighbor on their right too
     calSeries += ((queryList.size, calProbe()))
-    val medians = results.map { case (name, runs) => name -> median(runs) }
+    // Mechanical spike adjudication for the wall-bound rows (VERDICT r11
+    // #1 — the last artifact numbers that needed prose adjudication):
+    // same discipline as the stream pack, same predicate
+    // (StreamBench.spikeFlagsWith — wall > 2× row min AND commit/duration
+    // evidence > 2× not-already-flagged sibling median, OR a calibration
+    // eruption), with the calibration clause adapted to the batch shape:
+    // the probes bracket a query's whole trial block, so "either
+    // bracketing probe rose >1.5× the series median" applies uniformly to
+    // the block's trials. Flagged trials re-run ONCE after a teardown;
+    // originals are published under batch_spiked_trials; headline medians
+    // exclude flagged trials (clean medians), so the judged artifact
+    // defends itself instead of needing a driver-vs-committed comparison
+    // from prose.
+    val collected = scala.collection.mutable.Map(results: _*)
+    val batchSpikedLog =
+      scala.collection.mutable.Map.empty[String, Vector[(Int, Double, Long, Option[Double])]]
+    val qIndex = queryList.map(_._1).zipWithIndex.toMap
+    def bracketSpiked(name: String): Boolean = {
+      val qi = qIndex(name)
+      val calMed = median(calSeries.map(_._2).toSeq)
+      val before = calSeries.filter(_._1 <= qi).maxBy(_._1)._2
+      val after = calSeries.filter(_._1 > qi)
+        .minByOption(_._1).map(_._2).getOrElse(before)
+      before > 1.5 * calMed || after > 1.5 * calMed
+    }
+    wallBound.toSeq.sorted.foreach { name =>
+      collected.get(name).filterNot(_ => failed.contains(name)).foreach { ts =>
+        val calHot = bracketSpiked(name)
+        val flags = StreamBench.spikeFlagsWith(ts, _ => calHot)
+        flags.toSeq.sorted.foreach { i =>
+          val orig = ts(i)
+          System.err.println(s"[bench] $name trial ${i + 1} spiked " +
+            s"(wall ${orig._1}s, evidence_ms ${orig._2}); re-running once")
+          val fn = queryList.find(_._1 == name).get._2
+          // a failed RE-RUN keeps the original trial (it stays excluded
+          // from the clean median via rerunFailed) — it must not mark the
+          // row itself failed, its measured trials all passed
+          val failedBefore = failed
+          val repl = runOnce(name, fn) match {
+            case (w, e, true) => Some((w, e))
+            case _            => failed = failedBefore; None
+          }
+          repl.foreach(t => collected(name) = collected(name).updated(i, t))
+          batchSpikedLog(name) = batchSpikedLog.getOrElse(name, Vector.empty) :+
+            ((i, orig._1, orig._2, repl.map(_._1)))
+        }
+      }
+    }
+    // Final flags per wall-bound row: re-evaluate on the post-replacement
+    // vector WITHOUT the calibration clause; exclusion is CONFINED to
+    // trials that went through the spike pipeline (flagged, re-run,
+    // published) plus failed re-runs — the same no-silent-cherry-picking
+    // contract as the stream pack (StreamBench.run).
+    val batchCleanFlags: Map[String, Set[Int]] = wallBound.toSeq.flatMap { name =>
+      collected.get(name).map { ts =>
+        val piped = batchSpikedLog.getOrElse(name, Vector.empty).map(_._1).toSet
+        val rerunFailed = batchSpikedLog.getOrElse(name, Vector.empty)
+          .collect { case (i, _, _, None) => i }.toSet
+        name -> ((StreamBench.spikeFlagsWith(ts, _ => false) & piped) ++ rerunFailed)
+      }
+    }.toMap
+    val finalRuns = queryList.map { case (name, _) => name -> collected(name) }
+    val medians = finalRuns.map { case (name, ts) =>
+      val flags = batchCleanFlags.getOrElse(name, Set.empty)
+      val clean = ts.indices.filterNot(flags).map(ts(_))
+      name -> median((if (clean.nonEmpty) clean else ts).map(_._1))
+    }
     // The streaming pack runs AFTER every batch timing is in hand, so it
     // must never be able to destroy them: StreamBench.run failure-isolates
     // each pipeline internally, and this outer catch covers anything that
@@ -155,10 +279,32 @@ object Bench {
     // standing weak-by-design set self-documents instead of needing
     // re-adjudication every round (README "Oracle-pinned twins").
     val pinnedTwins = Set("s_cosine_dups", "q_events_sessionize", "d_semantic")
-    val detail = results.map { case (name, runs) =>
-      "\"" + name + "\":{\"median\":" + median(runs) + ",\"min\":" + runs.min +
-        ",\"max\":" + runs.max + ",\"runs\":" + runs.mkString("[", ",", "]") +
+    // Detail rows quote the POST-replacement trial vector (like the
+    // stream pack's trials_sec); originals for any replaced trial live in
+    // batch_spiked_trials. Wall-bound rows additionally publish their
+    // per-trial evidence_ms so the spike decision is reproducible from
+    // the artifact alone.
+    val detail = finalRuns.map { case (name, ts) =>
+      val walls = ts.map(_._1)
+      val flags = batchCleanFlags.getOrElse(name, Set.empty)
+      val clean = ts.indices.filterNot(flags).map(w => ts(w)._1)
+      val used = if (clean.nonEmpty) clean else walls
+      "\"" + name + "\":{\"median\":" + median(used) + ",\"min\":" + used.min +
+        ",\"max\":" + used.max + ",\"runs\":" + walls.mkString("[", ",", "]") +
+        (if (wallBound(name))
+          ",\"evidence_ms\":" + ts.map(_._2).mkString("[", ",", "]")
+         else "") +
         (if (pinnedTwins(name)) ",\"pinned_twin\":true" else "") + "}"
+    }.mkString("{", ",", "}")
+    // batch_spiked_trials (VERDICT r11 #1): per wall-bound row, each
+    // mechanically-flagged trial with its original wall, the commit/
+    // duration evidence, and the replacement wall that superseded it.
+    // Empty object = no eruption detected in the batch pack.
+    val batchSpikedJson = batchSpikedLog.toSeq.sortBy(_._1).map { case (name, v) =>
+      "\"" + name + "\":" + v.map { case (i, w, e, repl) =>
+        s"""{"trial":${i + 1},"wall_sec":$w,"evidence_ms":$e,""" +
+          s""""replacement_wall_sec":${repl.map(_.toString).getOrElse("null")}}"""
+      }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val pinnedTwinsJson = pinnedTwins.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -198,17 +344,11 @@ object Bench {
     val streamStateJson = streamState.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    // CPU-bound vs wall-bound split (VERDICT r7 #6 / r8 #1): a handful of
-    // registry entries are paced by wall-clock machinery, not compute —
-    // p_gen_source waits on a rate-limited generator, the p_late_* rows
-    // drive a real multi-batch streaming host through an arrival script,
-    // and the two wire round-trips poll sockets. Their seconds measure
-    // trigger/socket cadence; lumping them into one total made
-    // compute regressions and pacing noise indistinguishable. Both
-    // subtotals are published; `total` stays the sum of both for
-    // round-over-round comparability.
-    val wallBound = Set("p_gen_source", "p_late_fire", "p_late_delay",
-      "p_tcp_roundtrip", "p_connector_roundtrip")
+    // Wall-bound subtotals (VERDICT r7 #6 / r8 #1): the wall-bound rows'
+    // seconds measure trigger/socket cadence, not compute; lumping them
+    // into one total made compute regressions and pacing noise
+    // indistinguishable. Both subtotals are published; `total` stays the
+    // sum of both for round-over-round comparability.
     val totalCpuBound = medians.collect { case (n, m) if !wallBound(n) => m }.sum
     val totalWallBound = medians.collect { case (n, m) if wallBound(n) => m }.sum
     val wallBoundJson = wallBound.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -244,7 +384,41 @@ object Bench {
       .mkString("[", ",", "]")
     val subsetJson = only.fold("false")(s =>
       s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_median_clean":$streamCleanJson,"stream_spiked_trials":$streamSpikedJson,"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
+    // Per-round host-health flag (VERDICT r11 #2): the spike detector's
+    // designed blind spot is unflagged-but-elevated trials below the 2×
+    // wall threshold — a storm window can inflate a row's clean median
+    // ~50% with no machine-readable marker ON the row. This summary makes
+    // that state legible to round-over-round comparison scripts without
+    // prose: cal_max_ratio = worst stream-round calibration sample over
+    // the series median (a whole-host contention window reads >1.5);
+    // elevated_unflagged_trials counts surviving trials in (1.5×, 2×] of
+    // their row's min (the exact class the predicate cannot flag — above
+    // 2× they were piped or rerun-failed, both already published);
+    // storm = either signal tripped. A true storm flag means this round's
+    // medians should be discounted against the calibrated totals, not
+    // read as regressions.
+    val streamRoundHealthJson = {
+      val calVals = streamCal.map(_._2)
+      val calMed = if (calVals.isEmpty) 0.0 else median(calVals)
+      val calMaxRatio =
+        if (calMed > 0) calVals.max / calMed else 0.0
+      val elevated = streamTrials.flatMap { case (name, ts) =>
+        if (ts.isEmpty) Nil
+        else {
+          val mn = ts.min
+          val n = ts.count(w => w > 1.5 * mn && w <= 2 * mn)
+          if (n > 0) Some(name -> n) else None
+        }
+      }
+      val elevatedCount = elevated.map(_._2).sum
+      val storm = calMaxRatio > 1.5 || elevatedCount >= 3
+      val rowsJson = elevated.sortBy(_._1)
+        .map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
+      s"""{"cal_median_sec":$calMed,"cal_max_ratio":$calMaxRatio,""" +
+        s""""elevated_unflagged_trials":$elevatedCount,""" +
+        s""""elevated_rows":$rowsJson,"storm":$storm}"""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"batch_spiked_trials":$batchSpikedJson,"stream_round_health":$streamRoundHealthJson,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_median_clean":$streamCleanJson,"stream_spiked_trials":$streamSpikedJson,"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
     println(json)
     // The round-4 driver capture truncated the stdout tail and destroyed
     // the artifact (VERDICT r4 #1) — also write the same JSON to a file so

@@ -1167,21 +1167,33 @@ object StreamBench {
     * (a whole-host contention window). Single-trial rows are never
     * flagged — there is no sibling evidence. */
   private[graft] def spikeFlags(trials: Seq[(Double, Long)],
-      roundCal: Seq[(Int, Double)]): Set[Int] =
+      roundCal: Seq[(Int, Double)]): Set[Int] = {
+    def medD(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val calMedian = if (roundCal.isEmpty) 0.0 else medD(roundCal.map(_._2))
+    def calSpikeAt(i: Int): Boolean =
+      Seq(i, i + 1).flatMap(r => roundCal.find(_._1 == r)).map(_._2)
+        .exists(_ > 1.5 * calMedian)
+    spikeFlagsWith(trials, calSpikeAt)
+  }
+
+  /** The spike fixpoint with a caller-supplied calibration clause —
+    * [[spikeFlags]] passes the stream pack's per-round bracketing; the
+    * batch pack (Bench, VERDICT r11 #1) passes a uniform
+    * "either probe bracketing this QUERY rose >1.5× the series median"
+    * predicate, because its calibration probes bracket a query's whole
+    * trial block, not individual trials. Wall + commit semantics are
+    * identical in both callers by construction. */
+  private[graft] def spikeFlagsWith(trials: Seq[(Double, Long)],
+      calSpikeAt: Int => Boolean): Set[Int] =
     if (trials.size < 2) Set.empty
     else {
-      def medD(xs: Seq[Double]): Double = {
-        val s = xs.sorted
-        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      }
       def medL(xs: Seq[Long]): Long = {
         val s = xs.sorted
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
-      val calMedian = if (roundCal.isEmpty) 0.0 else medD(roundCal.map(_._2))
-      def calSpikeAt(i: Int): Boolean =
-        Seq(i, i + 1).flatMap(r => roundCal.find(_._1 == r)).map(_._2)
-          .exists(_ > 1.5 * calMedian)
       val minW = trials.map(_._1).min
       // Sibling commit medians are taken over trials NOT already
       // flagged, iterated until no NEW flag appears: with 2 of 3 trials

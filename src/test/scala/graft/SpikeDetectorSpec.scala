@@ -64,4 +64,34 @@ class SpikeDetectorSpec extends AnyFunSuite {
     val trials = Seq((3.0, 0L), (1.2, 0L), (1.3, 0L))
     assert(StreamBench.spikeFlags(trials, flatCal) === Set.empty[Int])
   }
+
+  // --- the batch pack's shape (VERDICT r11 #1): Bench feeds the SAME
+  // fixpoint through spikeFlagsWith with a UNIFORM calibration clause
+  // (its probes bracket a query's whole trial block, not single trials).
+
+  test("batch shape: commit-stall eruption flags under a clean bracket") {
+    // the r11 driver-run p_late_fire shape — one trial's wall doubles
+    // the row min with its evidence dwarfing the sibling median; the
+    // bracketing probes were clean, so the commit clause must carry it
+    val trials = Seq((7.97, 21000L), (3.9, 4800L), (4.1, 5100L))
+    assert(StreamBench.spikeFlagsWith(trials, _ => false) === Set(0))
+  }
+
+  test("batch shape: a hot bracket corroborates a slow wall alone") {
+    // evidence flat (trigger pacing hides the stall from commit_ms) but
+    // the query's bracketing probe rose >1.5x the series median: the
+    // uniform cal clause applies to every trial in the block, and only
+    // the >2x-min wall flags
+    val trials = Seq((9.6, 5000L), (4.1, 4900L), (4.3, 5050L))
+    assert(StreamBench.spikeFlagsWith(trials, _ => true) === Set(0))
+    // same trials under a clean bracket: no corroboration, no flag
+    assert(StreamBench.spikeFlagsWith(trials, _ => false) === Set.empty[Int])
+  }
+
+  test("batch shape: honest trigger-paced spread never flags") {
+    // wall-bound rows legitimately spread with host scheduling; below
+    // 2x min nothing may flag even under a hot bracket
+    val trials = Seq((5.9, 5200L), (4.1, 4900L), (4.6, 5050L))
+    assert(StreamBench.spikeFlagsWith(trials, _ => true) === Set.empty[Int])
+  }
 }
