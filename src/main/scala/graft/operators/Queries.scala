@@ -634,6 +634,92 @@ object Queries {
       |  CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE) AS sum_amount
       |FROM merged GROUP BY custkey, kind""".stripMargin
 
+  // ---------------------------------------------------------------- q_skew_join
+  /** [[Skew.saltedJoin]] under the driver's oracle gate (VERDICT r11 #4:
+    * a capability claimed at 100 TB deserves a CORRECTNESS row). The
+    * fixture manufactures the hot-key regime the operator exists for:
+    * ~90% of lineitem rows collapse onto one join key (the viral-user /
+    * empty-fingerprint shape), which unsalted would hash into ONE
+    * shuffle task at any parallelism. The salted rewrite is physical,
+    * never semantic, so the oracle is simply the PLAIN join — the gate
+    * certifies output-invariance every round. QSkewBucketPlanSpec pins
+    * the plan shape (the join key widened to (k, _salt), the hot key's
+    * task share divided by the salt count) in the forced-SMJ regime
+    * where salting matters; under the registered entry Catalyst is left
+    * free to broadcast the 97-row dim — at 100 TB, with a dim too big
+    * to broadcast, the same rewrite routes around the straggler. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).select(
+      expr("CASE WHEN l_orderkey % 10 = 0 THEN l_orderkey % 97 ELSE 0 END").as("k"),
+      expr("l_orderkey * 8 + l_linenumber").as("row_id"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+    val dim = s.range(97).select(col("id").as("k"),
+      expr("id * 37 + 11").as("dim_val"))
+    Skew.saltedJoin(big, dim, "k", "row_id", 16)
+      .groupBy("dim_val")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+  }
+
+  val qSkewJoinSql: String =
+    """WITH big AS (
+      |  SELECT CASE WHEN l_orderkey % 10 = 0 THEN l_orderkey % 97 ELSE 0 END AS k,
+      |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |dim AS (SELECT r AS k, r * 37 + 11 AS dim_val
+      |        FROM (SELECT unnest(range(0, 97)) AS r))
+      |SELECT dim_val, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM big JOIN dim USING (k)
+      |GROUP BY dim_val""".stripMargin
+
+  // ---------------------------------------------------------------- q_bucket_join
+  /** [[graft.sources.Bucketing]] under the oracle gate: write lineitem
+    * and orders as bucketed tables on the orderkey (the pay-the-shuffle-
+    * once-at-write-time layout), join them zero-exchange, and aggregate.
+    * Bucketing is a storage layout, never semantics, so the oracle is
+    * the plain join over the raw parquet. QSkewBucketPlanSpec pins the
+    * zero-ShuffleExchange join subtree; this entry certifies the full
+    * write→catalog→read→join round-trip produces bit-identical results.
+    *
+    * Staging lifecycle mirrors p_ann_search: per-call generation dirs
+    * and table names under a per-(sfDir, pid) base with keep-2 cleanup,
+    * so a repeat caller can never drop a table/dir a still-lazy previous
+    * plan reads (ADVICE r7/r11 — counters are PER BASE). */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val dirKey = Portable.md5Hex(dir)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucket_" +
+      dirKey + "_" + ProcessHandle.current().pid()
+    val gen = bucketStageGens
+      .computeIfAbsent(dirKey, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .incrementAndGet()
+    val liTable = s"graft_li_bucketed_${dirKey}_g$gen"
+    val ordTable = s"graft_ord_bucketed_${dirKey}_g$gen"
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(s, dir).select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents")),
+      liTable, s"${base}_g$gen/li", "l_orderkey", 8)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+      ordTable, s"${base}_g$gen/ord", "o_orderkey", 8)
+    if (gen >= 2) {
+      s.sql(s"DROP TABLE IF EXISTS graft_li_bucketed_${dirKey}_g${gen - 2}")
+      s.sql(s"DROP TABLE IF EXISTS graft_ord_bucketed_${dirKey}_g${gen - 2}")
+      graft.StreamBench.deleteRecursively(new java.io.File(s"${base}_g${gen - 2}"))
+    }
+    s.table(liTable)
+      .join(s.table(ordTable), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+  }
+
+  private val bucketStageGens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  val qBucketJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q17_small_qty
   /** TPC-H q17 shape: correlated scalar subquery (revenue from lineitems
     * under 20% of their part's average quantity) decorrelated into an
@@ -900,5 +986,7 @@ object Queries {
     "q17_small_qty" -> ((q17SmallQty _, Some(q17SmallQtySql))),
     "q_pivot" -> ((qPivot _, Some(qPivotSql))),
     "q_events_funnel" -> ((qEventsFunnel _, Some(qEventsFunnelSql))),
-    "q_events_retention" -> ((qEventsRetention _, Some(qEventsRetentionSql))))
+    "q_events_retention" -> ((qEventsRetention _, Some(qEventsRetentionSql))),
+    "q_skew_join" -> ((qSkewJoin _, Some(qSkewJoinSql))),
+    "q_bucket_join" -> ((qBucketJoin _, Some(qBucketJoinSql))))
 }

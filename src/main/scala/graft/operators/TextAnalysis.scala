@@ -819,20 +819,37 @@ object TextAnalysis {
     * kill list (doc_id, starts[]) — longs only — broadcasts onto the
     * original documents scan, where a nested higher-order `filter` /
     * `exists` drops covered tokens inside one codegen'd projection. The
-    * broadcast() calls are HINTS that force the strategy, so a
-    * dup-riddled corpus whose kill lists outgrow the broadcast ceiling
-    * (8 GB / driver memory) fails the exchange rather than silently
-    * degrading — at that scale, drop the two hints and Spark plans
-    * shuffle joins on the same 8-byte keys (the text still moves zero
-    * times); the hints stay because at every realistic dup fraction the
-    * kill list is lexicon-sized and the broadcast saves the shuffle. A
-    * 2⁻⁶⁴ hash collision could remove a span the oracle keeps — the
-    * same documented trade as [[tLineDedup]]. */
+    * broadcast() calls are count-adaptive HINTS
+    * ([[substrBroadcastSide]], VERDICT r11 #5): below
+    * [[SubstrBroadcastMaxDocs]] they force the broadcast (at every
+    * realistic dup fraction the kill list is lexicon-sized and the
+    * broadcast saves the shuffle); past the breakpoint the hint is
+    * omitted and Spark plans shuffle joins on the same 8-byte keys (the
+    * text STILL moves zero times) — the switch is a physical strategy
+    * choice, never semantic, so the oracle is unchanged either side of
+    * the breakpoint. A 2⁻⁶⁴ hash collision could remove a span the
+    * oracle keeps — the same documented trade as [[tLineDedup]]. */
   val SubstrWindow = 15
+
+  /** Broadcast ceiling for the substring-dedup side tables, in corpus
+    * DOCUMENTS — the hinted sides (dup-hash set, per-doc kill lists) are
+    * bounded by a few longs per document, so 2²² docs keeps the bigger
+    * side well under spark.sql's 8 GB broadcast hard cap with normal
+    * driver memory. Power-of-two breakpoint per the ladder contract
+    * (SizingLaddersSpec): constant between consecutive powers of two. */
+  val SubstrBroadcastMaxDocs = 1L << 22
+
+  /** The count-adaptive join-side wrapper: hint broadcast below the
+    * breakpoint, let the planner shuffle above it. */
+  private[operators] def substrBroadcastSide(df: DataFrame, nDocs: Long): DataFrame =
+    if (nDocs <= SubstrBroadcastMaxDocs) broadcast(df) else df
 
   def tSubstringDedup(s: SparkSession, dir: String): DataFrame = {
     val W = SubstrWindow
     val docs = Tables.documents(s, dir)
+    // one-row COUNT pre-pass (parquet-metadata cheap) picks the join
+    // strategy for this corpus size; both hinted sides switch together
+    val nDocs = docs.count()
     // the window-hash stream feeds both the df count and the kill-list
     // join and is deliberately NOT cached: it is a pure map-side
     // projection (no shuffle above it), and recomputing two codegen'd
@@ -850,9 +867,9 @@ object TextAnalysis {
     val badW = wins.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("docs"))
       .filter(col("docs") > 1).select(col("wh").as("bad_wh"))
-    val badStarts = wins.join(broadcast(badW), col("wh") === col("bad_wh"))
+    val badStarts = wins.join(substrBroadcastSide(badW, nDocs), col("wh") === col("bad_wh"))
       .groupBy(col("doc_id")).agg(collect_list(col("s")).as("starts"))
-    docs.join(broadcast(badStarts), Seq("doc_id"), "left")
+    docs.join(substrBroadcastSide(badStarts, nDocs), Seq("doc_id"), "left")
       .select(col("doc_id"), expr("split(text, ' ')").as("toks"),
         expr("coalesce(starts, array())").as("st"))
       .select(col("doc_id"), col("toks"), expr(

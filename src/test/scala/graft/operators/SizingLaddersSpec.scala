@@ -85,4 +85,27 @@ class SizingLaddersSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("t_substring_dedup's broadcast->shuffle switch steps exactly at its breakpoint") {
+    // VERDICT r11 #5: the former "drop the two hints at the ceiling"
+    // manual scale note, now a count-adaptive step on the same
+    // power-of-two contract as every other ladder. The switch is
+    // output-invariant (join strategy, not semantics) — this pins the
+    // POINT, the CORRECTNESS row pins the output.
+    val spark = graft.pipeline.TestSpark.spark
+    import spark.implicits._
+    def hinted(n: Long): Boolean = {
+      val side = TextAnalysis.substrBroadcastSide(
+        Seq((1L, 2L)).toDF("doc_id", "s"), n)
+      side.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    }
+    assert(java.lang.Long.bitCount(TextAnalysis.SubstrBroadcastMaxDocs) === 1,
+      "breakpoint must be a power of two")
+    assert(hinted(1L))
+    assert(hinted(TextAnalysis.SubstrBroadcastMaxDocs))
+    assert(!hinted(TextAnalysis.SubstrBroadcastMaxDocs + 1))
+    assert(!hinted(1L << 40))
+  }
 }
