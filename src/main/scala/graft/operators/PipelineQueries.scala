@@ -51,41 +51,39 @@ object PipelineQueries {
 
   final class CentsAcc extends Serializable { var cents: Long = 0; var n: Long = 0 }
 
-  /** alphabet.py:44-60 vote totals, in integer cents. */
-  object RunningCents extends Aggregation[(String, Long), (String, Long), CentsAcc] {
-    override val name = "running cents"
-    def initialAccumulator(): CentsAcc = new CentsAcc
-    def update(in: (String, Long), acc: CentsAcc): Unit = { acc.cents += in._2; acc.n += 1 }
-    def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
-      val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
+  /** One home for the integer-cents accumulation discipline — the cents
+    * aggregations differ only in input arity and output shape, and a fix
+    * to the discipline (e.g. an overflow guard) must hit all of them at
+    * once, not five inline copies (the Portable precedent). */
+  private def centsAgg[In, Out](aggName: String, centsOf: In => Long)(
+      shape: (String, CentsAcc) => Out): Aggregation[In, Out, CentsAcc] =
+    new Aggregation[In, Out, CentsAcc] {
+      override val name = aggName
+      def initialAccumulator(): CentsAcc = new CentsAcc
+      def update(in: In, acc: CentsAcc): Unit = { acc.cents += centsOf(in); acc.n += 1 }
+      def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
+        val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
+      }
+      def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[Out] =
+        Some(shape(key, acc))
     }
-    def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[(String, Long)] =
-      Some((key, acc.cents))
-  }
+
+  /** alphabet.py:44-60 vote totals, in integer cents; the running count
+    * rides along so downstream can pick the FINAL running total
+    * order-safely (max on the strictly-increasing n, not on cents). */
+  val RunningCents: Aggregation[(String, Long), (String, Long, Long), CentsAcc] =
+    centsAgg[(String, Long), (String, Long, Long)]("running cents", _._2)(
+      (k, a) => (k, a.cents, a.n))
 
   /** Per-window (key, cents, count) for count/ephemeral windows. */
-  object WindowCents extends Aggregation[(Long, Long, Long), (String, Long, Long), CentsAcc] {
-    override val name = "window cents"
-    def initialAccumulator(): CentsAcc = new CentsAcc
-    def update(in: (Long, Long, Long), acc: CentsAcc): Unit = { acc.cents += in._2; acc.n += 1 }
-    def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
-      val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
-    }
-    def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[(String, Long, Long)] =
-      Some((key, acc.cents, acc.n))
-  }
+  val WindowCents: Aggregation[(Long, Long, Long), (String, Long, Long), CentsAcc] =
+    centsAgg[(Long, Long, Long), (String, Long, Long)]("window cents", _._2)(
+      (k, a) => (k, a.cents, a.n))
 
   /** Keyless stats pair for the Aggregator-bridge path. */
-  object CentsStats extends Aggregation[(String, Long), (Long, Long), CentsAcc] {
-    override val name = "cents stats"
-    def initialAccumulator(): CentsAcc = new CentsAcc
-    def update(in: (String, Long), acc: CentsAcc): Unit = { acc.cents += in._2; acc.n += 1 }
-    def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
-      val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
-    }
-    def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[(Long, Long)] =
-      Some((acc.cents, acc.n))
-  }
+  val CentsStats: Aggregation[(String, Long), (Long, Long), CentsAcc] =
+    centsAgg[(String, Long), (Long, Long)]("cents stats", _._2)(
+      (_, a) => (a.cents, a.n))
 
   /** events as (user_id, cents, ts_ns) — the stream the window queries eat. */
   private def eventStream(s: SparkSession, dir: String): Dataset[(Long, Long, Long)] =
@@ -122,9 +120,14 @@ object PipelineQueries {
     Graft.source("alphabet", DatasetSource(votes, (_: (String, Long)) => 0L))
       .keyBy(_._1)
       .toGlobalWindow(RunningCents)
-      .dataset // one running total per message; cents > 0 ⇒ max = final
+      .dataset // running (key, cents, n) per message; n strictly increases,
+      // so max(struct(n, cents)) is the FINAL total whatever the sign of
+      // individual cents (the pCollect pattern — a refund-shaped negative
+      // row would make a bare max(cents) report a pre-dip peak)
       .groupBy(col("_1._1").as("event_type"))
-      .agg(max(col("_1._2")).as("total_cents"), count(lit(1)).as("n_events"))
+      .agg(max(struct(col("_1._3").as("n"), col("_1._2").as("c"))).as("b"))
+      .select(col("event_type"), col("b.c").as("total_cents"),
+        col("b.n").as("n_events"))
   }
 
   val pAlphabetSql: String =
@@ -419,8 +422,16 @@ object PipelineQueries {
       Array[(Long, Long, Long)], Array[(Long, Long, Long)], Long, Long) = {
     val rows = Tables.events(s, dir)
       .filter(col("user_id") < LateUserMax)
+      // ts floored to µs (the pUnaligned pattern): under the
+      // TIMESTAMP(NANOS) parquet layout the Spark side keeps sub-µs
+      // digits DuckDB's reader truncates, and every downstream value —
+      // straggler classification vs kmax, the anchor grid, window ends
+      // (anchor + k·slide + range − 1, whose −1 crosses the µs boundary),
+      // the m0 output bound — would diverge by 1 µs between the engines.
+      // Flooring at ingest erases the remainder identically on both
+      // sides; under the current µs layout it is the identity.
       .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
-        col("ts_ns"), col("event_id"))
+        expr("(ts_ns div 1000) * 1000").as("ts_ns"), col("event_id"))
       .as[(Long, Long, Long, Long)](Encoders.tuple(Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
       .collect()
@@ -563,16 +574,9 @@ object PipelineQueries {
     * aggregate; this is deliberately the anti-scale shape the reference
     * also documents (one key = one partition's state), registered to
     * prove the combinator, with [[pAggBridge]] as the scale path. */
-  object GlobalCents extends Aggregation[(Long, Long, Long), (Long, Long), CentsAcc] {
-    override val name = "global cents"
-    def initialAccumulator(): CentsAcc = new CentsAcc
-    def update(in: (Long, Long, Long), acc: CentsAcc): Unit = { acc.cents += in._2; acc.n += 1 }
-    def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
-      val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
-    }
-    def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[(Long, Long)] =
-      Some((acc.cents, acc.n))
-  }
+  val GlobalCents: Aggregation[(Long, Long, Long), (Long, Long), CentsAcc] =
+    centsAgg[(Long, Long, Long), (Long, Long)]("global cents", _._2)(
+      (_, a) => (a.cents, a.n))
 
   def pCollect(s: SparkSession, dir: String): DataFrame = {
     implicit val ss: SparkSession = s
@@ -601,16 +605,9 @@ object PipelineQueries {
     * rows ever cross a partition boundary. The oracle is the plain
     * global aggregate — the two-level fold must be invisible in the
     * result. */
-  object LocalCents extends Aggregation[(Long, Long, Long), (String, Long, Long), CentsAcc] {
-    override val name = "local cents"
-    def initialAccumulator(): CentsAcc = new CentsAcc
-    def update(in: (Long, Long, Long), acc: CentsAcc): Unit = { acc.cents += in._2; acc.n += 1 }
-    def combine(a: CentsAcc, b: CentsAcc): CentsAcc = {
-      val c = new CentsAcc; c.cents = a.cents + b.cents; c.n = a.n + b.n; c
-    }
-    def output(key: String, windowEndTs: Long, acc: CentsAcc): Option[(String, Long, Long)] =
-      Some((key, acc.cents, acc.n))
-  }
+  val LocalCents: Aggregation[(Long, Long, Long), (String, Long, Long), CentsAcc] =
+    centsAgg[(Long, Long, Long), (String, Long, Long)]("local cents", _._2)(
+      (k, a) => (k, a.cents, a.n))
 
   def pLocalPreagg(s: SparkSession, dir: String): DataFrame = {
     implicit val ss: SparkSession = s
@@ -638,9 +635,8 @@ object PipelineQueries {
     implicit val ss: SparkSession = s
     implicit val longStrEnc: Encoder[(Long, String)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(s"md5($norm)").as("fp"))
+      .select(col("doc_id"), expr(s"md5(${Portable.sparkNormText()})").as("fp"))
       .as[(Long, String)]
     Graft.source("dedup", DatasetSource(docs, (d: (Long, String)) => d._1))
       .dedupBy(_._2)
@@ -648,11 +644,9 @@ object PipelineQueries {
       .select(col("_1._1").as("doc_id"), col("_1._2").as("fp"))
   }
 
-  val pDedupSql: String = {
-    val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-    s"""SELECT MIN(doc_id) AS doc_id, md5($norm) AS fp
+  val pDedupSql: String =
+    s"""SELECT MIN(doc_id) AS doc_id, md5(${Portable.duckNormText()}) AS fp
        |FROM documents GROUP BY 2""".stripMargin
-  }
 
   // ---------------------------------------------------------- p_neardup
   /** The NEAR-dup dedup stage ([[Pipeline.nearDedupBy]]) batch-replayed
