@@ -29,6 +29,13 @@ object Dedup {
 
   val NumHashes = 16 // minhash signature length
   val Bands = 4      // LSH bands (rows per band = NumHashes / Bands)
+  // banding covers every signature position only when Bands divides
+  // NumHashes — otherwise the trailing NumHashes % Bands hashes would be
+  // silently excluded from candidate generation while still counted in
+  // est_sim, quietly lowering recall below the S-curve the constants are
+  // tuned for
+  require(NumHashes % Bands == 0,
+    s"Bands ($Bands) must divide NumHashes ($NumHashes)")
 
   /** SimHash signature width. 60 bits (not 32): banding a w-bit signature
     * into [[SimBands]] chunks gives 2^(w/SimBands) buckets per band —
@@ -153,7 +160,6 @@ object Dedup {
     * in one hot shingle's posting list. */
   def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val total = docs.agg(count(lit(1)).as("n_docs"))
     // Collapse exact-duplicate texts first (VERDICT r2: dup-heavy corpora
     // made the posting-list self-join output-quadratic in clique size):
     // shingling, the df cutoff, the self-join, and the jaccard all run
@@ -165,6 +171,9 @@ object Dedup {
     // stands unchanged.
     val base = docs.select(col("doc_id"), expr("md5(text)").as("tfp"), col("text"))
     val m = Caching.reuse(base.select("doc_id", "tfp"))
+    // n_docs from the cached slim projection (same row count as the
+    // table) — not a second full parquet scan of documents just to count
+    val total = m.agg(count(lit(1)).as("n_docs"))
     // first(text) is value-deterministic within a group: every member of
     // a tfp group carries the identical text (md5 groups exact bytes)
     val reps = base.groupBy("tfp")
@@ -253,9 +262,11 @@ object Dedup {
   }
 
   // ------------------------------------------------------------ d_minhash_lsh
-  /** MinHash + LSH banding: band key = Bands consecutive signature values;
-    * docs sharing any band become candidate pairs; est_sim = fraction of
-    * equal signature positions. Candidate generation joins ONLY
+  /** MinHash + LSH banding: band key = NumHashes/Bands consecutive
+    * signature values (4 with the current constants — equal to Bands
+    * only coincidentally); docs sharing any band become candidate
+    * pairs; est_sim = fraction of equal signature positions. Candidate
+    * generation joins ONLY
     * (band_idx, band_key, doc_id) — the 16-long signature arrays are
     * re-attached by id join after the candidate pairs are deduped, so
     * the band shuffle and the distinct() never carry them (VERDICT r1).
@@ -323,31 +334,49 @@ object Dedup {
     * the signature is the sign of Σ_tokens (2·bit_b − 1). The per-bit
     * sums are exact integers, so aggregation order cannot change the
     * result at any parallelism. */
+  /** One home for the sign-of-vote signature rule shared by text simhash
+    * and frame phash AND their DuckDB twins (the [[bandedSigPairs]]
+    * precedent): per input row, two portable hash columns named h1/h2
+    * supply the bit sources — h1 → bits 0–47, h2 → 48–59 (one
+    * md5-derived hash is only 48 bits wide) — and bit b of the signature
+    * is the sign of Σ (2·bit_b − 1), an exact integer vote so
+    * aggregation order cannot change the result at any parallelism. A
+    * retune (tie rule, width, split point) edited here reaches all four
+    * call sites at once instead of silently desynchronizing engines or
+    * modalities. */
+  private[operators] def simSigBitSums: Seq[org.apache.spark.sql.Column] =
+    (0 until SimBits).map { b =>
+      val (src, off) = if (b < 48) ("h1", b) else ("h2", b - 48)
+      sum(expr(s"(cast(shiftright($src, $off) & 1 as bigint)) * 2 - 1")).as(s"s$b")
+    }
+
+  private[operators] def simSigAssembleExpr: String = (0 until SimBits)
+    .map(b => s"(case when s$b > 0 then cast(${1L << b} as bigint) else cast(0 as bigint) end)")
+    .mkString(" + ")
+
+  private[operators] def duckSimSigBitSums: String = (0 until SimBits).map { b =>
+    val (src, off) = if (b < 48) ("h1", b) else ("h2", b - 48)
+    s"SUM((($src >> $off) & 1) * 2 - 1) AS s$b"
+  }.mkString(",\n    ")
+
+  private[operators] def duckSimSigAssembleExpr: String = (0 until SimBits)
+    .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
+
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"),
       explode(expr(s"array_distinct(${Portable.sparkTokens("lower(text)")})")).as("tok"))
       .withColumn("h1", expr(Portable.sparkHash("tok", "sim")))
       .withColumn("h2", expr(Portable.sparkHash("tok", "sim2")))
-    val bitSums = (0 until SimBits).map { b =>
-      val (src, off) = if (b < 48) ("h1", b) else ("h2", b - 48)
-      sum(expr(s"(cast(shiftright($src, $off) & 1 as bigint)) * 2 - 1")).as(s"s$b")
-    }
+    val bitSums = simSigBitSums
     val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until SimBits)
-      .map(b => s"(case when s$b > 0 then cast(${1L << b} as bigint) else cast(0 as bigint) end)")
-      .mkString(" + ")
-    agg.select(col("doc_id"), expr(sig).as("simhash"))
+    agg.select(col("doc_id"), expr(simSigAssembleExpr).as("simhash"))
   }
 
   private[operators] def duckSimhashCtes: String = {
-    val bitSums = (0 until SimBits).map { b =>
-      val (src, off) = if (b < 48) ("h1", b) else ("h2", b - 48)
-      s"SUM((($src >> $off) & 1) * 2 - 1) AS s$b"
-    }.mkString(",\n    ")
-    val sigExpr = (0 until SimBits)
-      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
+    val bitSums = duckSimSigBitSums
+    val sigExpr = duckSimSigAssembleExpr
     s"""toks AS (
        |  SELECT doc_id, unnest(list_distinct(${Portable.duckTokens("lower(text)")})) AS tok
        |  FROM documents),
@@ -394,7 +423,16 @@ object Dedup {
     * (each pair once, no DISTINCT), banding over DISTINCT signatures
     * (a dup-clique collides once per band, not C(k,2) times), the
     * hamming filter applied BEFORE doc expansion, and intra/cross
-    * disjoint by construction. */
+    * disjoint by construction.
+    *
+    * PRECONDITIONS the helper cannot check without an extra pass (both
+    * current callers satisfy them): `sigCol` values use only bits
+    * 0..[[SimBits]]−1 — the bands cover exactly that range, so a
+    * genuine 64-bit signature would have bits 60–63 silently excluded
+    * from every band and pairs differing only there would never become
+    * candidates; and `sigTable` carries exactly ONE row per doc_id — a
+    * duplicate would pair a doc with itself through the cross
+    * expansion. */
   private[operators] def bandedSigPairs(sigTable: DataFrame, sigCol: String): DataFrame = {
     val sig = Caching.reuse(sigTable)
     val intra = sig.as("a").join(sig.as("b"),

@@ -223,36 +223,24 @@ object Multimodal {
     * expansion. Blobs never cross a shuffle — only (doc_id, 8-byte
     * signature) rows do. */
   def mPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    import Dedup.SimBits
     val frames = Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(expr(frameExpr)).as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % 4 === 0)
       .withColumn("h1", expr(Portable.sparkHash("frame", "ph1")))
       .withColumn("h2", expr(Portable.sparkHash("frame", "ph2")))
-    val bitSums = (0 until SimBits).map { b =>
-      val (src, off) = if (b < 48) ("h1", b) else ("h2", b - 48)
-      sum(expr(s"(cast(shiftright($src, $off) & 1 as bigint)) * 2 - 1")).as(s"s$b")
-    }
-    val sigExpr = (0 until SimBits)
-      .map(b => s"(case when s$b > 0 then cast(${1L << b} as bigint) else cast(0 as bigint) end)")
-      .mkString(" + ")
-    // the candidate pipeline itself is Dedup's shared banded helper —
-    // the LSH invariants live once, not per modality
+    // both the signature rule AND the candidate pipeline are Dedup's
+    // shared helpers — the bit rule and the LSH invariants live once,
+    // not per modality
+    val bitSums = Dedup.simSigBitSums
     Dedup.bandedSigPairs(frames.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(sigExpr).as("phash")), "phash")
+      .select(col("doc_id"), expr(Dedup.simSigAssembleExpr).as("phash")), "phash")
   }
 
   val mPhashDedupSql: String = {
-    import Dedup.SimBits
-    val bitSums = (0 until SimBits).map { b =>
-      val (src, off) = if (b < 48) ("h1", b) else ("h2", b - 48)
-      s"SUM((($src >> $off) & 1) * 2 - 1) AS s$b"
-    }.mkString(",\n    ")
-    val sigExpr = (0 until SimBits)
-      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
+    val bitSums = Dedup.duckSimSigBitSums
+    val sigExpr = Dedup.duckSimSigAssembleExpr
     val fr = "substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32)"
     s"""WITH ${framesCte},
        |fh AS (
