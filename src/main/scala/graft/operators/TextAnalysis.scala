@@ -602,7 +602,7 @@ object TextAnalysis {
   def tLineDedup(s: SparkSession, dir: String): DataFrame = {
     val W = LineWords
     val lines = Tables.documents(s, dir)
-      .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      .select(col("doc_id"), expr(Portable.sparkTokens("text")).as("w"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(bigint(0), (size(w)-1) div $W)," +
           s" i -> array_join(slice(w, cast(i*$W+1 as int), $W), ' '))")))
@@ -767,7 +767,7 @@ object TextAnalysis {
     // ([[Caching.reuse]]: blocks die with the result) instead of paying
     // the explode + (doc, term) aggregation twice
     val tf = Caching.reuse(Tables.documents(s, dir)
-      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+      .select(col("doc_id"), explode(expr(Portable.sparkTokens("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val docFreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // tf has one row per (doc, term)
@@ -857,7 +857,7 @@ object TextAnalysis {
     // Caching.reuse pays off only when the reused subtree contains an
     // exchange (t_pack, t_top_terms), not for cheap recomputes
     val wins = docs
-      .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      .select(col("doc_id"), expr(Portable.sparkTokens("text")).as("w"))
       .filter(expr(s"size(w) >= $W"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(w) - $W + 1)," +
@@ -870,7 +870,7 @@ object TextAnalysis {
     val badStarts = wins.join(substrBroadcastSide(badW, nDocs), col("wh") === col("bad_wh"))
       .groupBy(col("doc_id")).agg(collect_list(col("s")).as("starts"))
     docs.join(substrBroadcastSide(badStarts, nDocs), Seq("doc_id"), "left")
-      .select(col("doc_id"), expr("split(text, ' ')").as("toks"),
+      .select(col("doc_id"), expr(Portable.sparkTokens("text")).as("toks"),
         expr("coalesce(starts, array())").as("st"))
       .select(col("doc_id"), col("toks"), expr(
         s"filter(toks, (t, i) -> NOT exists(st, v -> v <= i + 1 AND i + 1 < v + $W))")
@@ -1088,11 +1088,17 @@ object TextAnalysis {
         |  'dup_rate', 1.0 - cast(n_distinct as double) / n_docs,
         |  'mean_doc_tokens', cast(n_tokens as double) / n_docs
         |) as (metric, value)""".stripMargin)
+    // n_docs re-derived from the tiny per-length count table (a second
+    // window over ~thousands of rows — the t_length_percentiles trick),
+    // NOT by re-referencing `agg`: that subtree contains the corpus-wide
+    // multi-distinct Expand (md5 over every document), and a crossJoin
+    // on it would execute the card's most expensive aggregate twice
     val cum = Caching.reuse(base.groupBy(col("n")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
         Window.orderBy(col("n").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(agg.select(col("n_docs")))))
+      .withColumn("n_docs", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
     def pct(name: String, rankExpr: String) =
       cum.filter(col("cum") >= expr(rankExpr))
         .agg(min(col("n")).cast("double").as("value"))
@@ -1289,7 +1295,9 @@ object TextAnalysis {
           .as("s"), col("f"))
     var (handle, vocab) = Caching.reuseWithHandle(init)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-    for (r <- 1 to BpeMerges) {
+    var r = 1
+    var exhausted = false
+    while (r <= BpeMerges && !exhausted) {
       // sequence(1, 0) is DESCENDING in Spark — guard single-symbol words
       val pairExpr = "case when size(sy) < 2 then array() " +
         "else transform(sequence(1, size(sy) - 1), " +
@@ -1300,17 +1308,29 @@ object TextAnalysis {
         .groupBy("pr").agg(sum("f").as("cnt"))
         .orderBy(col("cnt").desc, col("pr").asc)
         .limit(1).collect()
-      if (best.isEmpty)
-        throw new IllegalStateException(s"BPE round $r: no adjacent pairs left")
-      val pr = best(0).getString(0)
-      val cnt = best(0).getLong(1)
-      val Array(l, rr) = pr.split("[|]")
-      merges += ((r.toLong, l, rr, l + rr, cnt))
-      val (h2, v2) = Caching.reuseWithHandle(vocab.select(col("w"),
-        expr(s"replace(s, '|$l||$rr|', '|${l + rr}|')").as("s"), col("f")))
-      v2.count() // materialize from the old cache before dropping it
-      handle.unpersist(blocking = false)
-      handle = h2; vocab = v2
+      if (best.isEmpty) {
+        // Pair exhaustion: every word type is a single symbol. Real BPE
+        // training returns the merges it found; the SQL twin's rounds
+        // past this point likewise contribute no train rows and carry
+        // the working vocab forward unchanged (the LEFT JOIN in
+        // bpeCtes), so BOTH engines return k < BpeMerges rows and the
+        // final vocab after k merges — a crash here (the pre-r12
+        // behavior) would diverge from the oracle's silent shorter
+        // table. BpeExhaustionSpec drives a corpus that collapses in
+        // one round.
+        exhausted = true
+      } else {
+        val pr = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val Array(l, rr) = pr.split("[|]")
+        merges += ((r.toLong, l, rr, l + rr, cnt))
+        val (h2, v2) = Caching.reuseWithHandle(vocab.select(col("w"),
+          expr(s"replace(s, '|$l||$rr|', '|${l + rr}|')").as("s"), col("f")))
+        v2.count() // materialize from the old cache before dropping it
+        handle.unpersist(blocking = false)
+        handle = h2; vocab = v2
+        r += 1
+      }
     }
     (merges.toSeq, handle, vocab)
   }
@@ -1342,9 +1362,17 @@ object TextAnalysis {
            |    FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS sy, f FROM w${r - 1}) t) u
            |  GROUP BY pr)""".stripMargin,
         s"b$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr ASC LIMIT 1)",
+        // LEFT JOIN (not cross): when pairs are exhausted b$r is empty,
+        // and the working vocab must CARRY FORWARD unchanged — a cross
+        // join would empty every later round and zero the encode, where
+        // the Spark side stops early with the same k merges and the
+        // same final vocab (trainBpe's exhaustion branch)
         s"""w$r AS (
-           |  SELECT w.w, replace(w.s, '|' || replace(b.pr, '|', '||') || '|', '|' || replace(b.pr, '|', '') || '|') AS s, w.f
-           |  FROM w${r - 1} w, b$r b)""".stripMargin)
+           |  SELECT w.w,
+           |    CASE WHEN b.pr IS NULL THEN w.s
+           |         ELSE replace(w.s, '|' || replace(b.pr, '|', '||') || '|', '|' || replace(b.pr, '|', '') || '|') END AS s,
+           |    w.f
+           |  FROM w${r - 1} w LEFT JOIN b$r b ON TRUE)""".stripMargin)
     }
     (base ++ rounds).mkString(",\n")
   }
