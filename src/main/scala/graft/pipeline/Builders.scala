@@ -15,7 +15,13 @@ package graft.pipeline
 trait StateInitializer[In, Out] extends Serializable {
   def name: String
   def stateWrapper(key: String): StateWrapper[In, Out]
-  /** Timer period (ns); 0 = no timer needed (runner.pony:465-501). */
+  /** The reference's recurring wall-clock timer period (ns);
+    * 0 = no timer needed (runner.pony:465-501). In the Spark hosts only
+    * >0 vs 0 matters: an event-time timer cannot model a wall-clock
+    * cadence (a stalled watermark would withhold flushes forever), so
+    * silent keys flush at the next watermark advance instead — see the
+    * timer note in Pipeline.streamingStateful. The magnitude documents
+    * the reference's period for the conformance reader. */
   def timeoutIntervalNs: Long
   /** How far behind the stream's max event time a row may arrive and still
     * reach the state machine. Spark drops rows older than the watermark
@@ -88,7 +94,10 @@ final class CountWindowsStateInitializer[In, Out, Acc](
   def name: String = agg.name
   def stateWrapper(key: String): StateWrapper[In, Out] =
     new TumblingCountWindows(key, agg, count)
-  /** Flush-on-silence every 5 s (windows.pony:446-447). */
+  /** The reference flushes partial count windows on a 5 s wall-clock
+    * tick (windows.pony:446-447); the Spark hosts flush a silent key at
+    * the next watermark advance (same flush set, earlier boundaries —
+    * see Pipeline.streamingStateful's timer note). */
   def timeoutIntervalNs: Long = 5_000_000_000L
 }
 

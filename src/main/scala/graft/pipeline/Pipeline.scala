@@ -56,6 +56,11 @@ final class Pipeline[T] private[pipeline] (
   private def tup[U](implicit e: Encoder[U]): Encoder[(U, Long)] =
     Encoders.tuple(e, Encoders.scalaLong)
 
+  /** The (fingerprint/key, payload, event-ts) row encoder shared by the
+    * keyed stateful host and both dedup stages. */
+  private def enc3: Encoder[(String, T, Long)] =
+    Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong)
+
   def isStreaming: Boolean = stamped.isStreaming
 
   // ------------------------------------------------------------ stateless
@@ -180,9 +185,11 @@ final class Pipeline[T] private[pipeline] (
     val kf = keyFn.getOrElse(throw new IllegalArgumentException(
       s"${init.name}: key_by is required IMMEDIATELY before a stateful stage " +
         "— stateless stages (to/map/filter) change the element type, so a " +
-        "key extractor from before them cannot be recomputed; re-key after " +
-        "the last stateless stage (the reference carries key_by through " +
-        "stateless stages; this engine makes the re-key explicit)"))
+        "key extractor from before them cannot be recomputed, and merge " +
+        "clears the key (a union cannot prove both sides' extractors " +
+        "agree); re-key after the last stateless/merge stage (the " +
+        "reference carries key_by through stateless stages; this engine " +
+        "makes the re-key explicit)"))
     val out = if (stamped.isStreaming) streamingStateful(kf, init) else batchStateful(kf, init)
     new Pipeline[U](spark, out, None, name)
   }
@@ -202,24 +209,46 @@ final class Pipeline[T] private[pipeline] (
     // constraints: the stateful operator's checker requires the
     // watermark-tagged column in its child output, and tuple encoders
     // bind positionally so extra columns can't ride along untyped.)
-    val slack = init.watermarkSlackNs
-    val byPartition = partitionScopedKey
+    // slack normalized UP to a whole millisecond: the watermark column
+    // is ms-truncated and the watermark delay is floor(slack/1ms), so a
+    // sub-ms slack remainder could push the query watermark 1 ms PAST
+    // the raw max event time (floor((ts+slack)/1ms) − floor(slack/1ms)
+    // can exceed floor(ts/1ms)) — triggering a boundary window one
+    // batch early and late-classifying its boundary rows. Every
+    // built-in initializer already uses whole-ms slacks (identity);
+    // this guards user-supplied sub-ms values.
+    val slack = ((init.watermarkSlackNs + 999999L) / 1000000L) * 1000000L
+    // partition-scoped keys are batch-only (requireBatchForLocalScope):
+    // a streaming branch here would key on micro-batch task ids, which
+    // are reassigned every trigger — distinct upstream partitions would
+    // merge across batches
+    require(!partitionScopedKey,
+      "partition-scoped keys cannot reach the streaming host")
     // Kryo, not Java serialization: the state store round-trips every
     // live key's wrapper each micro-batch, so state codec throughput is
     // on the hot path of the stateful stage.
     val stateEnc: Encoder[KeyState[T, U]] =
       Encoders.kryo(classOf[KeyState[T, U]])
+    // timeoutIntervalNs > 0 arms the per-key event-time timer; its
+    // MAGNITUDE is deliberately not the arming offset. The reference's
+    // timer is a recurring WALL-clock tick (runner.pony:465-501) that
+    // fires within one period regardless of event-time progress; an
+    // event-time timer armed at wm+interval can never model that — a
+    // stream whose watermark stops advancing (end of input, idle
+    // source) would withhold count-window partials forever. Arming at
+    // wm+1 fires at the first watermark advance after a silent batch:
+    // everything the reference would flush within one wall period
+    // flushes at the next event-time advance, and stream end flushes
+    // promptly. Range/ephemeral windows' onTimeout is watermark-driven
+    // and idempotent, so the cadence is invisible to them; only count
+    // windows observe it (partial flushes on mid-stream silence come
+    // earlier than the reference's 5 s tick — same flush set, earlier
+    // boundaries).
     val armTimer = init.timeoutIntervalNs > 0
-    val enc3 = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong)
     val rowEnc = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong, Encoders.TIMESTAMP)
 
     val grouped = stamped
-      .map { case (t, ts) =>
-        val key = if (byPartition)
-          "part-" + org.apache.spark.TaskContext.getPartitionId() + ":" + kf(t)
-        else kf(t)
-        (key, t, ts)
-      }(enc3)
+      .map { case (t, ts) => (kf(t), t, ts) }(enc3)
       // The watermark column is computed by a codegen'd projection (the
       // typed map never allocates a per-row java.sql.Timestamp; the
       // UnsafeRow carries the micros long directly).
@@ -336,7 +365,6 @@ final class Pipeline[T] private[pipeline] (
     * at 100 TB the fingerprint is the 8-byte portable hash, so the
     * dedup state is ~16 bytes/distinct doc in RocksDB). */
   def dedupBy(fp: T => String): Pipeline[T] = {
-    val enc3 = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong)
     val keyed = stamped.map { case (t, ts) => (fp(t), t, ts) }(enc3)
     val kept =
       if (stamped.isStreaming) keyed.dropDuplicates("_1")
@@ -351,14 +379,18 @@ final class Pipeline[T] private[pipeline] (
     * their first occurrence is younger than `withinNs` relative to the
     * event-time watermark — `dropDuplicatesWithinWatermark`, whose state
     * store EXPIRES fingerprints the watermark has passed (the only dedup
-    * a 100 TB unbounded stream can run). A duplicate arriving after its
-    * fingerprint expired is re-emitted — that's the documented trade.
-    * Batch: identical to [[dedupBy]] (a batch replay sees everything
-    * inside one "window"). */
+    * a 100 TB unbounded stream can run). The trade is TWO-sided:
+    * a duplicate arriving after its fingerprint expired is re-emitted,
+    * AND any row — unique or duplicate — arriving more than `withinNs`
+    * behind the stream's max event time is dropped by Spark's
+    * pre-stateful watermark filter BEFORE the dedup state is consulted
+    * (bounding dedup state necessarily bounds how late any row may
+    * arrive at all). Size `withinNs` to cover the source's maximum
+    * disorder, not just the dedup horizon. Batch: identical to
+    * [[dedupBy]] (a batch replay sees everything inside one "window"). */
   def dedupByWithin(fp: T => String, withinNs: Long): Pipeline[T] = {
     if (!stamped.isStreaming) dedupBy(fp)
     else {
-      val enc3 = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong)
       val rowEnc = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong, Encoders.TIMESTAMP)
       val kept = stamped
         .map { case (t, ts) => (fp(t), t, ts) }(enc3)
@@ -387,8 +419,10 @@ final class Pipeline[T] private[pipeline] (
     dedupBy(t => java.lang.Long.toHexString(graft.functions.SimHash.signature(text(t))))
 
   /** [[nearDedupBy]] with watermark-bounded state ([[dedupByWithin]]):
-    * a near-dup arriving after its signature's horizon re-emits — the
-    * documented trade that keeps state finite at 100 TB. */
+    * a near-dup arriving after its signature's horizon re-emits, and a
+    * row later than `withinNs` behind the max event time is dropped
+    * before the state lookup (see [[dedupByWithin]]'s two-sided trade) —
+    * the price that keeps state finite at 100 TB. */
   def nearDedupByWithin(text: T => String, withinNs: Long): Pipeline[T] =
     dedupByWithin(t => java.lang.Long.toHexString(graft.functions.SimHash.signature(text(t))), withinNs)
 
@@ -396,7 +430,10 @@ final class Pipeline[T] private[pipeline] (
   /** Union with another pipeline of the same element type
     * (application.pony:118-147). The reference's `Pipeline[(A|B)]` type
     * union has no Scala analogue — map both sides onto a sealed trait
-    * first (the market-spread pattern), then merge. */
+    * first (the market-spread pattern), then merge. Merging CLEARS any
+    * pending key extractor (the union cannot prove both sides'
+    * extractors agree): re-key after the merge, before a stateful
+    * stage. */
   def merge(other: Pipeline[T]): Pipeline[T] =
     new Pipeline[T](spark, stamped.union(other.stamped), None, name)
 
@@ -424,7 +461,15 @@ final class Pipeline[T] private[pipeline] (
         }
         .start()
       new SinkHandle(Some(q))
-    } else { sinks.foreach(_.writeBatch(stamped)); new SinkHandle(None) }
+    } else {
+      // mirror the streaming branch: without the persist each sink
+      // would recompute the entire upstream plan (shuffles + stateful
+      // replay) from scratch — N sinks = N full executions
+      stamped.persist()
+      try sinks.foreach(_.writeBatch(stamped))
+      finally { stamped.unpersist(); () }
+      new SinkHandle(None)
+    }
   }
 
   /** Durable stage boundary: terminate this pipeline into a parquet
@@ -455,9 +500,8 @@ final class Pipeline[T] private[pipeline] (
       val q = SinkConfig.streamWriter(stamped, s"$name-handoff", Some(ckpt),
           Trigger.ProcessingTime(0L))
         .format("parquet").option("path", handoffDir).outputMode("append").start()
-      val schema = Encoders.tuple(enc, Encoders.scalaLong).schema
-      val replay = spark.readStream.schema(schema).parquet(handoffDir)
-        .as[(T, Long)](Encoders.tuple(enc, Encoders.scalaLong))
+      val replay = spark.readStream.schema(tup[T].schema).parquet(handoffDir)
+        .as[(T, Long)](tup[T])
       (new SinkHandle(Some(q)), new Pipeline[T](spark, replay, None, name))
     }
 
