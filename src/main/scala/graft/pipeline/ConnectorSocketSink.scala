@@ -358,7 +358,7 @@ final case class ConnectorSocketSink[T](
   def writeStream(ds: Dataset[(T, Long)], name: String,
       checkpoint: Option[String], trigger: Trigger): StreamingQuery = {
     val q = SinkConfig.streamWriter(ds, name, checkpoint, trigger)
-      .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeOne(d, id)).start()
+      .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeMicroBatch(d, id)).start()
     val spark = ds.sparkSession
     val qid = q.id
     val finished = new java.util.concurrent.atomic.AtomicBoolean(false)

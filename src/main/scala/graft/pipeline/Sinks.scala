@@ -39,8 +39,28 @@ private[pipeline] object SinkConfig {
   * harness's sink actors). Streaming: the `memory` sink, queryable as a
   * temp view. Batch: registers the result as a temp view of the same name. */
 final case class MemorySink[T](viewName: String) extends SinkConfig[T] {
+  // fan-out accumulation buffer — driver-side only (foreachBatch bodies
+  // run on the driver); transient so an executor-shipped copy of the
+  // sink never drags it along
+  @transient private lazy val acc =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
   def writeBatch(ds: Dataset[(T, Long)]): Unit =
     ds.createOrReplaceTempView(viewName)
+  /** toSinks fan-out: a temp view over the foreachBatch dataset would be
+    * last-batch-only AND invalid once the batch completes (Spark
+    * documents micro-batch datasets as unusable outside their batch).
+    * Collect the batch driver-side — this sink is a test surface with
+    * bounded inputs — and re-register the view over the ACCUMULATED
+    * rows, preserving the memory sink's append-across-batches
+    * semantics. */
+  override def writeMicroBatch(ds: Dataset[(T, Long)], batchId: Long): Unit = {
+    val df = ds.toDF()
+    val schema = df.schema
+    val all = acc.synchronized { acc ++= df.collect(); acc.toSeq }
+    import scala.jdk.CollectionConverters._
+    ds.sparkSession.createDataFrame(all.asJava, schema)
+      .createOrReplaceTempView(viewName)
+  }
   def writeStream(ds: Dataset[(T, Long)], name: String,
       checkpoint: Option[String], trigger: Trigger): StreamingQuery =
     SinkConfig.streamWriter(ds, viewName, checkpoint, trigger)
@@ -73,6 +93,11 @@ final case class EmptySink[T]() extends SinkConfig[T] {
 final case class ForeachBatchSink[T](writer: (Dataset[(T, Long)], Long) => Unit)
     extends SinkConfig[T] {
   def writeBatch(ds: Dataset[(T, Long)]): Unit = writer(ds, 0L)
+  /** The writer's contract is batchId-keyed — the fan-out path must
+    * deliver the REAL id (the trait default would stamp every batch 0,
+    * making an idempotent-by-batchId writer overwrite or drop batches). */
+  override def writeMicroBatch(ds: Dataset[(T, Long)], batchId: Long): Unit =
+    writer(ds, batchId)
   def writeStream(ds: Dataset[(T, Long)], name: String,
       checkpoint: Option[String], trigger: Trigger): StreamingQuery =
     SinkConfig.streamWriter(ds, name, checkpoint, trigger)
@@ -92,7 +117,7 @@ final case class IdempotentParquetSink[T](path: String) extends SinkConfig[T] {
   def writeStream(ds: Dataset[(T, Long)], name: String,
       checkpoint: Option[String], trigger: Trigger): StreamingQuery =
     SinkConfig.streamWriter(ds, name, checkpoint, trigger)
-      .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeOne(d, id)).start()
+      .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeMicroBatch(d, id)).start()
 }
 
 /** Transactional manifest-commit sink — the reference's connector-sink
@@ -150,7 +175,7 @@ final case class TwoPhaseCommitSink[T](path: String) extends SinkConfig[T] {
   def writeStream(ds: Dataset[(T, Long)], name: String,
       checkpoint: Option[String], trigger: Trigger): StreamingQuery =
     SinkConfig.streamWriter(ds, name, checkpoint, trigger)
-      .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeOne(d, id)).start()
+      .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeMicroBatch(d, id)).start()
 }
 
 object TwoPhaseCommitSink {
@@ -195,7 +220,10 @@ object TwoPhaseCommitSink {
     val stag = new Path(s"$path/staging")
     val aborted = if (!fs.exists(stag)) Seq.empty[Long] else
       fs.listStatus(stag).map(_.getPath)
-        .filter(_.getName.startsWith("batch-"))
+        // strays ('batch-3.tmp', editor copies) must not crash recovery
+        // with NumberFormatException and abort the whole rollback — the
+        // same defensive filter committedFiles applies to the commits dir
+        .filter(_.getName.matches("batch-\\d+"))
         .map(p => p.getName.stripPrefix("batch-").toLong)
         .filterNot(id => fs.exists(commitFile(path, id)))
         .toSeq
@@ -283,6 +311,10 @@ final case class TcpSink[T](host: String, port: Int, encode: T => Array[Byte],
         try connect()
         catch {
           case e: java.io.IOException =>
+            // a partially-constructed connection (socket up, stream
+            // setup failed) must be closed before the retry reassigns
+            // the field — process()'s identical catch does the same
+            closeQuietly()
             attempt += 1
             if (attempt > maxRetries) throw e
             Thread.sleep(backoffMs)
@@ -314,7 +346,13 @@ final case class TcpSink[T](host: String, port: Int, encode: T => Array[Byte],
   def writeBatch(ds: Dataset[(T, Long)]): Unit = {
     val fw = foreach
     ds.foreachPartition { (it: Iterator[(T, Long)]) =>
-      if (fw.open(0, 0)) { it.foreach(fw.process); fw.close(null) }
+      if (fw.open(0, 0)) {
+        // the ForeachWriter contract: close(error) runs whatever
+        // process() did — without it a retries-exhausted partition
+        // leaks its executor-side socket on every task retry
+        try { it.foreach(fw.process); fw.close(null) }
+        catch { case e: Throwable => fw.close(e); throw e }
+      }
     }
   }
   def writeStream(ds: Dataset[(T, Long)], name: String,
