@@ -47,6 +47,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object FramedSocket {
   val ShortName = "graft-framed-socket"
   val Schema: StructType = FramedLog.Schema // offset BIGINT, payload BINARY
+
+  /** The 4-byte big-endian length header at `pos` — the ONE definition
+    * of the wire framing's length parse (reader-thread scanner,
+    * plan-time slicer, executor slice reader); a framing tweak edited
+    * here reaches every copy at once. */
+  private[pipeline] def frameLen(b: Array[Byte], pos: Int): Int =
+    ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
+      ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
 }
 
 final class FramedSocketTableProvider extends TableProvider {
@@ -126,10 +134,17 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
   // retention is bounded by maxBufferedFrames + one batch ≤ 2× the cap.
   private var planned = 0L
   private var rebased = false
+  @volatile private var availableNowRequested = false
   @volatile private var availableNowCap: Option[Long] = None
   @volatile private var readerError: Throwable = _
 
-  private val socket = new Socket(host, port)
+  private val socket = {
+    val s = new Socket()
+    // bounded connect: an unreachable endpoint must fail the query start
+    // promptly, not stall the driver for the kernel's SYN timeout
+    s.connect(new java.net.InetSocketAddress(host, port), 30000)
+    s
+  }
   private val reader = new Thread(s"${FramedSocket.ShortName}:$host:$port") {
     override def run(): Unit = {
       // BULK ingest: the wire format (4-byte big-endian length + payload)
@@ -184,9 +199,7 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
           bufLen += n
           var more = true
           while (more && bufLen - scanPos >= 4) {
-            val len = ((buf(scanPos) & 0xff) << 24) |
-              ((buf(scanPos + 1) & 0xff) << 16) |
-              ((buf(scanPos + 2) & 0xff) << 8) | (buf(scanPos + 3) & 0xff)
+            val len = FramedSocket.frameLen(buf, scanPos)
             require(len >= 0, s"negative frame length $len from $host:$port")
             if (bufLen - scanPos - 4 >= len) { scanPos += 4 + len; frames += 1 }
             else more = false
@@ -223,13 +236,21 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
 
   override def initialOffset(): Offset = FrameCount(0L)
   override def deserializeOffset(json: String): Offset = FrameCount(json.toLong)
-  override def prepareForTriggerAvailableNow(): Unit = availableNowCap = Some(total)
+  // The cap itself is resolved at the run's FIRST latestOffset, after
+  // the restart rebase: prepare() runs before Spark hands us the
+  // checkpointed start offset, so a cap snapshotted here would be in
+  // fresh-connection coordinates (base 0) while every offset after the
+  // rebase is in checkpoint coordinates — an AvailableNow restart would
+  // cap below `from` and terminate having read nothing.
+  override def prepareForTriggerAvailableNow(): Unit = availableNowRequested = true
   override def reportLatestOffset(): Offset = FrameCount(total)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("latestOffset(start, limit) is used")
   override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FrameCount].n
     checkHealthyAndRebase(from)
+    if (availableNowRequested && availableNowCap.isEmpty)
+      availableNowCap = Some(total) // post-rebase coordinates
     // saturating add: from + Long.MaxValue must not wrap past `total`
     val end = from + math.min(maxFramesPerTrigger, math.max(0L, total - from))
     FrameCount(math.max(from, availableNowCap.fold(end)(math.min(end, _))))
@@ -255,7 +276,7 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
         if (rel >= c.count) rel -= c.count
         else {
           val take = math.min(c.count - rel, remaining).toInt
-          out += FramedSocketPartition(absIdx, c.bytes, rel.toInt, take)
+          out += slicePartition(absIdx, c, rel.toInt, take)
           remaining -= take
           absIdx += take
           rel = 0
@@ -275,18 +296,48 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
       else out.toArray
     }
   }
+  /** A partial-chunk batch ships only ITS slice's bytes: a throttled
+    * trigger over a ~1 MB chunk would otherwise re-serialize the whole
+    * array per batch (and ordered mode ships every chunk of the batch
+    * to one task). The driver-side header walk replaces the executor's
+    * identical O(skip) scan; full-chunk slices ship the original array
+    * untouched (no copy on the common path). */
+  private def slicePartition(absIdx: Long, c: FrameChunk,
+      skip: Int, take: Int): FramedSocketPartition =
+    if (skip == 0 && take == c.count) FramedSocketPartition(absIdx, c.bytes, 0, take)
+    else {
+      var pos = 0
+      var i = 0
+      while (i < skip) { pos += 4 + FramedSocket.frameLen(c.bytes, pos); i += 1 }
+      val startByte = pos
+      i = 0
+      while (i < take) { pos += 4 + FramedSocket.frameLen(c.bytes, pos); i += 1 }
+      FramedSocketPartition(absIdx,
+        java.util.Arrays.copyOfRange(c.bytes, startByte, pos), 0, take)
+    }
+
   override def createReaderFactory(): PartitionReaderFactory = new FramedSocketReaderFactory
 
   override def commit(end: Offset): Unit = lock.synchronized {
     val e = end.asInstanceOf[FrameCount].n
     if (e > base) {
-      var toDrop = math.min(e - base, buffered) + headSkip
+      // trim only frames actually HANDED to a batch (≤ planned): a
+      // replayed-after-restart commit can cover a range the fresh
+      // connection never delivered in full, and frames that arrived
+      // AFTER that batch was planned must not be destroyed by its
+      // commit — they stay buffered and are re-indexed from the
+      // committed offset onward (this source carries no external
+      // offsets, so renumbering is invisible; the at-most-once loss
+      // window stays exactly "in flight at the crash").
+      val deliverable = math.max(0L,
+        math.min(math.min(e, planned) - base, buffered))
+      var toDrop = deliverable + headSkip
       while (chunks.nonEmpty && chunks.head.count <= toDrop) {
         toDrop -= chunks.head.count
         chunks.remove(0)
       }
       headSkip = toDrop.toInt // partial head chunk: skip its consumed prefix
-      buffered = math.max(0L, buffered - (e - base))
+      buffered -= deliverable
       base = e
     }
     lock.notifyAll() // wake a parked reader
@@ -359,9 +410,7 @@ final class FramedSocketReaderFactory extends PartitionReaderFactory {
       private var skipped = 0
       private var emitted = 0
       private var current: Array[Byte] = _
-      private def frameLen: Int =
-        ((p.bytes(pos) & 0xff) << 24) | ((p.bytes(pos + 1) & 0xff) << 16) |
-          ((p.bytes(pos + 2) & 0xff) << 8) | (p.bytes(pos + 3) & 0xff)
+      private def frameLen: Int = FramedSocket.frameLen(p.bytes, pos)
       override def next(): Boolean = {
         while (skipped < p.skip) { pos += 4 + frameLen; skipped += 1 }
         if (emitted >= p.take) false
