@@ -165,6 +165,13 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
 
   private val outLock = new Object
   @volatile private var outStream: DataOutputStream = _
+  // Credit-epoch bookkeeping (see the handshake grant comment): freed
+  // slots whose commit-time ACK found a null outStream, to be replenished
+  // right after the handshake publishes the new stream; the epoch pins
+  // which grant snapshot a commit's trim preceded. Guarded by `lock`
+  // (grantEpoch) / `outLock` (droppedAckFreed).
+  private var grantEpoch = 0L
+  private var droppedAckFreed = 0L
 
   private def sendToPeer(body: Array[Byte]): Unit = outLock.synchronized {
     val o = outStream
@@ -183,15 +190,27 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
       while (!stopped && !eos && readerError == null) {
         var socket: Socket = null
         try {
-          socket = new Socket(host, port)
+          socket = new Socket()
+          // bounded connect: an unreachable peer must hand control back
+          // to the reconnect loop promptly, not stall each attempt for
+          // the kernel's SYN timeout (the resolve/replay deadlines in
+          // latestOffset/planInputPartitions assume timely attempts)
+          socket.connect(new java.net.InetSocketAddress(host, port), 30000)
           currentSocket = socket
+          // stop() may have read currentSocket as null just before the
+          // connect completed — it can then never close THIS socket, and
+          // interrupt() cannot unblock socket reads; bail out here so the
+          // finally closes it instead of parking in readFrame forever
+          if (stopped) throw new EOFException("stopped during connect")
           val in = new DataInputStream(socket.getInputStream)
           val out = new DataOutputStream(socket.getOutputStream)
           // ---- handshake (sender is the protocol's connector side)
           val hello = readFrame(in)
           require(hello(0) == Hello, s"expected HELLO, got type ${hello(0)}")
           cookie.foreach { c =>
-            val (got, _) = readShortBytes(hello, 1)
+            // a bodyless HELLO must read as a cookie mismatch, not an
+            // IndexOutOfBounds that masks the protocol error
+            val got = if (hello.length >= 3) readShortBytes(hello, 1)._1 else ""
             if (got != c) {
               writeFrame(out, typed(Error, shortBytes("bad cookie")))
               throw new IllegalArgumentException(
@@ -199,14 +218,36 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
             }
           }
           // initial credit grant = buffer space available right now (a
-          // reconnect may find frames still held from the last session)
-          writeFrame(out, typed(Ok,
-            u64(lock.synchronized(maxBufferedFrames.toLong - frames.length))))
+          // reconnect may find frames still held from the last session).
+          // The grant SNAPSHOT also opens a new credit epoch: a commit
+          // whose trim lands before this point is reflected in the grant
+          // (frames.length already reduced), one landing after must be
+          // ACKed once outStream is live — droppedAckFreed accumulates
+          // exactly the post-snapshot trims whose ACK found a null
+          // stream, and the epoch counter keeps a pre-snapshot commit
+          // from recording itself after the fact (the double-credit /
+          // lost-credit ratchet either way would permanently shrink a
+          // credit-honoring sender's window).
+          val grant = outLock.synchronized(lock.synchronized {
+            droppedAckFreed = 0L
+            grantEpoch += 1
+            maxBufferedFrames.toLong - frames.length
+          })
+          writeFrame(out, typed(Ok, u64(grant)))
           val notify = readFrame(in)
           require(notify(0) == Notify, s"expected NOTIFY, got type ${notify(0)}")
           val resume = lock.synchronized(expectedNext)
           writeFrame(out, typed(NotifyAck, u64(resume)))
-          outStream = out
+          outLock.synchronized {
+            outStream = out
+            if (droppedAckFreed > 0) {
+              // replenish the slots freed during the handshake window
+              try writeFrame(out,
+                typed(Ack, u64(lock.synchronized(base)) ++ u64(droppedAckFreed)))
+              catch { case _: java.io.IOException => }
+              droppedAckFreed = 0L
+            }
+          }
           // ---- message loop
           var open = true
           while (open) {
@@ -243,24 +284,32 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
                 // buffer on them) until stop() closes the socket.
                 lock.synchronized { eos = true; lock.notifyAll() }
               case Error =>
+                // a truncated ERROR frame must still surface AS the
+                // peer's error signal, not as an IndexOutOfBounds
+                val msg = if (f.length >= 3) readShortBytes(f, 1)._1 else "<no body>"
                 throw new IllegalStateException(
-                  s"connector peer $host:$port sent ERROR: ${readShortBytes(f, 1)._1}")
+                  s"connector peer $host:$port sent ERROR: $msg")
               case _ => // future frame types: ignore
             }
           }
         } catch {
+          // No `if !stopped` guards on these arms: stop() closes the
+          // socket under a parked readFrame, so the GRACEFUL teardown
+          // path throws SocketException here — an unmatched guard would
+          // rethrow it out of run() into the uncaught-exception handler
+          // on every stop. The loop condition decides reconnect-vs-exit.
           case _: EOFException | _: java.net.SocketException
-              if !stopped => // peer dropped; fall through to reconnect
+               | _: java.net.SocketTimeoutException => // peer dropped / stop / bounded connect
           case _: InterruptedException => // stop()
-          case t: Throwable if !stopped =>
-            readerError = t
-            lock.synchronized(lock.notifyAll())
+          case t: Throwable =>
+            if (!stopped) { readerError = t; lock.synchronized(lock.notifyAll()) }
         } finally {
           outLock.synchronized { outStream = null }
           currentSocket = null
           if (socket != null) { try socket.close() catch { case _: java.io.IOException => } }
         }
-        if (!stopped && !eos && readerError == null) Thread.sleep(1000L)
+        if (!stopped && !eos && readerError == null)
+          try Thread.sleep(1000L) catch { case _: InterruptedException => }
       }
     }
   }
@@ -310,6 +359,18 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
     while (outStream == null && !eos && readerError == null &&
         System.currentTimeMillis() < deadline)
       Thread.sleep(20L)
+    if (readerError != null)
+      throw new IllegalStateException(
+        s"connector-socket manager for $host:$port died", readerError)
+    // an unreachable sender must FAIL the AvailableNow run, not resolve
+    // the cap to the start offset and terminate 'successfully' with
+    // zero rows (the caller could never distinguish 'nothing available'
+    // from 'never connected') — same contract as planInputPartitions'
+    // replay timeout
+    if (outStream == null && !eos)
+      throw new IllegalStateException(
+        s"connector peer $host:$port did not complete a handshake within " +
+          s"${replayTimeoutMs}ms — cannot resolve the AvailableNow capture point")
     lock.synchronized {
       var last = -1L
       while (expectedNext != last && !eos && readerError == null &&
@@ -377,7 +438,7 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
     * sender at the protocol level, not just via TCP backpressure). */
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[FrameCount].n
-    val freed = lock.synchronized {
+    val (freed, myEpoch) = lock.synchronized {
       val dropped =
         if (e > base) {
           val d = math.min(e - base, frames.length.toLong).toInt
@@ -386,9 +447,23 @@ final class ConnectorSocketMicroBatchStream(host: String, port: Int,
           d
         } else 0
       lock.notifyAll() // wake a parked reader
-      dropped
+      (dropped, grantEpoch)
     }
-    sendToPeer(typed(Ack, u64(e) ++ u64(freed.toLong)))
+    outLock.synchronized {
+      val o = outStream
+      if (o != null) {
+        try writeFrame(o, typed(Ack, u64(e) ++ u64(freed.toLong)))
+        catch { case _: java.io.IOException => } // reconnect loop handles it
+      } else if (freed > 0 && myEpoch == lock.synchronized(grantEpoch)) {
+        // the trim post-dates the in-progress grant snapshot (same
+        // epoch), so the grant did NOT cover these slots and this ACK
+        // just died on the null stream — record them for the
+        // supplementary replenish after the handshake. A trim from
+        // BEFORE the snapshot (older epoch) is already in the grant;
+        // recording it too would double-credit.
+        droppedAckFreed += freed
+      }
+    }
   }
 
   override def stop(): Unit = {

@@ -249,8 +249,26 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
   override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FrameCount].n
     checkHealthyAndRebase(from)
-    if (availableNowRequested && availableNowCap.isEmpty)
+    if (availableNowRequested && availableNowCap.isEmpty) {
+      // Fresh-start drain (the connector source's idle-tick heuristic):
+      // "available now" over a socket only becomes observable as frames
+      // arrive, and this first latestOffset fires within milliseconds
+      // of connect — capping at the instantaneous total would capture
+      // ~0 of a backlog the sender had queued at query start. Wait
+      // until the reader goes idle for one 250 ms tick (or the 5 s
+      // deadline for a sender that never pauses — any quiescence
+      // heuristic over an endless stream must truncate somewhere).
+      val deadline = System.currentTimeMillis() + 5000L
+      var last = -1L
+      var cur = total
+      while (cur != last && readerError == null &&
+          System.currentTimeMillis() < deadline) {
+        last = cur
+        Thread.sleep(250L)
+        cur = total
+      }
       availableNowCap = Some(total) // post-rebase coordinates
+    }
     // saturating add: from + Long.MaxValue must not wrap past `total`
     val end = from + math.min(maxFramesPerTrigger, math.max(0L, total - from))
     FrameCount(math.max(from, availableNowCap.fold(end)(math.min(end, _))))
@@ -304,7 +322,7 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
     * untouched (no copy on the common path). */
   private def slicePartition(absIdx: Long, c: FrameChunk,
       skip: Int, take: Int): FramedSocketPartition =
-    if (skip == 0 && take == c.count) FramedSocketPartition(absIdx, c.bytes, 0, take)
+    if (skip == 0 && take == c.count) FramedSocketPartition(absIdx, c.bytes, take)
     else {
       var pos = 0
       var i = 0
@@ -313,7 +331,7 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
       i = 0
       while (i < take) { pos += 4 + FramedSocket.frameLen(c.bytes, pos); i += 1 }
       FramedSocketPartition(absIdx,
-        java.util.Arrays.copyOfRange(c.bytes, startByte, pos), 0, take)
+        java.util.Arrays.copyOfRange(c.bytes, startByte, pos), take)
     }
 
   override def createReaderFactory(): PartitionReaderFactory = new FramedSocketReaderFactory
@@ -348,11 +366,13 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
   }
 }
 
-/** One chunk slice: `take` frames starting `skip` frames into `bytes`,
-  * with `startIdx` the absolute index of the first emitted frame. Each
-  * slice is its own partition, so a large batch decodes in parallel. */
+/** One chunk slice: `take` frames laid out back-to-back from byte 0 of
+  * `bytes` (partial-chunk slices are byte-sliced at PLAN time —
+  * slicePartition — so the executor never skips), with `startIdx` the
+  * absolute index of the first emitted frame. Each slice is its own
+  * partition, so a large batch decodes in parallel. */
 final case class FramedSocketPartition(startIdx: Long, bytes: Array[Byte],
-    skip: Int, take: Int) extends InputPartition
+    take: Int) extends InputPartition
 
 /** All of one micro-batch's chunk slices as ONE partition (`ordered`
   * mode): a single task walks the slices in frame order, trading the
@@ -407,15 +427,12 @@ final class FramedSocketReaderFactory extends PartitionReaderFactory {
   private def sliceReader(p: FramedSocketPartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private var pos = 0
-      private var skipped = 0
       private var emitted = 0
       private var current: Array[Byte] = _
-      private def frameLen: Int = FramedSocket.frameLen(p.bytes, pos)
       override def next(): Boolean = {
-        while (skipped < p.skip) { pos += 4 + frameLen; skipped += 1 }
         if (emitted >= p.take) false
         else {
-          val len = frameLen
+          val len = FramedSocket.frameLen(p.bytes, pos)
           current = java.util.Arrays.copyOfRange(p.bytes, pos + 4, pos + 4 + len)
           pos += 4 + len
           emitted += 1
