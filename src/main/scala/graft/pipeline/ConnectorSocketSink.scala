@@ -171,16 +171,38 @@ final case class ConnectorSocketSink[T](
   private def sendTwoPc(payload: Array[Byte]): Unit =
     send(typed(Message, u64(0L) ++ u64(0L) ++ payload))
   private def sendData(payload: Array[Byte]): Unit = {
-    send(typed(Message, u64(1L) ++ u64(lastOffset + currentOffset) ++ payload))
+    // buffered (no per-row flush): the phase-1 barrier flush below is
+    // the visibility point; one flush syscall per row through the 8 KB
+    // buffer would defeat the buffering entirely
+    writeFrameBuffered(out,
+      typed(Message, u64(1L) ++ u64(lastOffset + currentOffset) ++ payload))
     currentOffset += payload.length
+  }
+
+  /** Phase-2 commit for the pending transaction + the offset-window roll
+    * — ONE home for the state transition (writeTxn's head-of-batch
+    * deferral, writeBatch's immediate commit, and the termination hook
+    * previously carried drifting copies). */
+  private def commitPending(): Unit = pendingCommit.foreach { id =>
+    sendTwoPc(TwoPcWire.phase2r(TwoPcWire.Phase2, id, commit = true))
+    out.flush()
+    lastOffset = txnEndOffset
+    currentOffset = 0L
+    pendingCommit = None
   }
 
   /** Blocking read until a frame of 2PC tag `want` arrives (other control
     * frames are ignored — the peer initiates nothing in this protocol). */
   private def awaitTwoPc(want: Byte): Array[Byte] = {
     val deadline = System.currentTimeMillis() + voteTimeoutMs
-    socket.setSoTimeout(math.max(1, voteTimeoutMs).toInt)
     while (System.currentTimeMillis() < deadline) {
+      // re-arm with the REMAINING budget each iteration (a peer feeding
+      // irrelevant frames near the deadline would otherwise extend the
+      // wait to ~2x the bound), clamped into Int range BEFORE narrowing
+      // (a voteTimeoutMs above Int.MaxValue would wrap negative and make
+      // setSoTimeout throw on a configuration that looks valid)
+      val remaining = deadline - System.currentTimeMillis()
+      socket.setSoTimeout(math.min(math.max(1L, remaining), Int.MaxValue.toLong).toInt)
       val f = readFrame(in)
       if (f(0) == Message && f.length >= 17 && readU64(f, 1) == 0L) {
         val payload = java.util.Arrays.copyOfRange(f, 17, f.length)
@@ -198,7 +220,14 @@ final case class ConnectorSocketSink[T](
     * durably in Spark's commit log (it never re-runs them) → commit;
     * this epoch and later are about to be re-delivered → abort. */
   private def connect(epoch: Long): Unit = {
-    socket = new Socket(host, port)
+    socket = new Socket()
+    // bounded connect AND a handshake read timeout: a peer that accepts
+    // but never replies must fail the batch (which retries/reconnects),
+    // not wedge the driver in a blocking read that query.stop() cannot
+    // interrupt and that bypasses voteTimeoutMs entirely
+    socket.connect(new java.net.InetSocketAddress(host, port), 30000)
+    socket.setSoTimeout(
+      math.min(math.max(1L, voteTimeoutMs), Int.MaxValue.toLong).toInt)
     in = new DataInputStream(socket.getInputStream)
     out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
     send(typed(Hello,
@@ -221,7 +250,16 @@ final case class ConnectorSocketSink[T](
       TwoPcWire.readReplyUncommitted(awaitTwoPc(TwoPcWire.ReplyUncommitted))
     require(gotTag == rtag, s"REPLY_UNCOMMITTED rtag $gotTag != $rtag")
     var committedAny = false
-    inDoubt.foreach { id =>
+    // Resolve ONLY this sink's transactions: the peer's in-doubt list is
+    // global across connections, and the class doc endorses N sinks on
+    // disjoint streams against one peer — resolving a FOREIGN stream's
+    // txn with OUR epoch counter would commit data its owner is about to
+    // re-deliver (duplication) or abort data its owner durably committed
+    // (silent loss). The txn id embeds its stream name
+    // (make_txn_id_string, connector_sink_twopc.pony:64-65) precisely so
+    // each owner can recognize its own; foreign txns stay in doubt until
+    // their owner reconnects.
+    inDoubt.filter(_.startsWith(s"$streamName:c_id=")).foreach { id =>
       val commit = TwoPcWire.txnEpoch(id).exists(_ < epoch)
       committedAny ||= commit
       sendTwoPc(TwoPcWire.phase2r(TwoPcWire.Phase2, id, commit))
@@ -265,12 +303,7 @@ final case class ConnectorSocketSink[T](
     while (!done) {
       try {
         if (socket == null) connect(epoch)
-        pendingCommit.foreach { id =>
-          sendTwoPc(TwoPcWire.phase2r(TwoPcWire.Phase2, id, commit = true))
-          lastOffset = txnEndOffset
-          currentOffset = 0L
-          pendingCommit = None
-        }
+        commitPending()
         val id = txnId(epoch)
         buffered.foreach(sendData)
         sendTwoPc(TwoPcWire.phase1(id,
@@ -279,9 +312,18 @@ final case class ConnectorSocketSink[T](
         val (votedId, commit) =
           TwoPcWire.readPhase2r(awaitTwoPc(TwoPcWire.Phase1Reply))
         require(votedId == id, s"PHASE1_REPLY for $votedId, expected $id")
-        if (!commit)
+        if (!commit) {
+          // resolve the txn NOW (standard 2PC: phase-2 abort on an abort
+          // vote) — throwing first would leave the peer holding the
+          // whole batch staged in-doubt until some future reconnect, and
+          // a dangling in-doubt txn is exactly what a mis-matched epoch
+          // could later mis-resolve
+          try { sendTwoPc(TwoPcWire.phase2r(TwoPcWire.Phase2, id, commit = false)); out.flush() }
+          catch { case _: IOException => } // recovery aborts it anyway
+          currentOffset = 0L // the staged bytes are discarded peer-side
           throw new IllegalStateException(
             s"connector peer $host:$port voted ABORT for $id")
+        }
         txnEndOffset = lastOffset + currentOffset
         pendingCommit = Some(id)
         done = true
@@ -317,17 +359,12 @@ final case class ConnectorSocketSink[T](
     * an id-remembering peer will ignore it. Give each logical batch job
     * its own `streamName` (it is the transaction namespace), exactly as
     * [[TwoPhaseCommitSink]] requires a fresh directory per batch output. */
-  def writeBatch(ds: Dataset[(T, Long)]): Unit = {
-    writeOne(ds, 0L)
-    pendingCommit.foreach { id =>
-      sendTwoPc(TwoPcWire.phase2r(TwoPcWire.Phase2, id, commit = true))
-      out.flush()
-      lastOffset = txnEndOffset
-      currentOffset = 0L
-      pendingCommit = None
-    }
-    closeQuietly()
-  }
+  def writeBatch(ds: Dataset[(T, Long)]): Unit =
+    // finally-close: a failure after connect (abort vote, protocol
+    // require, tail phase-2 IOException) must not leak the socket and
+    // leave stale non-null connection state for the next writeBatch —
+    // the TcpSink.writeBatch defect class
+    try { writeOne(ds, 0L); commitPending() } finally closeQuietly()
 
   override def writeMicroBatch(ds: Dataset[(T, Long)], batchId: Long): Unit =
     writeOne(ds, batchId)
@@ -343,17 +380,17 @@ final case class ConnectorSocketSink[T](
     * the epoch logged, abort-and-rewrite if not). Disabled via
     * `commitOnStop = false` when a test needs the in-doubt tail. */
   private[pipeline] def finishPendingCommit(committedEpoch: Long): Unit =
-    pendingCommit
-      .filter(id => TwoPcWire.txnEpoch(id).exists(_ <= committedEpoch))
-      .foreach { id =>
-        try {
-          sendTwoPc(TwoPcWire.phase2r(TwoPcWire.Phase2, id, commit = true))
-          out.flush()
-          lastOffset = txnEndOffset
-          currentOffset = 0L
-          pendingCommit = None
-        } catch { case _: IOException | _: NullPointerException => } // recovery's job
-      }
+    if (pendingCommit.exists(id => TwoPcWire.txnEpoch(id).exists(_ <= committedEpoch)))
+      try commitPending()
+      catch { case _: IOException | _: NullPointerException => } // recovery's job
+
+  /** Fan-out termination ([[Pipeline.toSinks]]): same settlement as the
+    * solo writeStream's hook — commit the eligible tail txn, release the
+    * connection. */
+  override def onFanOutTerminated(failed: Boolean, committedEpoch: Long): Unit = {
+    if (commitOnStop && !failed) finishPendingCommit(committedEpoch)
+    closeQuietly()
+  }
 
   def writeStream(ds: Dataset[(T, Long)], name: String,
       checkpoint: Option[String], trigger: Trigger): StreamingQuery = {

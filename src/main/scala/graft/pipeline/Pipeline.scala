@@ -460,6 +460,39 @@ final class Pipeline[T] private[pipeline] (
           finally { batch.unpersist(); () }
         }
         .start()
+      // settle each sink's cross-batch state when the fan-out query
+      // terminates (the solo toSink path's writeStream installs its own
+      // hook; here the sinks only ever see writeMicroBatch calls) — the
+      // AtomicBoolean keeps the listener and the already-terminated
+      // fallback idempotent, and lastProgress.batchId is the durable
+      // commit frontier (finalized after the commit-log write)
+      val settleDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def settle(failed: Boolean): Unit =
+        if (settleDone.compareAndSet(false, true)) {
+          val committed = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+          sinks.foreach(s =>
+            try s.onFanOutTerminated(failed, committed)
+            catch { case e: Throwable =>
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"fan-out sink termination hook failed: $e")
+            })
+        }
+      val qid = q.id
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            settle(failed = e.exception.isDefined)
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+      if (!q.isActive) { // terminated inside the start()/addListener window
+        settle(failed = q.exception.isDefined)
+        spark.streams.removeListener(listener)
+      }
       new SinkHandle(Some(q))
     } else {
       // mirror the streaming branch: without the persist each sink

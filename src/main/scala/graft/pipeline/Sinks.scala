@@ -25,6 +25,15 @@ trait SinkConfig[T] extends Serializable {
     * Sinks whose exactly-once story is keyed by batchId MUST override —
     * the default discards the id (fine for append/at-least-once sinks). */
   def writeMicroBatch(ds: Dataset[(T, Long)], batchId: Long): Unit = writeBatch(ds)
+  /** Called exactly once when the fan-out query that drove
+    * [[writeMicroBatch]] terminates. Sinks holding cross-batch state
+    * (open connections, deferred phase-2 commits) MUST override — the
+    * solo [[writeStream]] path installs its own termination hook, but a
+    * fan-out sink only ever sees writeMicroBatch calls and would
+    * otherwise leak its connection and strand its tail transaction.
+    * `committedEpoch` is the last durably-committed batch id (−1 when
+    * unknown); `failed` whether the query ended with an exception. */
+  def onFanOutTerminated(failed: Boolean, committedEpoch: Long): Unit = ()
 }
 
 private[pipeline] object SinkConfig {
