@@ -128,6 +128,62 @@ class TwoPhaseCommitSocketSpec extends AnyFunSuite {
     receiver.close()
   }
 
+  test("recovery resolves ONLY its own stream's in-doubt transactions") {
+    // Two sinks on disjoint streams against ONE peer — the deployment
+    // shape the class doc endorses. The peer's in-doubt ledger is global
+    // across connections, so a recovery pass that phase-2s every listed
+    // txn with ITS OWN epoch counter would resolve the neighbor's: here
+    // stream-b leaves its tail b:c_id=1 in doubt, and a FRESH stream-a
+    // sink (about to run epoch 0) would abort it — silently destroying
+    // data whose checkpoint b durably committed. The streamName filter
+    // makes a leave it alone; b's own restart then commits it.
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    val receiver = new ProtocolPeers.TwoPcReceiver()
+    val bIn = Files.createTempDirectory("twopc_iso_b_in").toString
+    val bCkpt = Files.createTempDirectory("twopc_iso_b_ckpt").toString
+    val aIn = Files.createTempDirectory("twopc_iso_a_in").toString
+    def bSink = ConnectorSocketSink[Long]("127.0.0.1", receiver.server.getLocalPort,
+      (v: Long) => s"b-$v".getBytes(UTF_8), streamName = "b", commitOnStop = false)
+    def bQuery() = Graft.source("twopc-iso-b", ParquetReplaySource[Long](bIn,
+        (r: Row) => r.getLong(0), (r: Row) => r.getLong(0),
+        maxFilesPerTrigger = 1)(Encoders.scalaLong))
+      .toSink(bSink, checkpointLocation = Some(bCkpt))
+
+    (0 until 2).foreach(k => addFile(bIn, k * 20 until (k + 1) * 20))
+    val hb = bQuery()
+    hb.processAllAvailable()
+    hb.stop()
+    assert(receiver.inDoubt.containsKey("b:c_id=1"),
+      s"b's tail must be in doubt, have ${receiver.inDoubt.keySet()}")
+
+    // stream-a runs its whole (fresh, epoch-0) life against the same peer
+    addFile(aIn, 1000 until 1020)
+    val ha = Graft.source("twopc-iso-a", ParquetReplaySource[Long](aIn,
+        (r: Row) => r.getLong(0), (r: Row) => r.getLong(0),
+        maxFilesPerTrigger = 1)(Encoders.scalaLong))
+      .toSink(ConnectorSocketSink[Long]("127.0.0.1", receiver.server.getLocalPort,
+        (v: Long) => s"a-$v".getBytes(UTF_8), streamName = "a", commitOnStop = false))
+    ha.processAllAvailable()
+    ha.stop()
+    assert(receiver.inDoubt.containsKey("b:c_id=1"),
+      "a foreign sink's recovery must not resolve b's in-doubt transaction")
+    assert(receiver.aborts == 0,
+      s"no abort may be issued for the neighbor's txn, got ${receiver.aborts}")
+
+    // b's own restart commits its tail (epoch 1 < the epoch about to rerun)
+    addFile(bIn, 200 until 220)
+    val hb2 = bQuery()
+    assert(awaitCond(30000)(!receiver.inDoubt.containsKey("b:c_id=1")),
+      "b's restart recovery must resolve its own tail")
+    hb2.processAllAvailable()
+    hb2.stop()
+    val bPayloads = receiver.committed.asScala.toVector.filter(_.startsWith("b-"))
+    assert(bPayloads.toSet.contains("b-20") && bPayloads.distinct.size == bPayloads.size,
+      s"b's in-doubt batch must commit exactly once: $bPayloads")
+    receiver.close()
+  }
+
   test("peer abort vote fails the batch loudly") {
     implicit val ss: org.apache.spark.sql.SparkSession = spark
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
