@@ -15,12 +15,13 @@ package graft.functions
   *    packed 4-per-long. `base = qrr + 8·lo`, `scale = (hi−lo)/65535`
   *    with lo/hi the min/max over all 256 table entries, entry
   *    `q = round((cost−lo)/scale)` — so a candidate's distance is
-  *    `base + scale · Σ_m q_m`: eight 5-bit code extracts, eight
+  *    `base + scale · Σ_m q_m`: eight 8-bit code extracts, eight
   *    uint16 extracts, seven INT adds (exact — no float association
   *    anywhere), one multiply, one add.
   *  - code word = ONE long: the 8 per-subspace code ids (1-based,
-  *    ≤ 256) packed as 8 bits each — the 5-byte PQ code plus padding,
-  *    vs the 8-element array the old format shipped. Per-cell state is
+  *    ≤ [[Codes]] = 32 — the byte fields could hold 256 but ids past
+  *    Codes are REJECTED at pack time, see packCodes) packed as 8 bits
+  *    each, vs the 8-element array the old format shipped. Per-cell state is
   *    (id: Long, word: Long) — 16 B/vector.
   *
   * Quantization error is ≤ 8·scale/2 ≈ (hi−lo)/16 384 per distance —

@@ -27,6 +27,23 @@ final class CentroidMatrix(val flat: Array[Double], val cn: Array[Double],
     "flat must be C x dim row-major with one norm and id per row")
   val rows: Int = cn.length
   val dim: Int = flat.length / cn.length
+
+  /** Cosine of an input row vector against matrix row `j` — THE shared
+    * bit-exactness contract of [[NearestCells]] and [[EvalMaxCosine]]
+    * (both scaladocs pin it against the DuckDB oracles): fold dimensions
+    * left-to-right over min(dim, |v|) elements (the [[VecDot]] order — a
+    * short vector scores its present dimensions, missing ones contribute
+    * 0 rather than an out-of-bounds read, ADVICE r8), divided by
+    * `n * cn(j)`. One definition so an FMA/guard tweak can never
+    * desynchronize the two expressions. */
+  def cosRow(j: Int, v: org.apache.spark.sql.catalyst.util.ArrayData, n: Double): Double = {
+    val lim = math.min(dim, v.numElements())
+    var s = 0.0
+    var d = 0
+    val off = j * dim
+    while (d < lim) { s += v.getDouble(d) * flat(off + d); d += 1 }
+    s / (n * cn(j))
+  }
   override def hashCode(): Int = System.identityHashCode(this)
   override def equals(o: Any): Boolean = o match {
     case r: AnyRef => this eq r
@@ -90,22 +107,25 @@ case class NearestCells(vec: Expression, nrm: Expression,
     * so the surrounding stage stays fused). */
   def selectCells(v: ArrayData, n: Double): ArrayData = {
     val c = m.rows
-    val flatArr = m.flat
-    val cnArr = m.cn
-    val ccos = new Array[Double](c)
-    // Fold over min(dim, |v|) — the [[VecDot]] contract (a short vector
-    // scores its present dimensions; missing ones contribute 0) rather
-    // than an out-of-bounds read on malformed input (ADVICE r8).
-    val lim = math.min(m.dim, v.numElements())
-    var j = 0
-    while (j < c) {
-      var s = 0.0
-      var d = 0
-      val off = j * m.dim
-      while (d < lim) { s += v.getDouble(d) * flatArr(off + d); d += 1 }
-      ccos(j) = s / (n * cnArr(j))
-      j += 1
+    if (keep == 1) {
+      // Zero-allocation argmax for the dominant assignment path (keep=1
+      // over every corpus row): the general path below allocates two
+      // O(C) arrays per ROW — ~90 KB of young-gen churn per row at the
+      // laddered C ≈ 10⁴. Same comparator and same first-index
+      // tie-break as the selection sort, so the result is bit-identical.
+      var bestIdx = 0
+      var bestCos = m.cosRow(0, v, n)
+      var j = 1
+      while (j < c) {
+        val cc = m.cosRow(j, v, n)
+        if (SQLOrderingUtil.compareDoubles(cc, bestCos) > 0) { bestCos = cc; bestIdx = j }
+        j += 1
+      }
+      return new GenericArrayData(Array(m.ids(bestIdx)))
     }
+    val ccos = new Array[Double](c)
+    var j = 0
+    while (j < c) { ccos(j) = m.cosRow(j, v, n); j += 1 }
     // Selection sort: O(keep·C) — fine at keep ≤ IvfProbeMax; switch to a
     // bounded max-heap if keep is ever raised toward C (ADVICE r8).
     val k = math.min(keep, c)
@@ -180,17 +200,10 @@ case class EvalMaxCosine(vec: Expression, nrm: Expression, m: CentroidMatrix)
     }
 
   def maxCos(v: ArrayData, n: Double): Double = {
-    val flatArr = m.flat
-    val cnArr = m.cn
-    val lim = math.min(m.dim, v.numElements())
     var best = 0.0
     var j = 0
     while (j < m.rows) {
-      var s = 0.0
-      var d = 0
-      val off = j * m.dim
-      while (d < lim) { s += v.getDouble(d) * flatArr(off + d); d += 1 }
-      val c = s / (n * cnArr(j))
+      val c = m.cosRow(j, v, n) // the shared fold (CentroidMatrix.cosRow)
       if (j == 0 || SQLOrderingUtil.compareDoubles(c, best) > 0) best = c
       j += 1
     }

@@ -57,15 +57,15 @@ object Portable {
   def sparkTokens(text: String): String = s"split($text, ' ')"
   def duckTokens(text: String): String = s"string_split($text, ' ')"
 
-  /** Word n-gram shingles (1-based slice in both engines), distinct. */
+  /** Word n-gram shingles = DISTINCT over [[sparkNgrams]]/[[duckNgrams]]
+    * — defined by composition, not by a fourth/fifth copy of the window
+    * index arithmetic, so a boundary fix to the n-gram fragments can
+    * never split shingle identity (Jaccard/minhash) from the
+    * repetition-signal n-grams. */
   def sparkShingles(text: String, n: Int): String =
-    // sequence(1, 0) in Spark yields a DESCENDING [1, 0] — guard short docs
-    s"(case when size(${sparkTokens(text)}) < $n then array() " +
-      s"else array_distinct(transform(sequence(1, size(${sparkTokens(text)}) - ${n - 1}), " +
-      s"i -> concat_ws(' ', slice(${sparkTokens(text)}, i, $n)))) end)"
+    s"array_distinct(${sparkNgrams(text, n)})"
   def duckShingles(text: String, n: Int): String =
-    s"list_distinct(list_transform(range(1, greatest(len(${duckTokens(text)}) - ${n - 2}, 1)), " +
-      s"i -> array_to_string(list_slice(${duckTokens(text)}, i, i + ${n - 1}), ' ')))"
+    s"list_distinct(${duckNgrams(text, n)})"
 
   /** Normalized-text form underlying every exact-dedup fingerprint —
     * THE cross-operator definition of "the same document" for d_exact,
@@ -93,18 +93,32 @@ object Portable {
     * order by it. Both fragments run the identical IEEE double chain, so
     * cross-engine ordering and equality agree exactly (t_quality is
     * hash-exact against the oracle). */
+  /** Punctuation-density component — one definition per engine (the
+    * inline forms in t_quality / t_clean_corpus previously carried
+    * copies). The denominator is floored at 1: on empty text 0/0 is
+    * NULL in Spark (non-ANSI Divide) but NaN in DuckDB — the one input
+    * that breaks the bit-identical contract (and poisons d_canonical's
+    * representative ordering differently per engine). greatest(len,1)
+    * yields 0.0 on both (the numerator is 0 too); identity for any
+    * non-empty text. The token-ratio denominator needs no guard:
+    * split('') is [''] (size 1) in both engines. */
+  def sparkPunctRatio(text: String = "text"): String =
+    s"cast(length($text) - length(regexp_replace($text, '[.,!?;:]', '')) as double)" +
+      s" / greatest(length($text), 1)"
+  def duckPunctRatio(text: String = "text"): String =
+    s"CAST(length($text) - length(regexp_replace($text, '[.,!?;:]', '', 'g')) AS DOUBLE)" +
+      s" / greatest(length($text), 1)"
+
   def sparkQualityScore: String =
     qualityCombineSpark(s"size(${sparkTokens("text")})",
       s"(cast(size(filter(${sparkTokens("text")}, t -> t IN ($stopList))) as double)" +
         s" / size(${sparkTokens("text")}))",
-      "cast(length(text) - length(regexp_replace(text, '[.,!?;:]', ''))" +
-        " as double) / length(text)")
+      sparkPunctRatio())
   def duckQualityScore: String =
     qualityCombineDuck(s"len(${duckTokens("text")})",
       s"(CAST(len(list_filter(${duckTokens("text")}, t -> t IN ($stopList))) AS DOUBLE)" +
         s" / len(${duckTokens("text")}))",
-      "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))" +
-        " AS DOUBLE) / length(text)")
+      duckPunctRatio())
 
   /** The weighted combination over ALREADY-COMPUTED component
     * expressions — the score's weights exist exactly here, so operators

@@ -75,9 +75,19 @@ object VectorFunctions {
   /** Make `vec_dot` callable from SQL text / `expr(...)` in this session.
     * Idempotent; called by the query builders that use it, so the driver
     * can run them from any session it constructs. */
+  /** Arity-checked builder shared by both registration paths — a wrong
+    * SQL call must fail with the function's name and signature, not a
+    * bare NoSuchElementException from exprs.head. */
+  private[functions] def build(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): VecDot = {
+    require(exprs.length == 2,
+      s"vec_dot(array<double>, array<double>) takes exactly 2 arguments, got ${exprs.length}")
+    VecDot(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+      "vec_dot", build, "built-in")
 }
 
 /** Session-extensions entry point: registers the library's native
@@ -92,5 +102,5 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDot(exprs.head, exprs(1))))
+        VectorFunctions.build(exprs)))
 }

@@ -63,8 +63,7 @@ object TextAnalysis {
       expr(s"size($toks)").cast("long").as("n_tokens"),
       expr(s"cast(size(filter($toks, t -> t IN (${sqlList(stopwords)}))) as double)" +
         s" / size($toks)").as("stopword_ratio"),
-      expr("cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) as double)" +
-        " / length(text)").as("punct_ratio"),
+      expr(Portable.sparkPunctRatio()).as("punct_ratio"),
       expr(s"cast(length(text) as double) / size($toks)").as("avg_token_len"))
       .withColumn("quality_score",
         expr(Portable.qualityCombineSpark("n_tokens", "stopword_ratio", "punct_ratio")))
@@ -78,8 +77,7 @@ object TextAnalysis {
        |    CAST(len($toks) AS BIGINT) AS n_tokens,
        |    CAST(len(list_filter($toks, t -> t IN (${sqlList(stopwords)}))) AS DOUBLE)
        |      / len($toks) AS stopword_ratio,
-       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-       |      / length(text) AS punct_ratio,
+       |    ${Portable.duckPunctRatio()} AS punct_ratio,
        |    CAST(length(text) AS DOUBLE) / len($toks) AS avg_token_len
        |  FROM documents)
        |SELECT *, ${Portable.qualityCombineDuck("n_tokens", "stopword_ratio", "punct_ratio")} AS quality_score
@@ -215,8 +213,7 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars"),
         expr(s"cast(size(filter($toks, t -> t IN (${sqlList(stopwords)}))) as double)" +
           s" / size($toks)").as("stopword_ratio"),
-        expr("cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) as double)" +
-          " / length(text)").as("punct_ratio")) ++
+        expr(Portable.sparkPunctRatio()).as("punct_ratio")) ++
       langMarkers.map { case (lang, markers) =>
         expr(s"cast(size(filter($ltoks, t -> t IN (${sqlList(markers)}))) as bigint)")
           .as(s"score_$lang")
@@ -258,8 +255,7 @@ object TextAnalysis {
        |    CAST(length(text) AS BIGINT) AS n_chars,
        |    CAST(len(list_filter($toks, t -> t IN (${sqlList(stopwords)}))) AS DOUBLE)
        |      / len($toks) AS stopword_ratio,
-       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-       |      / length(text) AS punct_ratio,
+       |    ${Portable.duckPunctRatio()} AS punct_ratio,
        |    $scoreCols
        |  FROM documents),
        |q AS (
