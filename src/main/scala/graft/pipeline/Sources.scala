@@ -15,9 +15,14 @@ trait SourceConfig[T] extends Serializable {
 }
 
 object SourceConfig {
+  /** The internal stream shape's encoder — one definition for every
+    * source instead of six hand-built copies. */
+  private[pipeline] def tupleEnc[T](implicit enc: Encoder[T]): Encoder[(T, Long)] =
+    Encoders.tuple(enc, Encoders.scalaLong)
+
   private[pipeline] def stamp[T](ds: Dataset[T], tsNs: T => Long)(
       implicit enc: Encoder[T]): Dataset[(T, Long)] =
-    ds.map(t => (t, tsNs(t)))(Encoders.tuple(enc, Encoders.scalaLong))
+    ds.map(t => (t, tsNs(t)))(tupleEnc)
 }
 
 /** Wrap an existing Dataset (batch table or a streaming Dataset such as a
@@ -45,13 +50,12 @@ final case class GenSource[T](
       .option("rowsPerSecond", rowsPerSecond)
       .option("numPartitions", numPartitions)
       .load() // columns: timestamp TIMESTAMP, value LONG
-    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
     rate.select(col("value"), unix_micros(col("timestamp")).as("us"))
       .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .map { case (i, us) =>
         val t = gen(i)
         (t, eventTimeNs.map(f => f(t)).getOrElse(us * 1000L))
-      }(tupEnc)
+      }(SourceConfig.tupleEnc)
   }
 }
 
@@ -65,16 +69,23 @@ final case class ParquetReplaySource[T](
     decode: Row => T,
     eventTimeNs: Row => Long,
     maxFilesPerTrigger: Int = 1,
-    nanosAsLong: Boolean = true)(implicit enc: Encoder[T])
+    schema: Option[org.apache.spark.sql.types.StructType] = None)(
+    implicit enc: Encoder[T])
     extends SourceConfig[T] {
   def load(spark: SparkSession): Dataset[(T, Long)] = {
-    val schema = spark.read.parquet(path).schema
+    // Explicit schema skips the eager batch-read inference — which pays
+    // a plan-time footer read AND fails outright on a replay directory
+    // the producer hasn't written to yet (the normal start order for a
+    // live-tail stream). Inference remains the test-rig default.
+    // (The former `nanosAsLong` parameter was dead — the conf is
+    // session-level, set by graft.Sessions; a per-source flag could
+    // never enforce it.)
+    val sch = schema.getOrElse(spark.read.parquet(path).schema)
     val df = spark.readStream
-      .schema(schema)
+      .schema(sch)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
-    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
-    df.map(r => (decode(r), eventTimeNs(r)))(tupEnc)
+    df.map(r => (decode(r), eventTimeNs(r)))(SourceConfig.tupleEnc)
   }
 }
 
@@ -97,9 +108,12 @@ final case class KafkaSource[T](
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
     val df = options.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }.load()
-    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
-    df.select(col("value")).as[Array[Byte]](Encoders.BINARY)
-      .map { bytes => val t = decode(bytes); (t, eventTimeNs(t)) }(tupEnc)
+    // tombstones (null values on compacted topics) must not become a
+    // poison pill: decode(null) would NPE, fail the query, and the
+    // checkpoint would replay the same offset forever
+    df.select(col("value")).filter(col("value").isNotNull)
+      .as[Array[Byte]](Encoders.BINARY)
+      .map { bytes => val t = decode(bytes); (t, eventTimeNs(t)) }(SourceConfig.tupleEnc)
   }
 }
 
@@ -111,10 +125,9 @@ trait FramedDecoder[T] extends Serializable {
   /** Bytes of header preceding each payload (reference default 4). */
   def headerLength: Int = 4
   /** Payload byte count from the header (default: big-endian u32 — the
-    * framing TcpSink writes). */
-  def payloadLength(header: Array[Byte]): Int =
-    ((header(0) & 0xff) << 24) | ((header(1) & 0xff) << 16) |
-      ((header(2) & 0xff) << 8) | (header(3) & 0xff)
+    * framing TcpSink writes, parsed by THE shared definition
+    * [[FramedSocket.frameLen]]). */
+  def payloadLength(header: Array[Byte]): Int = FramedSocket.frameLen(header, 0)
   def decode(payload: Array[Byte]): T
   def eventTimeNs(t: T): Long
 }
@@ -130,7 +143,12 @@ private[pipeline] object FramedDecoder {
         val hl = decoder.headerLength
         require(off + hl <= bytes.length, s"truncated frame header at $off")
         val pl = decoder.payloadLength(java.util.Arrays.copyOfRange(bytes, off, off + hl))
-        require(off + hl + pl <= bytes.length, s"truncated frame payload at $off")
+        // a corrupt header with bit 31 set parses negative and would
+        // pass the bound below spuriously (likewise a huge positive pl
+        // overflowing the Int sum) — reject with the diagnostic instead
+        // of an opaque copyOfRange failure
+        require(pl >= 0 && pl <= bytes.length - off - hl,
+          s"truncated or corrupt frame payload at $off (len $pl)")
         val t = decoder.decode(java.util.Arrays.copyOfRange(bytes, off + hl, off + hl + pl))
         off += hl + pl
         t
@@ -158,18 +176,17 @@ final case class FramedFileSource[T](
           .option("maxFilesPerTrigger", maxFilesPerTrigger).load(path)
       else spark.read.format("binaryFile").load(path)
     val dec = decoder
-    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
     df.select(col("content")).as[Array[Byte]](Encoders.BINARY)
       .flatMap { bytes =>
         FramedDecoder.frames(dec, bytes).map(t => (t, dec.eventTimeNs(t)))
-      }(tupEnc)
+      }(SourceConfig.tupleEnc)
   }
 }
 
 /** Line-oriented TCP source (core/source/tcp_source/ — the reference frames
   * binary messages with a length header; Spark's socket source is
-  * line-oriented, so the decoder takes the line's bytes. For true framed
-  * binary transport use [[KafkaSource]].) Not for production use — the
+  * line-oriented, so the decoder takes the line as a String. For true
+  * framed binary transport use [[KafkaSource]].) Not for production use — the
   * socket source is single-connection and unreplayable, exactly like the
   * reference's caveat on its TCP source. */
 final case class SocketSource[T](
@@ -180,8 +197,7 @@ final case class SocketSource[T](
   def load(spark: SparkSession): Dataset[(T, Long)] = {
     val df = spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
-    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
     df.select(col("value")).as[String](Encoders.STRING)
-      .map { line => val t = decode(line); (t, eventTimeNs(t)) }(tupEnc)
+      .map { line => val t = decode(line); (t, eventTimeNs(t)) }(SourceConfig.tupleEnc)
   }
 }
