@@ -210,6 +210,22 @@ object StreamBench {
     val streamOnly = sys.env.get("GRAFT_STREAM_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean = streamOnly.forall(_.contains(name))
+    // Stream-side shuffle sizing: ~1.5k keys of a few KB each. 16
+    // state-store partitions balances store-commit overhead (per
+    // partition per batch) against stateful-stage parallelism; at
+    // 100 TB/1000s-of-keys-per-GB this goes UP with key count — the
+    // knob scales the same way the reference's step parallelism does
+    // (application.pony:149-150 `parallelism`).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    // Staged multi-GB /tmp dirs, registered AT CREATION so the finally
+    // below reclaims them on ANY exit — an uncaught throw mid-setup
+    // (e.g. a malformed env var) is swallowed by Bench.run's outer catch
+    // and the batch pack would otherwise keep running with
+    // shuffle.partitions=16 in the shared session and gigabytes of
+    // staging leaking writeback debt into later timed windows.
+    val stagedDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
     // Stage (user_id, cents, ts_ns) as a 32-file parquet dir so the file
     // source replays it as micro-batches of 16 parallel file-read tasks.
     // ×80 replication (ts perturbed by the replica index so per-key event
@@ -228,6 +244,7 @@ object StreamBench {
       if (!eventRowNames.exists(wanted)) None
       else try {
         val staged = Files.createTempDirectory("graft_stream_src").toString
+        stagedDirs += staged
         val ev = Tables.events(spark, sfDir)
           .select(col("user_id"), expr("cast(round(value * 100) as bigint)").as("cents"),
             col("ts_ns"))
@@ -249,14 +266,6 @@ object StreamBench {
       (r: Row) => r.getLong(2),
       maxFilesPerTrigger = 32)
 
-    // Stream-side shuffle sizing: ~1.5k keys of a few KB each. 16
-    // state-store partitions balances store-commit overhead (per
-    // partition per batch) against stateful-stage parallelism; at
-    // 100 TB/1000s-of-keys-per-GB this goes UP with key count — the
-    // knob scales the same way the reference's step parallelism does
-    // (application.pony:149-150 `parallelism`).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
     // STREAM_BENCH_PROVIDER=rocksdb benches the disk-spilling provider a
     // large deployment runs (changelog checkpointing keeps the per-batch
     // commit an append, not a full SST upload).
@@ -347,6 +356,8 @@ object StreamBench {
     // the full stream, not a trickle of alerts.
     def twoStageTrial(): (Double, Double, (Long, Long), (Long, Long, Long)) = {
       val handoff = Files.createTempDirectory("graft_two_stage").toString
+      var upOpt: Option[SinkHandle] = None
+      var downOpt: Option[SinkHandle] = None
       try {
         val t0 = System.nanoTime()
         val (up, handedOff) = Graft.source("bench-two-stage", source())
@@ -356,20 +367,28 @@ object StreamBench {
           // invisible to the downstream file source) so one delete covers
           // data + checkpoint
           .through(handoff, Some(s"$handoff/_ckpt"))
+        upOpt = Some(up)
         val down = handedOff
           .keyBy(_._1.toString)
           .to(Graft.rangeWindows(1800L * 1000000000L).withSlide(600L * 1000000000L)
             .over(PipelineQueries.WindowCents))(
             Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
           .toSink(EmptySink())
+        downOpt = Some(down)
         up.processAllAvailable()   // all input consumed, all handoff files committed
         down.processAllAvailable() // chain drained
         val sec = (System.nanoTime() - t0) / 1e9
         val (sustained, latency) = sustainedOf(down.query, nRows, sec)
         val st = stateOf(down.query)
-        up.stop(); down.stop()
         (sec, sustained, latency, st)
       } finally {
+        // stop-in-finally (the wire trial's handleOpt discipline): a
+        // trial that throws mid-drain must not leave two live queries
+        // checkpointing into / tailing the dir deleted below — a leaked
+        // pair keeps erroring micro-batches and contending with every
+        // later timed trial in the pack.
+        downOpt.foreach(h => try h.stop() catch { case _: Throwable => })
+        upOpt.foreach(h => try h.stop() catch { case _: Throwable => })
         // Each trial stages the full stream into the handoff dir; with
         // GRAFT_STREAM_REPEATS trials per run these accumulate in /tmp
         // unless deleted (ADVICE r4).
@@ -389,6 +408,7 @@ object StreamBench {
       if (!wanted("stream_neardup")) None
       else try {
         val dir = Files.createTempDirectory("graft_stream_docs").toString
+        stagedDirs += dir
         val docReps = 200L
         Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
           .crossJoin(spark.range(docReps).select(col("id")))
@@ -442,7 +462,9 @@ object StreamBench {
       if (!wanted("stream_ann")) None
       else try {
         val idxDir = Files.createTempDirectory("graft_stream_annidx").toString
+        stagedDirs += idxDir
         val probeDir = Files.createTempDirectory("graft_stream_annprobe").toString
+        stagedDirs += probeDir
         // wire contract: the bit-packed AnnWire format on BOTH legs
         // (VERDICT r8 #5) — one code word per index row, 66 packed longs
         // per probe. AnnWire is self-contained (functions must not
@@ -455,7 +477,8 @@ object StreamBench {
         import spark.implicits._
         graft.operators.Similarity.buildIvfPqIndex(spark, sfDir)
           .select(col("cent_id"), col("neighbor_id"),
-            array((0 until 8).map(m => col(s"code_$m").cast("int")): _*).as("codes"))
+            array((0 until graft.operators.Similarity.PqSub)
+            .map(m => col(s"code_$m").cast("int")): _*).as("codes"))
           .as[(Long, Long, Seq[Int])]
           .map { case (cent, id, codes) =>
             (0L, cent, id, Array(graft.functions.AnnWire.packCodes(codes.toArray)), 0L) }
@@ -553,10 +576,14 @@ object StreamBench {
     // beyond the stream's span — every row reaches the state store and
     // the row measures true session-merge throughput, not a
     // drop-most-rows fast path. State = one row per open session.
+    // staged-events schema read ONCE per run (a batch footer-inference
+    // read) — not inside every session trial's timed window, where it
+    // added fixed plan-time I/O to exactly the rows the provider A/B
+    // compares
+    lazy val stagedEventsSchema = spark.read.parquet(staged).schema
     def sessionTrial(): (Double, Double, (Long, Long), (Long, Long, Long)) = {
       val t0 = System.nanoTime()
-      val schema = spark.read.parquet(staged).schema
-      val q = spark.readStream.schema(schema)
+      val q = spark.readStream.schema(stagedEventsSchema)
         .option("maxFilesPerTrigger", 32).parquet(staged)
         .select(col("user_id"),
           org.apache.spark.sql.functions.timestamp_micros(expr("ts_ns div 1000")).as("ts"),
@@ -587,14 +614,6 @@ object StreamBench {
     // seconds, so the published JSON shows the spread a reader needs to
     // adjudicate a regression without a re-run.
     val repeats = sys.env.getOrElse("GRAFT_STREAM_REPEATS", "3").toInt.max(1)
-    def medianD(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    def medianL(xs: Seq[Long]): Long = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     // Row registry: (name, provider label, per-trial session confs, trial
     // thunk). Confs are set/restored around EACH trial (tws rows
     // interleave with default-host rows).
@@ -824,6 +843,8 @@ object StreamBench {
     // counts downstream.
     def topkTrial(): (Double, Double, (Long, Long), (Long, Long, Long)) = {
       val handoff = Files.createTempDirectory("graft_topk").toString
+      var upOpt: Option[SinkHandle] = None
+      var downOpt: Option[SinkHandle] = None
       try {
         val t0 = System.nanoTime()
         val (up, handedOff) = Graft.source("bench-topk", source())
@@ -833,11 +854,13 @@ object StreamBench {
             .over(PipelineQueries.TypePartialCount))(
             Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
           .through(handoff, Some(s"$handoff/_ckpt"))
+        upOpt = Some(up)
         val down = handedOff
           .keyBy(_._1.toString)
           .toGlobalWindow(PipelineQueries.LeaderBoard)(
             Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
           .toSink(EmptySink())
+        downOpt = Some(down)
         up.processAllAvailable()
         down.processAllAvailable()
         val sec = (System.nanoTime() - t0) / 1e9
@@ -848,9 +871,12 @@ object StreamBench {
         val (sustained, _) = sustainedOf(up.query, nRows, sec)
         val (_, latency) = sustainedOf(down.query, nRows, sec)
         val st = stateOf(down.query)
-        up.stop(); down.stop()
         (sec, sustained, latency, st)
       } finally {
+        // stop-in-finally: see twoStageTrial — a mid-drain throw must not
+        // leave the pair running against the deleted handoff
+        downOpt.foreach(h => try h.stop() catch { case _: Throwable => })
+        upOpt.foreach(h => try h.stop() catch { case _: Throwable => })
         deleteRecursively(new java.io.File(handoff))
       }
     }
@@ -894,7 +920,12 @@ object StreamBench {
       register("stream_topk", baseProvider)(() => topkTrial())
       register("stream_session", sessionProvider)(() => sessionTrial())
     } else failed ++= eventRowNames.filter(n =>
-      wanted(n) && !n.endsWith("_tws"))
+      wanted(n) && !n.endsWith("_tws") &&
+        // a provider-pinned run never registers the _rocksdb duplicates
+        // (the base rows already run RocksDB) — marking them failed here
+        // would claim rows missing that a SUCCESSFUL pinned run would
+        // not have produced either
+        !(baseStore == "rocksdb" && n.endsWith("_rocksdb")))
     // the wire row stages its own frame log (no dependence on evStaged)
     wireFramesOpt match {
       case Some(frames) =>
@@ -1142,14 +1173,11 @@ object StreamBench {
         (medianL(used.map(_._3._1)), medianL(used.map(_._3._2))),
         provider, stateJson, spikedJson)
     }
-    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    evStaged.foreach(s => deleteRecursively(new java.io.File(s._1)))
-    docsStagedOpt.foreach(s => deleteRecursively(new java.io.File(s._1)))
-    annStagedOpt.foreach { case (idx, probe, _) =>
-      deleteRecursively(new java.io.File(idx))
-      deleteRecursively(new java.io.File(probe))
-    }
     Out(results, failed.toList.distinct, roundCal.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      stagedDirs.foreach(d => deleteRecursively(new java.io.File(d)))
+    }
   }
 
   /** Pure spike predicate over one row's trials (VERDICT r10 #1b) —
@@ -1166,13 +1194,21 @@ object StreamBench {
     * bracketing round-calibration sample rose >1.5× the series median
     * (a whole-host contention window). Single-trial rows are never
     * flagged — there is no sibling evidence. */
+  /** Odd/even median — ONE definition for the published row medians AND
+    * the spike predicate's sibling medians (previously four inline
+    * copies whose even-length rule could silently diverge). */
+  private[graft] def medianD(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+  private[graft] def medianL(xs: Seq[Long]): Long = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   private[graft] def spikeFlags(trials: Seq[(Double, Long)],
       roundCal: Seq[(Int, Double)]): Set[Int] = {
-    def medD(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    val calMedian = if (roundCal.isEmpty) 0.0 else medD(roundCal.map(_._2))
+    val calMedian = if (roundCal.isEmpty) 0.0 else medianD(roundCal.map(_._2))
     def calSpikeAt(i: Int): Boolean =
       Seq(i, i + 1).flatMap(r => roundCal.find(_._1 == r)).map(_._2)
         .exists(_ > 1.5 * calMedian)
@@ -1190,10 +1226,6 @@ object StreamBench {
       calSpikeAt: Int => Boolean): Set[Int] =
     if (trials.size < 2) Set.empty
     else {
-      def medL(xs: Seq[Long]): Long = {
-        val s = xs.sorted
-        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      }
       val minW = trials.map(_._1).min
       // Sibling commit medians are taken over trials NOT already
       // flagged, iterated until no NEW flag appears: with 2 of 3 trials
@@ -1214,7 +1246,7 @@ object StreamBench {
           !flagged(i) && {
             val sibs = trials.indices
               .filter(j => j != i && !flagged(j)).map(j => trials(j)._2)
-            val sibMed = if (sibs.isEmpty) 0L else medL(sibs)
+            val sibMed = if (sibs.isEmpty) 0L else medianL(sibs)
             val commitSpike = sibMed > 0 && trials(i)._2 > 2 * sibMed
             trials(i)._1 > 2 * minW && (commitSpike || calSpikeAt(i))
           }
