@@ -94,4 +94,51 @@ class SpikeDetectorSpec extends AnyFunSuite {
     val trials = Seq((5.9, 5200L), (4.1, 4900L), (4.6, 5050L))
     assert(StreamBench.spikeFlagsWith(trials, _ => true) === Set.empty[Int])
   }
+
+  // --- the evidence-clean wall-outlier predicate (VERDICT r12 #1):
+  // the exact class the evidence gate cannot flag — wall eruption,
+  // clean commit, quiet calibration — must still get a machine marker.
+
+  test("wall outlier: the driver-r12 stream_ann shape selects for re-run") {
+    // walls 18.65/5.4/5.3 with CLEAN commits: spikeFlags stays empty
+    // (by design — no corroboration), but the 3.5x-min trial crosses
+    // the wall-only 3x bar and the health key's 2x bar
+    val trials = Seq((18.65, 2400L), (5.4, 2300L), (5.3, 2500L))
+    assert(StreamBench.spikeFlags(trials, flatCal) === Set.empty[Int])
+    val walls = trials.map(_._1)
+    assert(StreamBench.wallOutlierIdx(walls, Set.empty, 3.0) === Set(0))
+    assert(StreamBench.wallOutlierIdx(walls, Set.empty, 2.0) === Set(0))
+  }
+
+  test("wall outlier: a (2x, 3x] straggler is counted but NOT re-run") {
+    // 2.5x the row min: below the re-run bar (factor 3), inside the
+    // health key's wall_outliers_unflagged band (factor 2)
+    val walls = Seq(12.5, 5.0, 5.2)
+    assert(StreamBench.wallOutlierIdx(walls, Set.empty, 3.0) === Set.empty[Int])
+    assert(StreamBench.wallOutlierIdx(walls, Set.empty, 2.0) === Set(0))
+  }
+
+  test("wall outlier: evidence-flagged indices are excluded from the count") {
+    // trial 0 went through the spike pipeline (marker already published)
+    // — only the unmarked eruption may surface under the wall key
+    val walls = Seq(26.6, 18.0, 4.9)
+    assert(StreamBench.wallOutlierIdx(walls, Set(0), 3.0) === Set(1))
+    assert(StreamBench.wallOutlierIdx(walls, Set(0, 1), 3.0) === Set.empty[Int])
+  }
+
+  test("wall outlier: boundary is strict and single-trial rows never flag") {
+    // exactly 2x min must stay in the elevated (1.5x, 2x] band, not
+    // double-count as a wall outlier
+    assert(StreamBench.wallOutlierIdx(Seq(10.0, 5.0), Set.empty, 2.0)
+      === Set.empty[Int])
+    assert(StreamBench.wallOutlierIdx(Seq(10.1, 5.0), Set.empty, 2.0) === Set(0))
+    assert(StreamBench.wallOutlierIdx(Seq(40.0), Set.empty, 2.0)
+      === Set.empty[Int])
+  }
+
+  test("wall outlier: honest spread below the bars flags nothing") {
+    val walls = Seq(5.9, 4.1, 4.6)
+    assert(StreamBench.wallOutlierIdx(walls, Set.empty, 3.0) === Set.empty[Int])
+    assert(StreamBench.wallOutlierIdx(walls, Set.empty, 2.0) === Set.empty[Int])
+  }
 }
