@@ -358,6 +358,11 @@ object Bench {
       .filter(_.wallRerunJson != "[]")
       .map(r => "\"" + r.name + "\":" + r.wallRerunJson)
       .mkString("{", ",", "}")
+    // Row-rig extras (Out.extra) — e.g. stream_recovery_detail's
+    // per-trial kill/restart/verify record — spliced in verbatim as
+    // top-level keys.
+    val streamExtraJson = streamOut.extra
+      .map { case (k, v) => "\"" + k + "\":" + v + "," }.mkString
     val streamCleanJson = streamOut.rows
       .map(r => "\"" + r.name + "\":" + r.medianCleanSec)
       .mkString("{", ",", "}")
@@ -464,7 +469,7 @@ object Bench {
       if (forceSpike.isDefined || sys.env.contains("GRAFT_STREAM_FORCE_WALL"))
         """"drill":true,"""
       else ""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",$drillJson"subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"batch_spiked_trials":$batchSpikedJson,"stream_round_health":$streamRoundHealthJson,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_median_clean":$streamCleanJson,"stream_spiked_trials":$streamSpikedJson,"stream_wall_rerun_trials":$streamWallRerunJson,"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$drillJson"subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"batch_spiked_trials":$batchSpikedJson,"stream_round_health":$streamRoundHealthJson,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_median_clean":$streamCleanJson,"stream_spiked_trials":$streamSpikedJson,"stream_wall_rerun_trials":$streamWallRerunJson,$streamExtraJson"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
     println(json)
     // The round-4 driver capture truncated the stdout tail and destroyed
     // the artifact (VERDICT r4 #1) — also write the same JSON to a file so
