@@ -90,12 +90,39 @@ object ProtocolPeers {
     def close(): Unit = { closed = true; server.close() }
   }
 
+  /** One fault-injection rule — the reference aloc_sink's
+    * `("txnid-regexp", regexp, phase1-vote, close-before, close-after)`
+    * tuple (testing/correctness/tests/aloc_sink/README.abort-rules.md):
+    * when a PHASE1's txn id matches `regexp` (search semantics), the
+    * receiver forces the reply vote to `vote`; `closeBefore` drops the
+    * connection BEFORE replying (the reply is lost), `closeAfter` drops
+    * it after. Applied at most `maxHits` times: the reference injects a
+    * single fault per test, and where Wallaroo's incrementing 2PC round
+    * number naturally un-matches a retried checkpoint, Spark replays the
+    * SAME txn id — an unbounded rule would re-fire forever. */
+  final class AbortRule(regexp: String, val vote: Boolean,
+      val closeBefore: Boolean, val closeAfter: Boolean,
+      val maxHits: Int = 1) {
+    private val pat = java.util.regex.Pattern.compile(regexp)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** True exactly when the rule matches AND has firings left — claims
+      * one firing. */
+    def claim(txn: String): Boolean =
+      pat.matcher(txn).find() && hits.getAndIncrement() < maxHits
+  }
+
   /** Plays the protocol's receiving side the way the reference's external
     * sink processes do: data frames staged per connection, promoted to the
     * in-doubt map at PHASE1 (with the where-list's end offset), applied to
     * `committed` or discarded at PHASE2. In-doubt transactions survive
-    * reconnects; staged-but-unprepared bytes die with their connection. */
-  final class TwoPcReceiver(voteAbort: String => Boolean = _ => false) {
+    * reconnects; staged-but-unprepared bytes die with their connection.
+    * `rules` injects the reference's abort-rules faults at phase 1;
+    * `closeAfterPhase2` drops the connection right after applying a
+    * PHASE2 commit whose txn matches (the replayed-phase-2 / lost-link
+    * window after a durable peer commit). */
+  final class TwoPcReceiver(voteAbort: String => Boolean = _ => false,
+      rules: Seq[AbortRule] = Nil,
+      closeAfterPhase2: String => Boolean = _ => false) {
     val server = new ServerSocket(0)
     val committed = new java.util.concurrent.CopyOnWriteArrayList[String]
     val inDoubt =
@@ -139,10 +166,21 @@ object ProtocolPeers {
                     TwoPcWire.replyUncommitted(rtag, inDoubt.keySet().asScala.toSeq)))
                 case TwoPcWire.Phase1 =>
                   val (txn, whereList) = TwoPcWire.readPhase1(payload)
+                  // promoted BEFORE any injected close: phase 1 was
+                  // received, so the txn is in doubt and survives the
+                  // connection — only unprepared staged bytes die with it
                   inDoubt.put(txn, (staged.toVector, whereList.head._3))
                   staged.clear()
-                  writeFrame(out, typed(Message, u64(0L) ++ u64(0L) ++
-                    TwoPcWire.phase2r(TwoPcWire.Phase1Reply, txn, !voteAbort(txn))))
+                  rules.find(_.claim(txn)) match {
+                    case Some(r) =>
+                      if (r.closeBefore) { conn.close(); return } // reply lost
+                      writeFrame(out, typed(Message, u64(0L) ++ u64(0L) ++
+                        TwoPcWire.phase2r(TwoPcWire.Phase1Reply, txn, r.vote)))
+                      if (r.closeAfter) { conn.close(); return }
+                    case None =>
+                      writeFrame(out, typed(Message, u64(0L) ++ u64(0L) ++
+                        TwoPcWire.phase2r(TwoPcWire.Phase1Reply, txn, !voteAbort(txn))))
+                  }
                 case TwoPcWire.Phase2 =>
                   val (txn, commit) = TwoPcWire.readPhase2r(payload)
                   val entry = inDoubt.remove(txn)
@@ -152,6 +190,7 @@ object ProtocolPeers {
                       committedOffset = entry._2
                     } else aborts += 1
                   }
+                  if (commit && closeAfterPhase2(txn)) { conn.close(); return }
                 case _ =>
               }
             case _ =>
