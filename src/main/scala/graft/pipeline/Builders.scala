@@ -85,6 +85,9 @@ final class RangeWindowsStateInitializer[In, Out, Acc](
 }
 
 final class CountWindowsBuilder(count: Int) {
+  // fail-fast like RangeWindowsBuilder's slide/range check: count <= 0
+  // would silently degrade to a one-message window per input
+  require(count > 0, s"Count windows must trigger on a count greater than 0, got $count")
   def over[In, Out, Acc](agg: Aggregation[In, Out, Acc]): StateInitializer[In, Out] =
     new CountWindowsStateInitializer(agg, count)
 }
@@ -104,6 +107,15 @@ final class CountWindowsStateInitializer[In, Out, Acc](
 final class EphemeralWindowsBuilder(triggerRange: Long, postTriggerRange: Long) {
   private var delay: Long = 0L
   private var policy: LateDataPolicy = LateDataPolicy.Drop
+  /** Conformance caveat: for ephemeral windows the reference stores the
+    * delay but never folds it into the trigger or remove points
+    * (ephemeral_window.pony:95-102 — `_trigger_point =
+    * _starting_watermark_ts + trigger_range`, `_delay` read only by the
+    * timeout interval, windows.pony:409-411), so `withDelay` does NOT
+    * extend late-arrival tolerance before the trigger: in-delay events
+    * after the trigger still follow the late-data policy. This port keeps
+    * that behavior exactly (pinned by EphemeralWindowsSpec); the delay's
+    * only effect is the timer cadence below. */
   def withDelay(d: Long): EphemeralWindowsBuilder = { delay = d; this }
   def withLateDataPolicy(p: LateDataPolicy): EphemeralWindowsBuilder = { policy = p; this }
   def over[In, Out, Acc](agg: Aggregation[In, Out, Acc]): StateInitializer[In, Out] =

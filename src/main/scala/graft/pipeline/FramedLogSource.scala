@@ -45,22 +45,45 @@ object FramedLog {
     .add("payload", BinaryType, nullable = false)
 
   /** Walk frame headers from `from`, returning the last complete-frame end
-    * ≤ the current file length, advancing at most `maxBytes`. */
+    * ≤ the current file length, advancing at most `maxBytes`. Buffered:
+    * the former RandomAccessFile seek+readInt walk paid two syscalls per
+    * frame — O(frames) driver syscalls per progress report; a buffered
+    * stream reads headers out of 64 KB blocks and `skip` stays in-buffer
+    * for any frame smaller than the block. */
   private[pipeline] def frameAlignedEnd(path: String, from: Long, maxBytes: Long): Long = {
-    val f = new RandomAccessFile(path, "r")
+    val raw = new java.io.FileInputStream(path)
     try {
-      val len = f.length()
+      // Length snapshot FIRST: the writer appends concurrently, and frames
+      // past this point belong to the next call.
+      val len = raw.getChannel.size()
+      if (from + 4 > len) return from
+      skipFully(raw, from)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(raw, 64 << 10))
       var pos = from
       var end = from
-      while (pos + 4 <= len && (end - from) < maxBytes) {
-        f.seek(pos)
-        val payloadLen = f.readInt() // big-endian u32, the TcpSink framing
+      var done = false
+      while (!done && pos + 4 <= len && (end - from) < maxBytes) {
+        val payloadLen = in.readInt() // big-endian u32, the TcpSink framing
         require(payloadLen >= 0, s"negative frame length at $pos in $path")
-        if (pos + 4 + payloadLen <= len) { pos += 4 + payloadLen; end = pos }
-        else pos = len // partial trailing frame: wait for the writer
+        if (pos + 4 + payloadLen <= len) {
+          skipFully(in, payloadLen.toLong)
+          pos += 4 + payloadLen
+          end = pos
+        } else done = true // partial trailing frame: wait for the writer
       }
       end
-    } finally f.close()
+    } finally raw.close()
+  }
+
+  /** InputStream.skip may return short — loop until `n` consumed. */
+  private def skipFully(in: java.io.InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      require(s > 0, s"unexpected EOF while skipping $left bytes")
+      left -= s
+    }
   }
 }
 
@@ -108,18 +131,37 @@ final case class BytePos(pos: Long) extends Offset {
 final class FramedLogMicroBatchStream(path: String, maxBytesPerTrigger: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   @volatile private var availableNowCap: Option[Long] = None
+  // Highest frame-aligned position any walk has proven. The log is
+  // append-only, so an aligned position stays aligned forever — progress
+  // reports resume from here instead of re-walking the whole log from
+  // byte 0 on EVERY micro-batch (formerly O(total frames) driver syscalls
+  // per trigger: quadratic total I/O over a long-running tail query).
+  @volatile private var knownAligned: Long = 0L
+
+  private def alignedFrom(from: Long, maxBytes: Long): Long = {
+    val end = FramedLog.frameAlignedEnd(path, from, maxBytes)
+    if (end > knownAligned) knownAligned = end
+    end
+  }
 
   override def initialOffset(): Offset = BytePos(0L)
   override def deserializeOffset(json: String): Offset = BytePos(json.toLong)
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(FramedLog.frameAlignedEnd(path, 0L, Long.MaxValue))
+    availableNowCap = Some(alignedFrom(knownAligned, Long.MaxValue))
   override def reportLatestOffset(): Offset =
-    BytePos(FramedLog.frameAlignedEnd(path, 0L, Long.MaxValue))
+    BytePos(alignedFrom(knownAligned, Long.MaxValue))
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("latestOffset(start, limit) is used")
   override def latestOffset(start: Offset, readLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val from = start.asInstanceOf[BytePos].pos
-    val end = FramedLog.frameAlignedEnd(path, from, maxBytesPerTrigger)
+    // With a byte budget the walk must start at `from` (the budget is
+    // measured from there and the boundary nearest from+maxBytes needs
+    // the headers anyway — O(one batch), fine). Unbounded, resume from
+    // the proven frontier: everything below it is already aligned.
+    val walkFrom =
+      if (maxBytesPerTrigger == Long.MaxValue) math.max(from, knownAligned)
+      else from
+    val end = math.max(from, alignedFrom(walkFrom, maxBytesPerTrigger))
     BytePos(availableNowCap.fold(end)(math.min(end, _)))
   }
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -141,23 +183,30 @@ final class FramedLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FramedLogPartition]
     new PartitionReader[InternalRow] {
-      private val f = new RandomAccessFile(p.path, "r")
+      // [p.start, p.end) is one contiguous frame-aligned region: a single
+      // buffered sequential pass (the former per-frame seek+readInt+
+      // readFully paid 3 syscalls per frame).
+      private val raw = new RandomAccessFile(p.path, "r")
+      private val in: java.io.DataInputStream = {
+        raw.seek(p.start)
+        new java.io.DataInputStream(new java.io.BufferedInputStream(
+          java.nio.channels.Channels.newInputStream(raw.getChannel), 256 << 10))
+      }
       private var pos = p.start
       private var row: InternalRow = _
       override def next(): Boolean =
         if (pos >= p.end) false
         else {
-          f.seek(pos)
-          val len = f.readInt()
+          val len = in.readInt()
           require(pos + 4 + len <= p.end, s"frame at $pos crosses batch end ${p.end}")
           val payload = new Array[Byte](len)
-          f.readFully(payload)
+          in.readFully(payload)
           row = new GenericInternalRow(Array[Any](pos, payload))
           pos += 4 + len
           true
         }
       override def get(): InternalRow = row
-      override def close(): Unit = f.close()
+      override def close(): Unit = raw.close()
     }
   }
 }

@@ -127,9 +127,21 @@ object ProtocolPeers {
     val committed = new java.util.concurrent.CopyOnWriteArrayList[String]
     val inDoubt =
       new java.util.concurrent.ConcurrentHashMap[String, (Vector[String], Long)]
-    @volatile var committedOffset = 0L
+    // Committed offset PER STREAM, monotone (max-merge): a single global
+    // slot cross-talked between sinks on disjoint streams (the topology
+    // ConnectorSocketSink's docs endorse) and could REGRESS when two
+    // in-doubt txns resolved out of iteration order — either way the next
+    // NOTIFY_ACK handed a sink a foreign or stale resume point. A txn id
+    // embeds its stream name ("<stream>:c_id=<epoch>"), which keys the
+    // commit; NOTIFY carries the name to key the ACK.
+    val committedOffsets =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
     @volatile var aborts = 0
     @volatile private var closed = false
+
+    /** Resume point for `stream` (0 until its first commit). */
+    def committedOffset(stream: String): Long =
+      Option(committedOffsets.get(stream)).fold(0L)(_.longValue)
 
     private val acceptor = new Thread("twopc-test-acceptor") {
       override def run(): Unit =
@@ -154,7 +166,9 @@ object ProtocolPeers {
             case Hello =>
               writeFrame(out, typed(Ok, u64(0L)))
             case Notify =>
-              writeFrame(out, typed(NotifyAck, u64(committedOffset)))
+              // frame: [type][u64 stream id][u16-len stream name]
+              val stream = readShortBytes(f, 9)._1
+              writeFrame(out, typed(NotifyAck, u64(committedOffset(stream))))
             case Message =>
               val streamId = readU64(f, 1)
               val payload = java.util.Arrays.copyOfRange(f, 17, f.length)
@@ -187,7 +201,10 @@ object ProtocolPeers {
                   if (entry != null) {
                     if (commit) {
                       committed.addAll(entry._1.asJava)
-                      committedOffset = entry._2
+                      val stream = txn.substring(0,
+                        math.max(0, txn.lastIndexOf(":c_id=")))
+                      committedOffsets.merge(stream, Long.box(entry._2),
+                        (a, b) => if (a >= b) a else b)
                     } else aborts += 1
                   }
                   if (commit && closeAfterPhase2(txn)) { conn.close(); return }

@@ -29,7 +29,19 @@ final class AggregationAsAggregator[In, Out, Acc](
   def reduce(acc: Acc, in: In): Acc = { agg.update(in, acc); acc }
   def merge(a: Acc, b: Acc): Acc = agg.combine(a, b)
   def finish(acc: Acc): Out =
-    agg.output(key, windowEndTs, acc).getOrElse(null.asInstanceOf[Out])
+    agg.output(key, windowEndTs, acc).getOrElse {
+      // 'null result the caller filters' is unenforceable for value
+      // types: null.asInstanceOf[Long] is 0L, so suppression would
+      // silently become a legitimate-looking zero row. Fail loudly —
+      // an Aggregation that suppresses must bridge with an AnyRef Out.
+      if (outEnc.clsTag.runtimeClass.isPrimitive)
+        throw new IllegalStateException(
+          s"Aggregation '${agg.name}' suppressed its output (None) but its " +
+            s"Out type ${outEnc.clsTag.runtimeClass} is a value type — null " +
+            "would silently decay to zero. Use a boxed/Product Out (or an " +
+            "Option field) when output() can return None.")
+      null.asInstanceOf[Out]
+    }
   def bufferEncoder: Encoder[Acc] = accEnc
   def outputEncoder: Encoder[Out] = outEnc
 }

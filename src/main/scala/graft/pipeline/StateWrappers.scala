@@ -160,13 +160,26 @@ final class PanesRangeWindows[In, Out, Acc](
 
   private val identityAcc: Acc = agg.initialAccumulator()
 
-  // _InitializePaneParameters (panes_range_windows.pony:392-409)
+  // _InitializePaneParameters (panes_range_windows.pony:392-409). The
+  // reference computes these in 64-bit USize; narrowing to Int is a port
+  // decision (JVM arrays are Int-indexed), so every narrowing is guarded —
+  // a near-coprime range/slide (huge range/gcd ratio) or an extreme
+  // delay/slide ratio must fail fast at construction, not wrap negative
+  // and corrupt the ring.
+  private def asPaneCount(v: Long, what: String): Int = {
+    require(v <= PanesRangeWindows.MaxPaneCount,
+      s"$what = $v panes for key '$key' (range $range, slide $slide, " +
+        s"delay $delay) exceeds the ${PanesRangeWindows.MaxPaneCount} sanity " +
+        "cap; pick a range/slide pair with a larger gcd or a smaller delay")
+    v.toInt
+  }
   private val paneSize: Long = gcd(range, slide)
-  private val panesPerSlide: Int = (slide / paneSize).toInt
-  private val panesPerWindow: Int = (range / paneSize).toInt
+  private val panesPerSlide: Int = asPaneCount(slide / paneSize, "panes per slide")
+  private val panesPerWindow: Int = asPaneCount(range / paneSize, "panes per window")
   private val delaySlideUnits: Long = math.ceil(delay.toDouble / slide.toDouble).toLong
   private val normalizedDelay: Long = slide * delaySlideUnits
-  private val initialPaneCount: Int = panesPerWindow + (delaySlideUnits.toInt * panesPerSlide)
+  private val initialPaneCount: Int = asPaneCount(
+    panesPerWindow.toLong + delaySlideUnits * panesPerSlide, "initial pane count")
 
   private var panes: ArrayBuffer[Acc] = ArrayBuffer.fill(initialPaneCount)(null.asInstanceOf[Acc])
   private var panesStartTs: ArrayBuffer[Long] = {
@@ -181,7 +194,6 @@ final class PanesRangeWindows[In, Out, Acc](
   private var highestSeenEventTs: Long = initialWatermarkTs
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-  private def lcm(a: Long, b: Long): Long = a / gcd(a, b) * b
 
   private def earliestTs: Long = panesStartTs(earliestWindowIdx)
   private def allPaneRange: Long = panes.length.toLong * paneSize
@@ -288,10 +300,33 @@ final class PanesRangeWindows[In, Out, Acc](
 
   /** Grow the ring to cover a future event (panes_range_windows.pony:301-329
     * + _ExpandSlidingWindow:411-424). New pane count is rounded so the total
-    * stays a multiple of panesPerSlide. */
+    * stays a multiple of panesPerSlide.
+    *
+    * Deliberate divergence from the reference's arithmetic: `_ExpandSlidingWindow`
+    * (:417) takes lcm(minNewPanes, panesPerSlide), which satisfies its two
+    * invariants (cover the event; keep the total a multiple of panesPerSlide)
+    * but overshoots catastrophically when the two are coprime — e.g.
+    * panesPerSlide=1000 with a gap of 3,600,001 panes gives an lcm of
+    * 3.6e9: in the 64-bit reference that's an OOM-sized allocation, and the
+    * former `.toInt` port wrapped it NEGATIVE, so ArrayBuffer.fill returned
+    * an EMPTY ring and the copy loop crashed the query. Rounding
+    * minNewPanes UP to the next multiple of panesPerSlide preserves both
+    * documented invariants (asserted at :421-422 in the reference) with the
+    * minimal ring, and the emitted windows are identical — ring size only
+    * sets the coverage horizon, never a window boundary. The remaining
+    * gap-proportional growth is guarded Long-side so a pathological
+    * event-time jump fails loudly instead of exhausting the heap. */
   private def expandWindows(eventTs: Long, end: Long): Unit = {
     val minNewPanes = ((eventTs - (end + 1)) / paneSize) + 1
-    val newCount = (lcm(minNewPanes, panesPerSlide.toLong) + panes.length).toInt
+    val ceilToSlide =
+      ((minNewPanes + panesPerSlide - 1) / panesPerSlide) * panesPerSlide.toLong
+    val newCountL = ceilToSlide + panes.length
+    require(newCountL <= PanesRangeWindows.MaxPaneCount,
+      s"window ring for key '$key' would need $newCountL panes " +
+        s"(event ts $eventTs is ${eventTs - end} beyond the covered span, " +
+        s"pane size $paneSize) — beyond the ${PanesRangeWindows.MaxPaneCount} " +
+        "sanity cap; widen the slide/range or fix the event-time source")
+    val newCount = newCountL.toInt
     val newPanes = ArrayBuffer.fill(newCount)(null.asInstanceOf[Acc])
     val newStarts = ArrayBuffer.fill(newCount)(0L)
     val oldSize = panes.length
@@ -325,6 +360,13 @@ final class PanesRangeWindows[In, Out, Acc](
     }
 }
 
+object PanesRangeWindows {
+  /** Hard cap on a single key's pane ring (128M panes ≈ 1 GB of refs) —
+    * any configuration or event-time jump needing more is a defect to
+    * surface, not an allocation to attempt. */
+  val MaxPaneCount: Long = 1L << 27
+}
+
 /** One-shot per-key window (core/windows/ephemeral_window.pony:65-166):
   * opens on the key's first message, triggers once the watermark passes
   * (opening watermark + triggerRange), drops its state once the watermark
@@ -348,27 +390,45 @@ final class EphemeralWindow[In, Out, Acc](
   private val triggerPoint: Long = startingWatermarkTs + triggerRange
   private val removePoint: Long = triggerPoint + postTriggerRange
   private var alreadyTriggered: Boolean = false
+  private var highestSeenEventTs: Long = startingWatermarkTs
 
+  // Conformance note (ephemeral_window.pony:105-121): the reference also
+  // computes an output_watermark_ts.max(event_ts) for the late-fire path
+  // and then returns watermark_ts unchanged — the variable is dead there
+  // too, so this port returns watermarkTs directly rather than carrying
+  // the dead assignment. Late FirePerMessage emissions are stamped with
+  // the current watermark (reference :118), even though agg.output sees
+  // the message's own event ts as the window end (:156-158).
   def apply(input: In, eventTs: Long, watermarkTs: Long): (Vector[(Out, Long)], Long, Boolean) = {
+    highestSeenEventTs = math.max(highestSeenEventTs, eventTs)
     var outs = Vector.empty[(Out, Long)]
-    var outputWatermarkTs = watermarkTs
     val retain = watermarkTs < removePoint
     if (!alreadyTriggered) {
       agg.update(input, acc)
       tryTriggerWindow(watermarkTs).foreach(o => outs = outs :+ (o, watermarkTs))
     } else {
       applyLateDataPolicy(input, eventTs).foreach(o => outs = outs :+ (o, watermarkTs))
-      outputWatermarkTs = math.max(outputWatermarkTs, eventTs)
     }
     (outs, watermarkTs, retain)
   }
 
   def attemptToTrigger(watermarkTs: Long): (Vector[(Out, Long)], Long, Boolean) = {
+    // A TimeoutWatermark flush (end of a batch replay / final drain) must
+    // not leak the Long.MaxValue sentinel into the user-visible (out, ts)
+    // stamp, the output watermark, or agg.output's window-end argument —
+    // downstream windowed stages would overflow `highestSeenEventTs +
+    // triggerOffset` negative and silently stop triggering. Map it to the
+    // force-trigger point instead, the same discipline as
+    // PanesRangeWindows.attemptToTrigger's effectiveWatermarkTs.
+    val effective =
+      if (watermarkTs == TimeoutWatermark.value)
+        math.max(highestSeenEventTs, triggerPoint) + 1
+      else watermarkTs
     var outs = Vector.empty[(Out, Long)]
     val retain = watermarkTs < removePoint
     if (!alreadyTriggered)
-      tryTriggerWindow(watermarkTs).foreach(o => outs = outs :+ (o, watermarkTs))
-    (outs, watermarkTs, retain)
+      tryTriggerWindow(effective).foreach(o => outs = outs :+ (o, effective))
+    (outs, effective, retain)
   }
 
   private def tryTriggerWindow(watermarkTs: Long): Option[Out] =
