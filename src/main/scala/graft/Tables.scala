@@ -91,6 +91,11 @@ object Tables {
     val files = df.inputFiles
     val estTasks =
       if (files.length >= target) files.length
+      // zero listed data files (schema resolved from a metadata summary,
+      // or all parts compacted away): nothing to size by — fall through
+      // to the repartition branch instead of files.head crashing a
+      // best-effort estimate
+      else if (files.isEmpty) 0
       else {
         val fs = new org.apache.hadoop.fs.Path(files.head)
           .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -396,33 +396,12 @@ final case class ConnectorSocketSink[T](
       checkpoint: Option[String], trigger: Trigger): StreamingQuery = {
     val q = SinkConfig.streamWriter(ds, name, checkpoint, trigger)
       .foreachBatch((d: Dataset[(T, Long)], id: Long) => writeMicroBatch(d, id)).start()
-    val spark = ds.sparkSession
-    val qid = q.id
-    val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
-    def onDone(failed: Boolean): Unit = if (finished.compareAndSet(false, true)) {
+    SinkConfig.settleOnTermination(ds.sparkSession, q) { failed =>
       if (commitOnStop && !failed)
         // lastProgress is finalized AFTER the batch's commit-log write,
         // so its batchId is the durable-commit frontier
         finishPendingCommit(Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
       closeQuietly() // the query owned the connection; don't leak the fd
-    }
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == qid) {
-          onDone(failed = e.exception.isDefined)
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(listener)
-    // a query can terminate in the window between start() and
-    // addListener — its TerminatedEvent fired into the void; settle it
-    // here (the AtomicBoolean keeps the two paths idempotent)
-    if (!q.isActive) {
-      onDone(failed = q.exception.isDefined)
-      spark.streams.removeListener(listener)
     }
     q
   }

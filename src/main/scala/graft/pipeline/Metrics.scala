@@ -6,10 +6,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
 
 /** Power-of-two-bin latency histogram
-  * (core/metrics/histogram.pony:21-66): value v counts into bin
-  * ceil(log2(v)) — 3→bin 2 (≤4), 4→bin 2, 5→bin 3 (≤8) — with min/max and
-  * total count for throughput reporting. 65 bins cover the full u64/Long
-  * range. */
+  * (core/metrics/histogram.pony:21-66): bin i holds values in
+  * [2^(i−1), 2^i) — 2,3→bin 2, 4..7→bin 3 — i.e. floor(log2(v))+1, the
+  * Pony `64 - v.clz()` exactly; `report`'s labels are EXCLUSIVE upper
+  * bounds (a recorded 8 reports under label 16). Min/max and total count
+  * ride along for throughput reporting. 65 bins cover the full
+  * u64/Long range. (The former doc claimed ceil(log2) with inclusive
+  * bounds — it contradicted both this code and the reference formula it
+  * mirrors; MetricsSpec pins the real contract.) */
 final class LatencyHistogram extends Serializable {
   private val counts = new Array[Long](65)
   private var minV: Long = Long.MaxValue
@@ -55,11 +59,19 @@ final class GraftMetricsListener extends StreamingQueryListener {
 
   private val queries = new ConcurrentHashMap[String, QueryMetrics]()
 
+  // A query started without .queryName(...) reports a NULL name, and
+  // ConcurrentHashMap rejects null keys — the listener bus would swallow
+  // the NPE and that query's metrics silently vanish. Key such queries
+  // by their stable id instead.
+  private def keyOf(name: String, id: java.util.UUID): String =
+    if (name != null) name else id.toString
+
   override def onQueryStarted(event: QueryStartedEvent): Unit =
-    queries.putIfAbsent(event.name, QueryMetrics())
+    queries.putIfAbsent(keyOf(event.name, event.id), QueryMetrics())
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
-    val m = queries.computeIfAbsent(event.progress.name, _ => QueryMetrics())
+    val m = queries.computeIfAbsent(
+      keyOf(event.progress.name, event.progress.id), _ => QueryMetrics())
     m.batchDurationMs.record(event.progress.batchDuration)
     m.synchronized { m.rows += event.progress.numInputRows; m.batches += 1 }
   }

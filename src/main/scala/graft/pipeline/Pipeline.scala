@@ -45,6 +45,19 @@ object Graft {
     new EphemeralWindowsBuilder(triggerRangeNs, postTriggerRangeNs)
 }
 
+object Pipeline {
+  /** Watermark slacks/horizons normalized UP to a whole millisecond —
+    * ONE home for the rule (streamingStateful's slack AND
+    * dedupByWithin's horizon previously carried diverging copies: one
+    * rounded up, the other floored). The watermark column and delay are
+    * ms-granular; rounding DOWN can push the query watermark past the
+    * raw max event time (early triggers, late-classified boundary rows)
+    * or shrink a documented acceptance horizon; rounding up only holds
+    * state marginally longer. */
+  private[pipeline] def ceilToWholeMsNs(ns: Long): Long =
+    ((ns + 999999L) / 1000000L) * 1000000L
+}
+
 final class Pipeline[T] private[pipeline] (
     val spark: SparkSession,
     private[pipeline] val stamped: Dataset[(T, Long)],
@@ -217,7 +230,7 @@ final class Pipeline[T] private[pipeline] (
     // batch early and late-classifying its boundary rows. Every
     // built-in initializer already uses whole-ms slacks (identity);
     // this guards user-supplied sub-ms values.
-    val slack = ((init.watermarkSlackNs + 999999L) / 1000000L) * 1000000L
+    val slack = Pipeline.ceilToWholeMsNs(init.watermarkSlackNs)
     // partition-scoped keys are batch-only (requireBatchForLocalScope):
     // a streaming branch here would key on micro-batch task ids, which
     // are reassigned every trigger — distinct upstream partitions would
@@ -392,11 +405,19 @@ final class Pipeline[T] private[pipeline] (
     if (!stamped.isStreaming) dedupBy(fp)
     else {
       val rowEnc = Encoders.tuple(Encoders.STRING, enc, Encoders.scalaLong, Encoders.TIMESTAMP)
+      // withinNs normalized UP to whole milliseconds — the same rule as
+      // streamingStateful's slack. The watermark delay is ms-granular;
+      // FLOORING here silently shrank both the dedup horizon and the
+      // promised late-row bound (a 0.5 ms withinNs collapsed to a 0 ms
+      // delay: no out-of-order suppression at all). Rounding up errs
+      // toward holding fingerprints marginally longer, never toward
+      // dropping rows the doc contract admits.
+      val withinMs = Pipeline.ceilToWholeMsNs(withinNs) / 1000000L
       val kept = stamped
         .map { case (t, ts) => (fp(t), t, ts) }(enc3)
         .withColumn("_4", org.apache.spark.sql.functions.expr(
           "timestamp_millis(_3 div 1000000)"))
-        .withWatermark("_4", s"${withinNs / 1000000L} milliseconds")
+        .withWatermark("_4", s"$withinMs milliseconds")
         .as[(String, T, Long, java.sql.Timestamp)](rowEnc)
         .dropDuplicatesWithinWatermark("_1")
       new Pipeline[T](spark, kept.map(r => (r._2, r._3))(tup[T]), None, name)
@@ -462,36 +483,17 @@ final class Pipeline[T] private[pipeline] (
         .start()
       // settle each sink's cross-batch state when the fan-out query
       // terminates (the solo toSink path's writeStream installs its own
-      // hook; here the sinks only ever see writeMicroBatch calls) — the
-      // AtomicBoolean keeps the listener and the already-terminated
-      // fallback idempotent, and lastProgress.batchId is the durable
-      // commit frontier (finalized after the commit-log write)
-      val settleDone = new java.util.concurrent.atomic.AtomicBoolean(false)
-      def settle(failed: Boolean): Unit =
-        if (settleDone.compareAndSet(false, true)) {
-          val committed = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-          sinks.foreach(s =>
-            try s.onFanOutTerminated(failed, committed)
-            catch { case e: Throwable =>
-              org.slf4j.LoggerFactory.getLogger(getClass)
-                .warn(s"fan-out sink termination hook failed: $e")
-            })
-        }
-      val qid = q.id
-      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-          if (e.id == qid) {
-            settle(failed = e.exception.isDefined)
-            spark.streams.removeListener(this)
-          }
-      }
-      spark.streams.addListener(listener)
-      if (!q.isActive) { // terminated inside the start()/addListener window
-        settle(failed = q.exception.isDefined)
-        spark.streams.removeListener(listener)
+      // hook; here the sinks only ever see writeMicroBatch calls);
+      // lastProgress.batchId is the durable commit frontier (finalized
+      // after the commit-log write)
+      SinkConfig.settleOnTermination(spark, q) { failed =>
+        val committed = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        sinks.foreach(s =>
+          try s.onFanOutTerminated(failed, committed)
+          catch { case e: Throwable =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"fan-out sink termination hook failed: $e")
+          })
       }
       new SinkHandle(Some(q))
     } else {

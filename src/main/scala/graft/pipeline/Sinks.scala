@@ -42,6 +42,42 @@ private[pipeline] object SinkConfig {
     val w = ds.writeStream.queryName(name).trigger(trigger)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c))
   }
+
+  /** Run `onDone(failed)` EXACTLY ONCE when `q` terminates — the shared
+    * settle mechanism `Pipeline.toSinks` and
+    * `ConnectorSocketSink.writeStream` previously carried as two
+    * near-identical ~25-line copies (each had to independently get the
+    * same two subtleties right, a proven drift risk): (a) a query can
+    * terminate inside the start()/addListener window, so an immediate
+    * `!q.isActive` fallback settles it, with an AtomicBoolean keeping
+    * the listener and the fallback idempotent; (b) the listener
+    * self-removes on its query's TerminatedEvent. `onDone` exceptions
+    * propagate on the caller's path and are swallowed by the listener
+    * bus on the event path — callers that must not throw there already
+    * catch per-action (toSinks' per-sink try). */
+  def settleOnTermination(spark: org.apache.spark.sql.SparkSession,
+      q: org.apache.spark.sql.streaming.StreamingQuery)(
+      onDone: Boolean => Unit): Unit = {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def settle(failed: Boolean): Unit =
+      if (done.compareAndSet(false, true)) onDone(failed)
+    val qid = q.id
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          settle(failed = e.exception.isDefined)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!q.isActive) { // terminated inside the start()/addListener window
+      settle(failed = q.exception.isDefined)
+      spark.streams.removeListener(listener)
+    }
+  }
 }
 
 /** In-memory sink (tests; the analogue of the reference integration

@@ -29,4 +29,39 @@ class MetricsSpec extends AnyFunSuite {
     assert(h.count(10) == 1) // 1000 ≤ 1024
     assert(h.report.map(_._2).sum == 5)
   }
+
+  test("report labels are exclusive upper bounds (the documented contract)") {
+    val h = new LatencyHistogram
+    h.record(8L) // [8,16) -> bin 4, label 16
+    assert(h.report == Seq((16L, 1L)),
+      s"a recorded 8 reports under EXCLUSIVE bound 16, got ${h.report}")
+  }
+
+  // r13 sweep: the listener was shipped unregistered and untested, and
+  // NPE'd on queries started without a queryName (null map key) — the
+  // bus swallowed the NPE, so such a query's metrics silently vanished.
+  test("listener records named AND unnamed queries (null-name NPE fix)") {
+    val spark = TestSpark.spark
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val listener = new GraftMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      src.addData(1L, 2L, 3L)
+      // deliberately NOT through SinkConfig.streamWriter: no queryName
+      val q = src.toDS().writeStream.format("noop").start()
+      q.processAllAvailable()
+      q.stop()
+      val m = listener.metricsFor(q.id.toString)
+      assert(m.exists(_.rows == 3L),
+        s"unnamed query must be keyed by its id, got ${listener.summary.keySet}")
+      val named = src.toDS().writeStream.queryName("metrics-named")
+        .format("noop").start()
+      src.addData(4L, 5L)
+      named.processAllAvailable()
+      named.stop()
+      assert(listener.metricsFor("metrics-named").exists(_.batches >= 1L))
+    } finally spark.streams.removeListener(listener)
+  }
 }

@@ -167,6 +167,35 @@ class StatefulCoreSweepSpec extends AnyFunSuite {
     assert(FramedLog.frameAlignedEnd(path, 72L, Long.MaxValue) == 72L) // only the partial left
   }
 
+  // --- Second-pass sweep (Pipeline/Metrics/Tables): dedupByWithin
+  // FLOOR-truncated withinNs to whole milliseconds where
+  // streamingStateful rounds its slack UP — a 0.5 ms horizon collapsed
+  // to a 0 ms watermark delay (no out-of-order suppression at all) and
+  // any non-multiple lost up to 1 ms of the documented bound. The rule
+  // now has one home (Pipeline.ceilToWholeMsNs); pre-fix the plan
+  // assert below reads "0 milliseconds".
+  test("dedupByWithin rounds the horizon UP to whole milliseconds") {
+    assert(Pipeline.ceilToWholeMsNs(0L) == 0L)
+    assert(Pipeline.ceilToWholeMsNs(1L) == 1000000L)
+    assert(Pipeline.ceilToWholeMsNs(500000L) == 1000000L)
+    assert(Pipeline.ceilToWholeMsNs(1000000L) == 1000000L)
+    assert(Pipeline.ceilToWholeMsNs(1000001L) == 2000000L)
+    val spark = TestSpark.spark
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val deduped = Graft.source("sweep-dedup",
+        DatasetSource(src.toDS(), (v: Long) => v))
+      .dedupByWithin(_.toString, withinNs = 500000L) // 0.5 ms
+    val delays = deduped.dataset.queryExecution.analyzed.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        e.delay.microseconds
+    }
+    assert(delays == Seq(1000L),
+      s"0.5 ms horizon must become a 1 ms watermark delay, got $delays µs")
+  }
+
   // --- Finding 6: TwoPcReceiver kept ONE global committedOffset across
   // all streams, so NOTIFY_ACK could hand a sink a foreign stream's (or
   // a regressed) resume point — with two sinks on disjoint streams (the
