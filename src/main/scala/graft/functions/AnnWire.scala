@@ -68,6 +68,13 @@ object AnnWire {
     var hi = Double.NegativeInfinity
     var i = 0
     while (i < tables.length) {
+      // fail at pack time (the packCodes discipline): a NaN skips both
+      // range comparisons and then quantizes via Math.round(NaN) = 0 —
+      // the MINIMUM cost — so a corrupted table entry would silently
+      // score its code word as the cell's nearest instead of surfacing
+      // the upstream corruption
+      require(!java.lang.Double.isNaN(tables(i)) && !tables(i).isInfinite,
+        s"non-finite ADC cost table entry ${tables(i)} at $i")
       if (tables(i) < lo) lo = tables(i)
       if (tables(i) > hi) hi = tables(i)
       i += 1

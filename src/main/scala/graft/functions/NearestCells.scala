@@ -25,6 +25,16 @@ final class CentroidMatrix(val flat: Array[Double], val cn: Array[Double],
     val ids: Array[Long]) extends Serializable {
   require(cn.nonEmpty && flat.length % cn.length == 0 && ids.length == cn.length,
     "flat must be C x dim row-major with one norm and id per row")
+  // The documented tie rule ("ties toward the smaller cent_id") is
+  // implemented as "ties toward the smaller ROW INDEX" — identical only
+  // when ids ascend. Every construction site sorts, but nothing enforced
+  // it (r13 sweep): an unsorted caller would silently diverge from the
+  // ORDER BY ccos DESC, cent_id ASC oracles this class is pinned against.
+  require({
+    var j = 1; var sorted = true
+    while (sorted && j < ids.length) { sorted = ids(j - 1) < ids(j); j += 1 }
+    sorted
+  }, "centroid ids must be strictly ascending (the tie rule is by row index)")
   val rows: Int = cn.length
   val dim: Int = flat.length / cn.length
 

@@ -57,6 +57,40 @@ object Portable {
   def sparkTokens(text: String): String = s"split($text, ' ')"
   def duckTokens(text: String): String = s"string_split($text, ' ')"
 
+  /** Locale-free ASCII-only lowercase — ONE rule across all three
+    * engines (r13 sweep). `lower()` is NOT portable on non-ASCII text:
+    * Spark's falls back to JVM-default-locale `String.toLowerCase`
+    * (under tr-TR, "I" → dotless "ı"), DuckDB's is utf8proc
+    * (locale-free Unicode), and the former JVM twin used Locale.ROOT
+    * ("İ" → "i̇") — three engines, three answers for the same text,
+    * silently splitting fingerprint/signature identity. `translate`
+    * over A–Z is bit-identical in Spark and DuckDB by construction;
+    * non-ASCII letters pass through unchanged in both (and the
+    * [^a-z0-9] normalizers then map them to separators identically).
+    * The synthetic corpus is pure ASCII with zero uppercase, so
+    * adopting this rule is hash-identical there — the fix is for real
+    * corpora. */
+  def sqlAsciiLower(text: String): String =
+    s"translate($text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
+
+  /** JVM twin of [[sqlAsciiLower]] — allocation-free when the text has
+    * no ASCII uppercase (the common case for normalized corpora). */
+  def jvmAsciiLower(s: String): String = {
+    val n = s.length
+    var i = 0
+    while (i < n && !(s.charAt(i) >= 'A' && s.charAt(i) <= 'Z')) i += 1
+    if (i == n) s
+    else {
+      val a = s.toCharArray
+      while (i < n) {
+        val c = a(i)
+        if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+        i += 1
+      }
+      new String(a)
+    }
+  }
+
   /** Word n-gram shingles = DISTINCT over [[sparkNgrams]]/[[duckNgrams]]
     * — defined by composition, not by a fourth/fifth copy of the window
     * index arithmetic, so a boundary fix to the n-gram fragments can
@@ -75,9 +109,9 @@ object Portable {
     * global always) so a charset or flag edit can never silently split
     * fingerprint identity across operators. */
   def sparkNormText(text: String = "text"): String =
-    s"trim(regexp_replace(lower($text), '[^a-z0-9]+', ' '))"
+    s"trim(regexp_replace(${sqlAsciiLower(text)}, '[^a-z0-9]+', ' '))"
   def duckNormText(text: String = "text"): String =
-    s"trim(regexp_replace(lower($text), '[^a-z0-9]+', ' ', 'g'))"
+    s"trim(regexp_replace(${sqlAsciiLower(text)}, '[^a-z0-9]+', ' ', 'g'))"
 
   /** Stopword list shared by the quality score and [[TextAnalysis]]'s
     * signal columns. Lives here (a leaf module) so Dedup and TextAnalysis

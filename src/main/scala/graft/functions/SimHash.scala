@@ -18,18 +18,21 @@ object SimHash {
 
   val Bits = 60
 
-  def signature(text: String): Long =
-    sigOver(text) { t => (Portable.jvmHash(t, "sim"), Portable.jvmHash(t, "sim2")) }
+  def signature(text: String): Long = {
+    // ONE digest reused across tokens (r13 sweep): the convenience
+    // jvmHash(String, String) overload pays a MessageDigest provider
+    // lookup PER CALL — 2T lookups per document on the streaming
+    // near-dup hot path (Pipeline.nearDedupBy calls this per row).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    sigOver(text) { t => (Portable.jvmHash(md, t, "sim"), Portable.jvmHash(md, t, "sim2")) }
+  }
 
   /** Production-speed signature: same vote TOPOLOGY (distinct-token
     * majority vote over 60 bits — order- and multiplicity-invariant, the
-    * properties SimHashConsistencySpec pins) but its own hash family AND
-    * its own lowercase: per-char `Character.toLowerCase` (ASCII fast
-    * path), which diverges from [[signature]]'s `String.toLowerCase`
-    * on one-to-many mappings (Turkish İ → "i̇") and supplementary code
-    * points — near-dup grouping may differ from the oracle'd portable
-    * form on such text, which is within this path's contract (it never
-    * had a cross-engine oracle). Computed in ONE pass
+    * properties SimHashConsistencySpec pins) and the same ASCII-only
+    * lowercase rule as [[signature]]/[[Portable.sqlAsciiLower]] (r13:
+    * formerly per-char `Character.toLowerCase`, a fourth lowercase
+    * mapping), but its own hash family. Computed in ONE pass
     * over the chars with zero per-token allocation: no lowercased string
     * copy, no split() token array, no HashSet[String], no UTF-8 encode.
     * Each token folds its lowercased chars through an FNV-1a accumulator;
@@ -103,9 +106,8 @@ object SimHash {
         vote(acc)
         acc = 0xcbf29ce484222325L
       } else {
-        val lc =
-          if (c < 128) (if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-          else Character.toLowerCase(c)
+        // the one ASCII-only lowercase rule; non-ASCII passes through
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
         acc = (acc ^ lc.toLong) * 0x100000001b3L
       }
       i += 1
@@ -120,7 +122,13 @@ object SimHash {
   private def sigOver(text: String)(hash2: String => (Long, Long)): Long = {
     val votes = new Array[Int](Bits)
     val seen = new java.util.HashSet[String]()
-    text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { t =>
+    // ASCII-only lowercase — the one portable rule ([[Portable.sqlAsciiLower]]):
+    // Locale.ROOT here with lower() in the SQL twins was a THREE-way
+    // latent divergence on non-ASCII text (Spark lower() falls back to
+    // JVM-default-locale toLowerCase; DuckDB is utf8proc; ROOT is a
+    // third mapping) — under a tr-TR default locale the engines
+    // disagreed on any document containing "I" plus a non-ASCII char.
+    Portable.jvmAsciiLower(text).split(" ", -1).foreach { t =>
       if (seen.add(t)) {
         val (h1, h2) = hash2(t)
         var b = 0

@@ -21,14 +21,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics match the sequential fold exactly (same order, same double
   * arithmetic, length = min of the two — embeddings are fixed-width so
   * the min never triggers), which keeps results bit-identical to the
-  * DuckDB oracle's `list_reduce`. Array elements are assumed non-null
-  * (the embeddings table guarantees it).
+  * DuckDB oracle's `list_reduce`. Null ELEMENTS follow the portable
+  * form too (r13 sweep): `aggregate(zip_with(...))` yields NULL when
+  * any element is null, and this expression formerly read the null
+  * slot as 0.0 — a silent result divergence. When either input's
+  * element type is provably non-null (containsNull=false) the
+  * null-check compiles away and the loop stays tight; parquet arrays
+  * commonly declare nullable elements even when no null is ever
+  * present, so the nullable path keeps one predictable branch per
+  * element rather than rejecting the schema at analysis.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  /** True when a null ELEMENT is possible per the input schemas. */
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  })
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -47,7 +63,14 @@ case class VecDot(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (elementsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     acc
   }
 
@@ -56,10 +79,15 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $acc;

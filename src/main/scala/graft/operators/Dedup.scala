@@ -366,7 +366,7 @@ object Dedup {
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"),
-      explode(expr(s"array_distinct(${Portable.sparkTokens("lower(text)")})")).as("tok"))
+      explode(expr(s"array_distinct(${Portable.sparkTokens(Portable.sqlAsciiLower("text"))})")).as("tok"))
       .withColumn("h1", expr(Portable.sparkHash("tok", "sim")))
       .withColumn("h2", expr(Portable.sparkHash("tok", "sim2")))
     val bitSums = simSigBitSums
@@ -378,7 +378,7 @@ object Dedup {
     val bitSums = duckSimSigBitSums
     val sigExpr = duckSimSigAssembleExpr
     s"""toks AS (
-       |  SELECT doc_id, unnest(list_distinct(${Portable.duckTokens("lower(text)")})) AS tok
+       |  SELECT doc_id, unnest(list_distinct(${Portable.duckTokens(Portable.sqlAsciiLower("text"))})) AS tok
        |  FROM documents),
        |h AS (SELECT doc_id, ${Portable.duckHash("tok", "sim")} AS h1,
        |        ${Portable.duckHash("tok", "sim2")} AS h2 FROM toks),

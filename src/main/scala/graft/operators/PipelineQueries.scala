@@ -96,7 +96,7 @@ object PipelineQueries {
   def pWordcount(s: SparkSession, dir: String): DataFrame = {
     implicit val ss: SparkSession = s
     val toks = Tables.documents(s, dir)
-      .select(explode(expr(Portable.sparkTokens("lower(text)"))).as("tok"))
+      .select(explode(expr(Portable.sparkTokens(Portable.sqlAsciiLower("text")))).as("tok"))
       .as[String]
     Graft.source("wordcount", DatasetSource(toks, (_: String) => 0L))
       .keyBy(identity)
@@ -108,7 +108,7 @@ object PipelineQueries {
 
   val pWordcountSql: String =
     s"""WITH toks AS (
-       |  SELECT unnest(${Portable.duckTokens("lower(text)")}) AS word FROM documents)
+       |  SELECT unnest(${Portable.duckTokens(Portable.sqlAsciiLower("text"))}) AS word FROM documents)
        |SELECT word, COUNT(*) AS n FROM toks GROUP BY word""".stripMargin
 
   // ---------------------------------------------------------- p_alphabet

@@ -35,14 +35,14 @@ object TextAnalysis {
     Tables.documents(s, dir).select(
       col("doc_id"),
       expr(s"size(${Portable.sparkTokens("text")})").cast("long").as("n_ws_tokens"),
-      expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+      expr(s"size(regexp_extract_all(${Portable.sqlAsciiLower("text")}, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
         .cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_actual"))
 
   val tTokenCountSql: String =
     s"""SELECT doc_id,
        |  CAST(len(${Portable.duckTokens("text")}) AS BIGINT) AS n_ws_tokens,
-       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(regexp_extract_all(${Portable.sqlAsciiLower("text")}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
        |  CAST(length(text) AS BIGINT) AS n_chars_actual
        |FROM documents""".stripMargin
 
@@ -107,7 +107,7 @@ object TextAnalysis {
     * in the weight derivation is the oracle-portability tax; the
     * xxhash64 production form removes it without touching the plan. */
   def tQualityModel(s: SparkSession, dir: String): DataFrame = {
-    val toks = Portable.sparkTokens("lower(text)")
+    val toks = Portable.sparkTokens(Portable.sqlAsciiLower("text"))
     val w = s"${Portable.sparkHash("t", "qmw")} % 2001 - 1000"
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -119,7 +119,7 @@ object TextAnalysis {
   }
 
   val tQualityModelSql: String = {
-    val toks = Portable.duckTokens("lower(text)")
+    val toks = Portable.duckTokens(Portable.sqlAsciiLower("text"))
     val w = s"${Portable.duckHash("t", "qmw")} % 2001 - 1000"
     s"""WITH q AS (
        |  SELECT doc_id,
@@ -136,7 +136,7 @@ object TextAnalysis {
   /** Marker-word language ID with deterministic argmax. Emits predicted
     * language + the labeled lang column for downstream agreement checks. */
   def tLangid(s: SparkSession, dir: String): DataFrame = {
-    val toks = Portable.sparkTokens("lower(text)")
+    val toks = Portable.sparkTokens(Portable.sqlAsciiLower("text"))
     val scored = langMarkers.foldLeft(Tables.documents(s, dir)) {
       case (df, (lang, markers)) =>
         df.withColumn(s"score_$lang",
@@ -153,7 +153,7 @@ object TextAnalysis {
   }
 
   val tLangidSql: String = {
-    val toks = Portable.duckTokens("lower(text)")
+    val toks = Portable.duckTokens(Portable.sqlAsciiLower("text"))
     val scoreCols = langMarkers.map { case (l, m) =>
       s"CAST(len(list_filter($toks, t -> t IN (${sqlList(m)}))) AS BIGINT) AS score_$l"
     }.mkString(",\n    ")
@@ -203,7 +203,7 @@ object TextAnalysis {
     * result is identical at any parallelism. */
   def tCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val toks = Portable.sparkTokens("text")
-    val ltoks = Portable.sparkTokens("lower(text)")
+    val ltoks = Portable.sparkTokens(Portable.sqlAsciiLower("text"))
     val norm = Portable.sparkNormText()
     val base = Tables.documents(s, dir).select(
       Seq(
@@ -239,7 +239,7 @@ object TextAnalysis {
 
   val tCleanCorpusSql: String = {
     val toks = Portable.duckTokens("text")
-    val ltoks = Portable.duckTokens("lower(text)")
+    val ltoks = Portable.duckTokens(Portable.sqlAsciiLower("text"))
     val norm = Portable.duckNormText()
     val scoreCols = langMarkers.map { case (l, m) =>
       s"CAST(len(list_filter($ltoks, t -> t IN (${sqlList(m)}))) AS BIGINT) AS score_$l"

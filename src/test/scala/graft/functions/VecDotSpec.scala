@@ -36,6 +36,28 @@ class VecDotSpec extends AnyFunSuite {
     assert(df.filter("native <> hof or native is null").count() === 0)
   }
 
+  // r13 sweep: the type check accepts array<double> with nullable
+  // elements (parquet's default array shape), but the loop read a null
+  // slot as 0.0 where the portable HOF fold — and so the DuckDB oracle —
+  // yields NULL. Pre-fix: vec_dot below returns 2.0 and the filter
+  // counts a mismatch.
+  test("a null element yields NULL, matching the portable fold") {
+    VectorFunctions.register(spark)
+    val df = spark.sql(
+      """SELECT array(1.0d, cast(null as double)) AS a,
+        |       array(2.0d, 3.0d) AS b""".stripMargin)
+      .withColumn("native", expr("vec_dot(a, b)"))
+      .withColumn("hof", expr(hofDot))
+    val r = df.select("native", "hof").head()
+    assert(r.isNullAt(0), s"null element must yield NULL, got ${r.get(0)}")
+    assert(r.isNullAt(1)) // the portable form's semantics, for the record
+    // and the non-null nullable-schema path still computes exactly
+    val ok = spark.sql(
+      "SELECT array(1.0d, 2.0d) AS a, array(3.0d, 4.0d) AS b")
+      .selectExpr("vec_dot(a, b) AS d").head().getDouble(0)
+    assert(ok === 11.0)
+  }
+
   test("GraftExtensions injects vec_dot at session build") {
     spark // force the shared context first
     val prevDefault = SparkSession.getDefaultSession

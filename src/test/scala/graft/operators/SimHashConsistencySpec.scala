@@ -23,6 +23,36 @@ class SimHashConsistencySpec extends AnyFunSuite {
     }
   }
 
+  // r13 sweep: lower() is not portable — Spark's falls back to
+  // JVM-DEFAULT-locale String.toLowerCase on non-ASCII text, while the
+  // JVM twin used Locale.ROOT (and DuckDB uses utf8proc): under a tr-TR
+  // default locale Spark lowercases "I" to dotless "ı", the twin to "i",
+  // and the signatures diverge on any document mixing "I" with a
+  // non-ASCII char. Both sides now share the locale-free ASCII-only rule
+  // (Portable.sqlAsciiLower / jvmAsciiLower). Pre-fix this test fails on
+  // doc 1.
+  test("ascii-only lowercase holds across engines under a hostile default locale") {
+    val dir = java.nio.file.Files.createTempDirectory("simhash_locale").toString
+    import spark.implicits._
+    Seq((1L, "The Quick İstanbul I MIX case"),
+        (2L, "plain ascii lower only"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+    try {
+      val sql = Dedup.dSimhash(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).collect()
+      assert(docs.length == 2)
+      docs.foreach { r =>
+        val jvm = graft.functions.SimHash.signature(r.getString(1))
+        assert(jvm === sql(r.getLong(0)),
+          s"doc ${r.getLong(0)}: JVM twin diverged from SQL simhash under tr-TR")
+      }
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("signature is invariant under token reorder and repetition (both hash forms)") {
     // the distinct-token majority vote must not see order or multiplicity
     // — the property that lets the streaming stage collapse near-dups
