@@ -77,7 +77,12 @@ object WireQueries {
     // Relay inbox: accepts every sink partition's connection concurrently,
     // drains frames until the writers close. This thread-per-connection
     // accept loop IS the receiving half of the reference's giles receiver.
+    // Arrival count rides its own AtomicLong: ConcurrentLinkedQueue.size()
+    // walks the whole queue (O(n) per call), so the 50 ms await poll below
+    // was O(total²) driver-side node-chasing across the egress — inside
+    // the timed wall of a wall-bound, spike-adjudicated bench row.
     val inbox = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]
+    val inboxN = new java.util.concurrent.atomic.AtomicLong(0L)
     val ingest = new ServerSocket(0)
     val acceptor = new Thread("tcp-rt-ingest") {
       override def run(): Unit =
@@ -90,6 +95,7 @@ object WireQueries {
               val buf = new Array[Byte](len)
               in.readFully(buf)
               inbox.add(buf)
+              inboxN.incrementAndGet()
             } catch { case _: java.io.IOException => } // writer done
             finally { try conn.close() catch { case _: java.io.IOException => } }
           })
@@ -103,8 +109,8 @@ object WireQueries {
       Graft.source("tcp-rt-egress", DatasetSource(src, (_: String) => 0L))
         .toSink(TcpSink[String]("127.0.0.1", ingest.getLocalPort,
           (v: String) => v.getBytes(UTF_8)))
-      require(awaitCond(180000)(inbox.size() == expected),
-        s"relay captured ${inbox.size()} of $expected frames")
+      require(awaitCond(180000)(inboxN.get() == expected),
+        s"relay captured ${inboxN.get()} of $expected frames")
 
       // 2. ingress: serve the captured frames back as one framed stream.
       val serve = new ServerSocket(0)
@@ -203,7 +209,14 @@ object WireQueries {
           col("f").getItem(1).cast("long").as("cents"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
-    } finally { sender.close(); receiver.close() }
+    } finally {
+      sender.close(); receiver.close()
+      // the checkpoint dir (offset WAL + commit log + sink state) is
+      // per-invocation scratch — left behind it accumulates one dir per
+      // Verify/Bench trial in /tmp, the exact writeback-debt channel the
+      // bench's between-trial sync discipline exists to drain
+      graft.StreamBench.deleteRecursively(new java.io.File(ckpt))
+    }
   }
 
   val pConnectorRoundtripSql: String =

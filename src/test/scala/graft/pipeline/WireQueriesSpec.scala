@@ -36,6 +36,21 @@ class WireQueriesSpec extends AnyFunSuite {
       rows(direct(Some(s"event_id < ${WireQueries.ConnRoundtripN}"))))
   }
 
+  test("p_connector_roundtrip: per-invocation checkpoint scratch is reclaimed") {
+    // the rig creates a p_conn_rt_ckpt* temp dir per call; left behind it
+    // accumulates one WAL+commit-log dir per Verify/Bench trial in /tmp
+    // (the writeback-debt channel the bench's sync discipline drains)
+    def ckptDirs(): Set[String] = {
+      val kids = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      if (kids == null) Set.empty
+      else kids.iterator.filter(_.getName.startsWith("p_conn_rt_ckpt"))
+        .map(_.getName).toSet
+    }
+    val before = ckptDirs()
+    WireQueries.pConnectorRoundtrip(spark, dir).collect()
+    assert((ckptDirs() -- before) === Set.empty)
+  }
+
   test("p_gen_source: the indexed generator emits 0 until N exactly once") {
     val got = WireQueries.pGenSource(spark, dir)
     val n = WireQueries.GenSourceN
