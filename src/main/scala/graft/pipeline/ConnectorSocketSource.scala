@@ -517,7 +517,11 @@ final case class ConnectorSocketSource[T](
       reader = reader.option("maxFramesPerTrigger", maxFramesPerTrigger.toString)
     val dec = decoder
     val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
+    // decode-time drop is SAFE under ALO: the frame is still counted and
+    // ACKed by the protocol layer below (offsets advance whether or not
+    // the decoder keeps the frame), so the sender trims its replay buffer
+    // and a dropped heartbeat is never replayed
     reader.load().select("payload").as[Array[Byte]](Encoders.BINARY)
-      .map { bytes => val t = dec.decode(bytes); (t, dec.eventTimeNs(t)) }(tupEnc)
+      .flatMap { bytes => dec.decodeOpt(bytes).map(t => (t, dec.eventTimeNs(t))) }(tupEnc)
   }
 }

@@ -227,6 +227,6 @@ final case class FramedLogSource[T](
     val dec = decoder
     val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
     df.select("payload").as[Array[Byte]](Encoders.BINARY)
-      .map { bytes => val t = dec.decode(bytes); (t, dec.eventTimeNs(t)) }(tupEnc)
+      .flatMap { bytes => dec.decodeOpt(bytes).map(t => (t, dec.eventTimeNs(t))) }(tupEnc)
   }
 }

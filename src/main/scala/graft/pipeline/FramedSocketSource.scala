@@ -468,7 +468,10 @@ final case class FramedSocketSource[T](
       reader.option("maxFramesPerTrigger", maxFramesPerTrigger.toString) else reader).load()
     val dec = decoder
     val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
+    // flatMap over decodeOpt: a dropping decoder ([[FramedDecoder.decodeOpt]])
+    // discards its frame here, at the decode boundary — reference
+    // framed_source_notify.pony:118-133 semantics
     df.select("payload").as[Array[Byte]](Encoders.BINARY)
-      .map { bytes => val t = dec.decode(bytes); (t, dec.eventTimeNs(t)) }(tupEnc)
+      .flatMap { bytes => dec.decodeOpt(bytes).map(t => (t, dec.eventTimeNs(t))) }(tupEnc)
   }
 }

@@ -129,28 +129,52 @@ trait FramedDecoder[T] extends Serializable {
     * [[FramedSocket.frameLen]]). */
   def payloadLength(header: Array[Byte]): Int = FramedSocket.frameLen(header, 0)
   def decode(payload: Array[Byte]): T
+  /** Decode-time DROP — the reference's decoder contract is
+    * `decode(payload): (T | None)` and the framing loop delivers only the
+    * non-None results (framed_source_notify.pony:118-133;
+    * testing/correctness/apps/decoder_filter/decoder_filter.pony's
+    * OddFilterDecoder is the reference test for it): a protocol can
+    * discard a frame AT THE SOURCE — heartbeats, protocol noise,
+    * filter-at-decode — without threading a sentinel value through the
+    * typed stream. The default wraps [[decode]], so every total decoder
+    * keeps its contract unchanged; a dropping decoder overrides THIS
+    * method. Frame alignment is unaffected by a drop: every framing loop
+    * advances by header+payload regardless of the verdict, so the frames
+    * after a dropped one decode exactly as before. */
+  def decodeOpt(payload: Array[Byte]): Option[T] = Some(decode(payload))
   def eventTimeNs(t: T): Long
 }
 
 private[pipeline] object FramedDecoder {
-  /** Split one framed byte blob into messages. Truncated trailing frames
-    * are an error — a framed log is written whole-frame-at-a-time. */
+  /** Split one framed byte blob into messages, skipping frames the
+    * decoder drops ([[FramedDecoder.decodeOpt]] → None) while still
+    * advancing past their bytes — the reference framing-loop semantics.
+    * Truncated trailing frames are an error — a framed log is written
+    * whole-frame-at-a-time. */
   def frames[T](decoder: FramedDecoder[T], bytes: Array[Byte]): Iterator[T] =
     new Iterator[T] {
       private var off = 0
-      def hasNext: Boolean = off < bytes.length
+      private var pending: Option[T] = None
+      private def advance(): Unit =
+        while (pending.isEmpty && off < bytes.length) {
+          val hl = decoder.headerLength
+          require(off + hl <= bytes.length, s"truncated frame header at $off")
+          val pl = decoder.payloadLength(java.util.Arrays.copyOfRange(bytes, off, off + hl))
+          // a corrupt header with bit 31 set parses negative and would
+          // pass the bound below spuriously (likewise a huge positive pl
+          // overflowing the Int sum) — reject with the diagnostic instead
+          // of an opaque copyOfRange failure
+          require(pl >= 0 && pl <= bytes.length - off - hl,
+            s"truncated or corrupt frame payload at $off (len $pl)")
+          pending = decoder.decodeOpt(
+            java.util.Arrays.copyOfRange(bytes, off + hl, off + hl + pl))
+          off += hl + pl
+        }
+      def hasNext: Boolean = { advance(); pending.isDefined }
       def next(): T = {
-        val hl = decoder.headerLength
-        require(off + hl <= bytes.length, s"truncated frame header at $off")
-        val pl = decoder.payloadLength(java.util.Arrays.copyOfRange(bytes, off, off + hl))
-        // a corrupt header with bit 31 set parses negative and would
-        // pass the bound below spuriously (likewise a huge positive pl
-        // overflowing the Int sum) — reject with the diagnostic instead
-        // of an opaque copyOfRange failure
-        require(pl >= 0 && pl <= bytes.length - off - hl,
-          s"truncated or corrupt frame payload at $off (len $pl)")
-        val t = decoder.decode(java.util.Arrays.copyOfRange(bytes, off + hl, off + hl + pl))
-        off += hl + pl
+        advance()
+        val t = pending.getOrElse(throw new NoSuchElementException("next on empty frames"))
+        pending = None
         t
       }
     }
