@@ -229,9 +229,11 @@ object StreamBench {
     // partition per batch) against stateful-stage parallelism; at
     // 100 TB/1000s-of-keys-per-GB this goes UP with key count — the
     // knob scales the same way the reference's step parallelism does
-    // (application.pony:149-150 `parallelism`).
+    // (application.pony:149-150 `parallelism`). GRAFT_STREAM_SHUFFLE
+    // overrides for A/B tuning runs (SCALING.md records the ladder).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "16"))
     // Staged multi-GB /tmp dirs, registered AT CREATION so the finally
     // below reclaims them on ANY exit — an uncaught throw mid-setup
     // (e.g. a malformed env var) is swallowed by Bench.run's outer catch
