@@ -45,7 +45,8 @@ object StateDepthProbe {
     val nRows = spark.read.parquet(staged).count()
 
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "16"))
     // the tws+rocksdb host — the provider a spill-regime deployment runs
     spark.conf.set("graft.streaming.stateHost", "transformWithState")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
