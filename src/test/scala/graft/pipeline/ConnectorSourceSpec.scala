@@ -85,6 +85,71 @@ class ConnectorSourceSpec extends AnyFunSuite {
     sender.close()
   }
 
+  test("decode-time drop under ALO: dropped frames are ACKed, never replayed, and resume counts frames") {
+    // The decodeOpt contract's safety claim on THIS source
+    // (ConnectorSocketSource.load): a dropped frame must still advance
+    // the protocol offsets — the ACK/trim/resume arithmetic lives in the
+    // FRAME space below the decoder, so a heartbeat-dropping decoder can
+    // never cause loss (offsets skipping kept rows) or duplication
+    // (dropped frames re-requested and re-offered on reconnect).
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    object EvenOnlyFrames extends FramedDecoder[String] {
+      def decode(payload: Array[Byte]): String = new String(payload, UTF_8)
+      override def decodeOpt(payload: Array[Byte]): Option[String] = {
+        val s = decode(payload)
+        if (s.stripPrefix("msg-").toInt % 2 == 0) Some(s) else None
+      }
+      def eventTimeNs(t: String): Long = 0L
+    }
+    val n = 200
+    val payloads = (0 until n).map(i => s"msg-$i".getBytes(UTF_8))
+    val sender = new ProtocolPeers.ReplaySender(payloads, cookie = "s3cret")
+    val ckpt = Files.createTempDirectory("connector_drop_ckpt").toString
+    val outDir = Files.createTempDirectory("connector_drop_out").toString
+    def startQuery() = Graft.source("connector-drop",
+        ConnectorSocketSource("127.0.0.1", sender.server.getLocalPort, EvenOnlyFrames,
+          cookie = Some("s3cret"), maxFramesPerTrigger = 25))
+      .toSink(ParquetSink(outDir), checkpointLocation = Some(ckpt))
+
+    // incarnation 1: ACKs must advance in FRAME counts (past dropped
+    // odd frames), then die mid-stream
+    val h1 = startQuery()
+    assert(awaitCond(30000)(sender.lastAck >= 50),
+      s"no ACK progress with a dropping decoder: lastAck=${sender.lastAck}")
+    h1.stop()
+    val ackAtStop = sender.lastAck
+    assert(ackAtStop < n, s"test needs a mid-stream stop, got $ackAtStop")
+
+    // incarnation 2: resume is asked in the frame space, and the drain
+    // delivers exactly the evens — nothing lost, nothing duplicated
+    val h2 = startQuery()
+    assert(awaitCond(30000) {
+      spark.read.parquet(outDir).count() == (n / 2).toLong
+    }, s"sink never reached ${n / 2} kept rows: ${spark.read.parquet(outDir).count()}")
+    h2.processAllAvailable()
+    h2.stop()
+    assert(sender.resumes.size >= 2, s"expected a second handshake: ${sender.resumes}")
+    assert(sender.resumes.get(1) == ackAtStop,
+      s"restart must resume from the frame-space ACK point ($ackAtStop), " +
+        s"got ${sender.resumes.get(1)}")
+    val got = spark.read.parquet(outDir).collect().map(_.getString(0)).toSeq
+    assert(got.sorted == (0 until n by 2).map(i => s"msg-$i").sorted,
+      "exactly the decoder-kept frames, exactly once")
+
+    // a third handshake proves the checkpoint committed ALL n frames —
+    // dropped ones included — so none is ever re-offered
+    val h3 = startQuery()
+    assert(awaitCond(15000)(sender.resumes.size >= 3),
+      s"no third handshake: ${sender.resumes}")
+    assert(sender.resumes.get(2) == n.toLong,
+      s"a drained checkpoint must resume at $n frames, got ${sender.resumes.get(2)}")
+    h3.processAllAvailable()
+    h3.stop()
+    assert(spark.read.parquet(outDir).count() == (n / 2).toLong)
+    sender.close()
+  }
+
   /** v3 credit flow (VERDICT r4 #3): spends one credit per MESSAGE,
     * pauses at zero, replenishes from the ACK frames' credit field. */
   private final class CreditSender(payloads: IndexedSeq[Array[Byte]], cookie: String) {
