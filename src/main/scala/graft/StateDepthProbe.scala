@@ -45,8 +45,10 @@ object StateDepthProbe {
     val nRows = spark.read.parquet(staged).count()
 
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // validated override + measured-rule default, shared with StreamBench
+    // (the ladder runs set GRAFT_STREAM_SHUFFLE explicitly per cell)
     spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "16"))
+      StreamBench.streamShufflePartitions(spark).toString)
     // the tws+rocksdb host — the provider a spill-regime deployment runs
     spark.conf.set("graft.streaming.stateHost", "transformWithState")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

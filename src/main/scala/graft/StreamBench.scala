@@ -224,16 +224,15 @@ object StreamBench {
     val streamOnly = sys.env.get("GRAFT_STREAM_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean = streamOnly.forall(_.contains(name))
-    // Stream-side shuffle sizing: ~1.5k keys of a few KB each. 16
-    // state-store partitions balances store-commit overhead (per
-    // partition per batch) against stateful-stage parallelism; at
-    // 100 TB/1000s-of-keys-per-GB this goes UP with key count — the
-    // knob scales the same way the reference's step parallelism does
-    // (application.pony:149-150 `parallelism`). GRAFT_STREAM_SHUFFLE
-    // overrides for A/B tuning runs (SCALING.md records the ladder).
+    // Stream-side shuffle sizing: ~1.5k keys of a few KB each. The
+    // default is the MEASURED deployment rule as code —
+    // Graft.statePartitionsFor (track key volume, not cores; SCALING.md
+    // r13 ladder) — which reproduces the hand-ladder's 16 at this key
+    // volume on a 32-core box. GRAFT_STREAM_SHUFFLE overrides for A/B
+    // tuning runs (SCALING.md records the ladder).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "16"))
+      streamShufflePartitions(spark).toString)
     // Staged multi-GB /tmp dirs, registered AT CREATION so the finally
     // below reclaims them on ANY exit — an uncaught throw mid-setup
     // (e.g. a malformed env var) is swallowed by Bench.run's outer catch
@@ -1477,6 +1476,28 @@ object StreamBench {
     else {
       val minW = walls.min
       walls.indices.filter(i => !excluded(i) && walls(i) > factor * minW).toSet
+    }
+
+  /** ~distinct user_ids in the events table at bench SF — replication
+    * perturbs timestamps, not the key space, so the staged replay keeps
+    * this key volume. The input to the partition rule below. */
+  private[graft] val BenchKeyVolume = 1500L
+
+  /** One shared home for the stream packs' shuffle sizing: the
+    * GRAFT_STREAM_SHUFFLE override, validated AT THE OVERRIDE SITE
+    * (ADVICE r13 — a non-numeric value previously failed later with an
+    * opaque Spark conf error), defaulting to the measured partition rule
+    * [[Graft.statePartitionsFor]] at the bench's key volume (16 on a
+    * 32-core box — the r13 hand-ladder's answer, now derived). */
+  private[graft] def streamShufflePartitions(spark: SparkSession): Int =
+    sys.env.get("GRAFT_STREAM_SHUFFLE") match {
+      case Some(s) =>
+        val n = scala.util.Try(s.trim.toInt).getOrElse(throw new IllegalArgumentException(
+          s"GRAFT_STREAM_SHUFFLE must be a positive integer, got '$s'"))
+        require(n > 0, s"GRAFT_STREAM_SHUFFLE must be positive, got $n")
+        n
+      case None =>
+        Graft.statePartitionsFor(BenchKeyVolume, spark.sparkContext.defaultParallelism)
     }
 
   /** Blocking filesystem sync (best-effort): waits for outstanding dirty

@@ -210,7 +210,11 @@ object WireQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
     } finally {
-      sender.close(); receiver.close()
+      // each close is a bare ServerSocket.close() that can throw
+      // IOException — isolated so a throwing sender.close() can't skip
+      // receiver.close() or the checkpoint delete below (ADVICE r13)
+      try sender.close() catch { case _: java.io.IOException => }
+      try receiver.close() catch { case _: java.io.IOException => }
       // the checkpoint dir (offset WAL + commit log + sink state) is
       // per-invocation scratch — left behind it accumulates one dir per
       // Verify/Bench trial in /tmp, the exact writeback-debt channel the

@@ -140,7 +140,18 @@ trait FramedDecoder[T] extends Serializable {
     * keeps its contract unchanged; a dropping decoder overrides THIS
     * method. Frame alignment is unaffected by a drop: every framing loop
     * advances by header+payload regardless of the verdict, so the frames
-    * after a dropped one decode exactly as before. */
+    * after a dropped one decode exactly as before.
+    *
+    * SEMANTIC DIVERGENCE from the reference (ADVICE r13): the reference
+    * computes `event_time_ns` and advances the source watermark BEFORE
+    * the None check (framed_source_notify.pony:118-133), so a dropped
+    * frame that carries an event time — a heartbeat — can still advance
+    * the watermark. In Spark's model the watermark derives from the
+    * event-time column of EMITTED rows only, so a frame dropped here
+    * never advances it: heartbeat-driven watermark advancement is
+    * unrepresentable. A protocol that needs heartbeats to advance event
+    * time must DECODE them (into a row the pipeline filters after the
+    * watermark is assigned) rather than drop them at the source. */
   def decodeOpt(payload: Array[Byte]): Option[T] = Some(decode(payload))
   def eventTimeNs(t: T): Long
 }

@@ -66,8 +66,16 @@ class DecoderFilterSpec extends AnyFunSuite {
         FramedSocketSource("127.0.0.1", server.getLocalPort, OddFilterDecoder))
       .toSink(MemorySink(view))
     sender.join()
-    Thread.sleep(200)
+    // poll until all 10 surviving frames are in the sink (ADVICE r13):
+    // the source's reader thread buffers asynchronously, so a fixed sleep
+    // + processAllAvailable can complete on a partial prefix and flake —
+    // drive micro-batches until the table reaches the expected count
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     h.processAllAvailable()
+    while (spark.table(view).count() < 10 && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      h.processAllAvailable()
+    }
     val got = spark.table(view).collect().map(_.getLong(0)).toSeq
     h.stop()
     server.close()
