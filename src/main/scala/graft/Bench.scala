@@ -287,6 +287,35 @@ object Bench {
     val streamState = streamOut.rows.map(r => r.name -> r.stateJson)
     val streamCal = streamOut.roundCal
     failed = streamOut.failed.toList.reverse ::: failed
+    // ---- Authoritative standalone wire reading (VERDICT r13 #2): the
+    // in-pack wire row is socket-pacing-sensitive (r13: driver 893 K vs
+    // committed 1.157 M rows/s on identical code), and the established
+    // attribution discipline says an isolated wire-only run is the
+    // code-level reading. One re-entry into the stream rig AFTER the
+    // pack — same staging, per-trial teardown and spike machinery —
+    // published under its own key; the ≥900 K done-bar evaluates
+    // against THIS reading, so a pacing-squeezed in-pack number
+    // self-explains instead of needing a manual re-measure.
+    val wireStandalone: Option[StreamBench.RowOut] =
+      if (only.isDefined ||
+          !streamOut.rows.exists(_.name == "stream_market_spread_wire")) None
+      else try {
+        val o = StreamBench.run(spark, sfDir,
+          onlyOverride = Some(Set("stream_market_spread_wire")))
+        failed = (o.failed.toList ::: failed).distinct
+        o.rows.find(_.name == "stream_market_spread_wire")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] standalone wire run failed: $e")
+        None
+      }
+    val wireStandaloneJson = wireStandalone.map { r =>
+      s"""{"median_clean_sec":${r.medianCleanSec},""" +
+        s""""rows_per_sec":${r.rowsPerSecClean.round},""" +
+        s""""trials_sec":${r.trialsSec.mkString("[", ",", "]")},""" +
+        s""""spiked":${r.spikedJson},"wall_rerun":${r.wallRerunJson},""" +
+        s""""wall_outliers":${r.wallOutliers},""" +
+        s""""meets_900k_bar":${r.rowsPerSecClean >= 900000}}"""
+    }.getOrElse("null")
     val qs = (medians ++ streamSecs)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -434,43 +463,58 @@ object Bench {
     // cases were already mechanically re-run once (stream_wall_rerun_
     // trials), so a non-zero count here means a (2×, 3×] straggler or a
     // re-erupted replacement — either way the headline needs the storm
-    // discount. storm = any signal tripped. A true storm flag means this
-    // round's medians should be discounted against the calibrated
-    // totals, not read as regressions.
-    val streamRoundHealthJson = {
-      val calVals = streamCal.map(_._2)
-      val calMed = if (calVals.isEmpty) 0.0 else median(calVals)
-      val calMaxRatio =
-        if (calMed > 0) calVals.max / calMed else 0.0
-      val elevated = streamTrials.flatMap { case (name, ts) =>
-        if (ts.isEmpty) Nil
-        else {
-          val mn = ts.min
-          val n = ts.count(w => w > 1.5 * mn && w <= 2 * mn)
-          if (n > 0) Some(name -> n) else None
-        }
+    // discount.
+    //
+    // SEVERITY SPLIT (VERDICT r13 #1): r13's single `storm` flag fired
+    // on all five closing runs — four only via marginal (1.5×, 2×]
+    // elevated trials — so it stopped separating "discard this run"
+    // from normal shared-host jitter. `storm` now requires EVIDENCE: an
+    // eruption that was mechanically flagged+replaced (commit_ms /
+    // calibration corroborated — batch or stream pass), a surviving
+    // >2× wall outlier with no exclusion marker, or a whole-host
+    // calibration window (a round sample >1.5× the series median).
+    // `turbulent` = no such evidence, only (1.5×, 2×] elevated trials —
+    // the jitter band the spike predicate cannot (and should not) flag.
+    // Both grade the committed-run selection below.
+    val streamCalVals = streamCal.map(_._2)
+    val streamCalMed = if (streamCalVals.isEmpty) 0.0 else median(streamCalVals)
+    val calMaxRatio = if (streamCalMed > 0) streamCalVals.max / streamCalMed else 0.0
+    val elevatedRows = streamTrials.flatMap { case (name, ts) =>
+      if (ts.isEmpty) Nil
+      else {
+        val mn = ts.min
+        val n = ts.count(w => w > 1.5 * mn && w <= 2 * mn)
+        if (n > 0) Some(name -> n) else None
       }
-      val elevatedCount = elevated.map(_._2).sum
-      val wallOutlierRows = streamOut.rows
-        .filter(_.wallOutliers > 0).map(r => r.name -> r.wallOutliers)
-      val wallOutlierCount = wallOutlierRows.map(_._2).sum
-      val storm = calMaxRatio > 1.5 || elevatedCount >= 3 || wallOutlierCount >= 1
-      val rowsJson = elevated.sortBy(_._1)
+    }
+    val elevatedCount = elevatedRows.map(_._2).sum
+    val wallOutlierRows = streamOut.rows
+      .filter(_.wallOutliers > 0).map(r => r.name -> r.wallOutliers)
+    val wallOutlierCount = wallOutlierRows.map(_._2).sum
+    val streamSpikedRows = streamOut.rows.count(_.spikedJson != "[]")
+    val batchSpikedRows = batchSpikedLog.size
+    val stormFlag = streamSpikedRows + batchSpikedRows >= 1 ||
+      wallOutlierCount >= 1 || calMaxRatio > 1.5
+    val turbulentFlag = !stormFlag && elevatedCount >= 1
+    val streamRoundHealthJson = {
+      val rowsJson = elevatedRows.sortBy(_._1)
         .map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
       val wallRowsJson = wallOutlierRows.sortBy(_._1)
         .map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
-      s"""{"cal_median_sec":$calMed,"cal_max_ratio":$calMaxRatio,""" +
+      s"""{"cal_median_sec":$streamCalMed,"cal_max_ratio":$calMaxRatio,""" +
         s""""elevated_unflagged_trials":$elevatedCount,""" +
         s""""elevated_rows":$rowsJson,""" +
         s""""wall_outliers_unflagged":$wallOutlierCount,""" +
-        s""""wall_outlier_rows":$wallRowsJson,"storm":$storm}"""
+        s""""wall_outlier_rows":$wallRowsJson,""" +
+        s""""spiked_rows_stream":$streamSpikedRows,""" +
+        s""""spiked_rows_batch":$batchSpikedRows,""" +
+        s""""storm":$stormFlag,"turbulent":$turbulentFlag}"""
     }
     val drillJson =
       if (forceSpike.isDefined || sys.env.contains("GRAFT_STREAM_FORCE_WALL"))
         """"drill":true,"""
       else ""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",$drillJson"subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"batch_spiked_trials":$batchSpikedJson,"stream_round_health":$streamRoundHealthJson,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_median_clean":$streamCleanJson,"stream_spiked_trials":$streamSpikedJson,"stream_wall_rerun_trials":$streamWallRerunJson,$streamExtraJson"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
-    println(json)
+    val baseJson = s"""{"metric":"total","value":$total,"unit":"sec",$drillJson"subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"batch_spiked_trials":$batchSpikedJson,"stream_round_health":$streamRoundHealthJson,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_median_clean":$streamCleanJson,"stream_spiked_trials":$streamSpikedJson,"stream_wall_rerun_trials":$streamWallRerunJson,$streamExtraJson"stream_wire_standalone":$wireStandaloneJson,"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
     // The round-4 driver capture truncated the stdout tail and destroyed
     // the artifact (VERDICT r4 #1) — also write the same JSON to a file so
     // log interleaving / tail-truncation can never lose it again. A
@@ -479,12 +523,169 @@ object Bench {
     // clobber the committed full-run artifact with a 1-query "total".
     val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT",
       if (only.isDefined) "bench_out.subset.json" else "bench_out.json")
+    // ---- Mechanized committed-run selection (VERDICT r13 #1): the ONE
+    // remaining prose step of the bench discipline was the builder
+    // choosing WHICH of the closing full runs gets committed. The rule
+    // the builder applied by hand is now code: every full (non-subset,
+    // non-drill) run appends a candidate record to GRAFT_BENCH_RUNS_LOG
+    // (default bench_runs.jsonl — the builder starts it fresh per round)
+    // and preserves its full artifact as <out>.run<seq>; the selection
+    // over ALL logged candidates — best health grade (clean < turbulent
+    // < storm < failed), ties by lowest host-normalized batch+stream
+    // total, then earliest run — is embedded in THIS run's JSON
+    // (committed_selection: rule + chosen_seq + the candidate table), the
+    // chosen run's artifact is re-written to GRAFT_BENCH_COMMITTED
+    // (default bench_committed.json) with the up-to-date table, and the
+    // human-readable run table lands in bench_runs.md. Committing the
+    // round's artifact is then `cp bench_committed.json bench_out.json` —
+    // zero judgment. The normalized total is a SELECTION metric (whole
+    // run × refCal/combined-cal-median), not a benchmark number: every
+    // candidate is normalized identically, which is all a ranking needs.
+    val isFullRun = only.isEmpty && forceSpike.isEmpty &&
+      !sys.env.contains("GRAFT_STREAM_FORCE_WALL")
+    val finalJson = if (!isFullRun) baseJson else try {
+      val runsLog = sys.env.getOrElse("GRAFT_BENCH_RUNS_LOG", "bench_runs.jsonl")
+      val logPath = java.nio.file.Paths.get(runsLog)
+      val prior: Vector[String] =
+        if (java.nio.file.Files.exists(logPath))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(logPath)).asScala
+            .map(_.trim).filter(_.nonEmpty).toVector
+        else Vector.empty
+      val seq = prior.size + 1
+      val runFile = s"$outPath.run$seq"
+      java.nio.file.Files.write(java.nio.file.Paths.get(runFile),
+        (baseJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val streamTotal = streamSecs.map(_._2).sum
+      val totalRawAll = total + streamTotal
+      val calAll = median((calSeries.map(_._2) ++ streamCalVals).toSeq)
+      val normalized = if (calAll > 0) totalRawAll * (refCal / calAll) else totalRawAll
+      val grade =
+        if (failed.nonEmpty) "failed"
+        else if (stormFlag) "storm"
+        else if (turbulentFlag) "turbulent"
+        else "clean"
+      val wireRps = streamRps.collectFirst {
+        case (n, v) if n == "stream_market_spread_wire" => v.round }.getOrElse(0L)
+      val wireStdRps = wireStandalone.map(_.rowsPerSecClean.round).getOrElse(0L)
+      val cand = s"""{"seq":$seq,"ts":"${java.time.Instant.now()}","grade":"$grade",""" +
+        s""""total_raw_sec":$totalRawAll,"batch_total_sec":$total,""" +
+        s""""stream_total_sec":$streamTotal,"cal_median_sec":$calAll,""" +
+        s""""normalized_total_sec":$normalized,""" +
+        s""""spiked_rows":${streamSpikedRows + batchSpikedRows},""" +
+        s""""wall_outliers":$wallOutlierCount,"elevated_trials":$elevatedCount,""" +
+        s""""failed_rows":${failed.size},"repeats":$repeats,""" +
+        s""""wire_rps":$wireRps,"wire_standalone_rps":$wireStdRps,"out":"$runFile"}"""
+      java.nio.file.Files.write(logPath, (cand + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      val all = prior :+ cand
+      val parsed = all.flatMap(parseCand)
+      val chosen = selectCommitted(parsed).getOrElse(
+        RunCand(seq, grade, normalized, runFile))
+      val selJson = s"""{"rule":"$SelectionRule","chosen_seq":${chosen.seq},""" +
+        s""""candidates":[${all.mkString(",")}]}"""
+      def withSelection(js: String): String =
+        "{\"committed_selection\":" + selJson + "," + js.trim.stripPrefix("{")
+      val committedPath = sys.env.getOrElse("GRAFT_BENCH_COMMITTED", "bench_committed.json")
+      val chosenBase =
+        if (chosen.seq == seq) baseJson
+        else new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(chosen.out)),
+          java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(java.nio.file.Paths.get(committedPath),
+        (withSelection(chosenBase) + "\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val runsMd =
+        (if (runsLog.endsWith(".jsonl")) runsLog.dropRight(6) else runsLog) + ".md"
+      java.nio.file.Files.write(java.nio.file.Paths.get(runsMd),
+        runsMarkdown(all, chosen.seq).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] committed_selection: this run seq=$seq " +
+        s"grade=$grade normalized=${math.round(normalized)} s; " +
+        s"chosen run ${chosen.seq} of ${all.size} -> $committedPath")
+      withSelection(baseJson)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] committed-run selection failed " +
+        s"(artifact unaffected): $e")
+      baseJson
+    }
+    println(finalJson)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (finalJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+  }
+
+  /** The encoded commit rule (VERDICT r13 #1) — also embedded verbatim in
+    * every full-run artifact so the chosen run self-documents. */
+  private[graft] val SelectionRule: String =
+    "lowest health grade (clean < turbulent < storm < failed), " +
+      "then lowest host-normalized batch+stream total, then earliest run"
+
+  /** Minimal view of one logged run, parsed back from bench_runs.jsonl. */
+  private[graft] final case class RunCand(
+      seq: Int, grade: String, normalizedTotal: Double, out: String)
+
+  private[graft] def gradeRank(g: String): Int = g match {
+    case "clean"     => 0
+    case "turbulent" => 1
+    case "storm"     => 2
+    case _           => 3 // failed / unknown: never preferred
+  }
+
+  /** THE committed-run selection, pure and unit-tested
+    * (BenchSelectionSpec): best (lowest) health grade first — a clean
+    * run beats ANY normalized total advantage of a stormy one — then the
+    * lowest host-normalized total, then the earliest run (stable under
+    * re-runs appending candidates). */
+  private[graft] def selectCommitted(cs: Seq[RunCand]): Option[RunCand] =
+    cs.sortBy(c => (gradeRank(c.grade), c.normalizedTotal, c.seq)).headOption
+
+  /** Flat-field extractor for our OWN candidate records (every value is
+    * a number or a quoted string without escapes — by construction). */
+  private[graft] def jsonField(js: String, key: String): Option[String] =
+    ("\"" + java.util.regex.Pattern.quote(key) + "\":(\"[^\"]*\"|[-0-9.eE+]+)").r
+      .findFirstMatchIn(js)
+      .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+
+  private[graft] def parseCand(js: String): Option[RunCand] =
+    for {
+      s <- jsonField(js, "seq")
+      g <- jsonField(js, "grade")
+      n <- jsonField(js, "normalized_total_sec")
+      o <- jsonField(js, "out")
+    } yield RunCand(s.toInt, g, n.toDouble, o)
+
+  /** The closing-run table as generated markdown (VERDICT r13 #1's done
+    * bar: SCALING.md's run table is generated output, not hand-written
+    * prose). One row per logged candidate; the machine-chosen run is
+    * bolded. */
+  private[graft] def runsMarkdown(cands: Seq[String], chosenSeq: Int): String = {
+    def f(js: String, k: String): String = jsonField(js, k).getOrElse("?")
+    def s1(v: String): String =
+      try f"${v.toDouble}%.1f" catch { case _: NumberFormatException => v }
+    def s3(v: String): String =
+      try f"${v.toDouble}%.3f" catch { case _: NumberFormatException => v }
+    val header =
+      "| run | grade | raw batch+stream (s) | cal med (s) | normalized (s) | " +
+        "spiked rows | wall outliers | elevated | failed | wire rps | " +
+        "wire standalone rps |\n" +
+      "|---|---|---|---|---|---|---|---|---|---|---|\n"
+    val rows = cands.map { c =>
+      val seq = f(c, "seq")
+      val mark = if (seq == chosenSeq.toString) s"**$seq (committed)**" else seq
+      s"| $mark | ${f(c, "grade")} | ${s1(f(c, "total_raw_sec"))} | " +
+        s"${s3(f(c, "cal_median_sec"))} | ${s1(f(c, "normalized_total_sec"))} | " +
+        s"${f(c, "spiked_rows")} | ${f(c, "wall_outliers")} | " +
+        s"${f(c, "elevated_trials")} | ${f(c, "failed_rows")} | " +
+        s"${f(c, "wire_rps")} | ${f(c, "wire_standalone_rps")} |"
+    }.mkString("\n")
+    s"<!-- generated by graft.Bench (committed-run selection); rule: $SelectionRule -->\n\n" +
+      header + rows + "\n"
   }
 }

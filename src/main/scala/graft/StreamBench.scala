@@ -215,14 +215,18 @@ object StreamBench {
     * pipeline is isolated — a failure records its name and the rest keep
     * running.
     */
-  def run(spark: SparkSession, sfDir: String): Out = {
+  def run(spark: SparkSession, sfDir: String,
+      onlyOverride: Option[Set[String]] = None): Out = {
     implicit val ss: SparkSession = spark
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // GRAFT_STREAM_ONLY="stream_neardup,stream_ann" runs a subset (and
     // skips the staging the unselected rows would have needed) — the
     // iterate-on-one-pipeline loop, mirroring GRAFT_BENCH_ONLY.
-    val streamOnly = sys.env.get("GRAFT_STREAM_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // `onlyOverride` is the programmatic form: Bench's standalone wire
+    // reading (VERDICT r13 #2) re-enters here for one isolated row after
+    // the full pack, same staging/teardown/spike discipline.
+    val streamOnly = onlyOverride.orElse(sys.env.get("GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
     def wanted(name: String): Boolean = streamOnly.forall(_.contains(name))
     // Stream-side shuffle sizing: ~1.5k keys of a few KB each. The
     // default is the MEASURED deployment rule as code —
@@ -642,35 +646,63 @@ object StreamBench {
       syncFs()
     }
 
-    // ---- stream_recovery (VERDICT r12 #2): the reference's crash/recover
-    // torture priced as a bench row (testing/correctness/scripts/
-    // effectively-once/master-crasher.sh kills workers mid-stream;
-    // 1-to-1-passthrough-verify.sh asserts received == sent exactly-once;
-    // checkpoint semantics core/checkpoint/checkpoint_initiator.pony:
-    // 39-110). Spark analogue in one JVM: a keyed-state query (SpreadEnrich
-    // — one state row per user, the session-depth shape; RocksDB provider
-    // with changelog checkpointing) writing the manifest-committed parquet
-    // file sink is stopped ABRUPTLY mid-batch — its offsets are already in
-    // the WAL, the commit-log entry is not, so the restart must reload the
-    // last committed state version, replay the RocksDB changelog, and
-    // re-execute the in-flight batch. teardown() between kill and restart
-    // evicts the cached state-store providers + flushes dirty pages, so
-    // the restart pays the COLD recovery cost a process kill would.
-    // Published per trial: time-to-first-output after restart, catch-up
-    // wall (the row's headline), the uninterrupted baseline wall, and the
-    // 1-to-1 verify — an order-independent full-row hash over both sinks'
-    // manifest-committed output. SpreadEnrich makes the hash STRONG: every
-    // output row carries its key's running mean, so a replayed row that
-    // double-counted into state diverges every later row of that key, not
-    // just the duplicate. The trial THROWS on hash mismatch — the row goes
-    // to `failed` in the artifact rather than publishing a wall for a
-    // broken recovery.
+    // ---- stream_recovery (VERDICT r12 #2, deepened r13 #4 to the
+    // master-crasher shape): the reference's crash/recover torture priced
+    // as a bench row (testing/correctness/scripts/effectively-once/
+    // master-crasher.sh kills workers REPEATEDLY at random points,
+    // including mid-commit; 1-to-1-passthrough-verify.sh asserts
+    // received == sent exactly-once; checkpoint semantics
+    // core/checkpoint/checkpoint_initiator.pony:39-110). Spark analogue
+    // in one JVM: a keyed-state query (SpreadEnrich — one state row per
+    // user; RocksDB provider with changelog checkpointing) writing the
+    // manifest-committed parquet file sink is stopped ABRUPTLY mid-batch
+    // N≥3 times per trial at SEEDED-random batch offsets (each attempt
+    // commits 1-2 more data batches plus a random intra-batch sleep, so
+    // the stop lands at varied offsets inside the in-flight batch — its
+    // offsets are already in the WAL, the commit-log entry is not, so
+    // every restart must reload the last committed state version, replay
+    // the RocksDB changelog, and re-execute the in-flight batch).
+    // teardown() between attempts evicts the cached state-store
+    // providers + flushes dirty pages, so each restart pays the COLD
+    // recovery cost a process kill would. The replay runs at 16 files/
+    // trigger (~8 data batches — the single-kill r13 row ran 32/4, whose
+    // walls are therefore not directly comparable) so three kills leave
+    // real catch-up work. Published per trial: the kill schedule
+    // (seeded, logged), time-to-first-output after the LAST restart,
+    // catch-up wall (the row's headline), the uninterrupted baseline
+    // wall, and the 1-to-1 verify — an order-independent full-row hash
+    // over both sinks' manifest-committed output. SpreadEnrich makes the
+    // hash STRONG: every output row carries its key's running mean, so a
+    // replayed row that double-counted into state diverges every later
+    // row of that key, not just the duplicate. The trial THROWS on hash
+    // mismatch — the row goes to `failed` in the artifact rather than
+    // publishing a wall for a broken recovery.
+    // Set/restore session confs around a block — used by every per-trial
+    // conf override AND the recovery trial's rescale probe (defined here,
+    // above both, so neither needs a forward reference over a val).
+    def withConfs[T](confs: Seq[(String, String)])(body: => T): T =
+      if (confs.isEmpty) body
+      else {
+        val prev = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+        confs.foreach { case (key, v) => spark.conf.set(key, v) }
+        try body finally prev.foreach {
+          case (key, Some(v)) => spark.conf.set(key, v)
+          case (key, None)    => spark.conf.unset(key)
+        }
+      }
+
     val recoveryLog = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rescaleLog = scala.collection.mutable.ArrayBuffer.empty[String]
     def recoveryTrial(): (Double, Double, (Long, Long), (Long, Long, Long)) = {
       val root = Files.createTempDirectory("graft_recovery").toString
       try {
+        def recoverySource() = ParquetReplaySource[(Long, Long, Long)](
+          staged,
+          (r: Row) => (r.getLong(0), r.getLong(1), r.getLong(2)),
+          (r: Row) => r.getLong(2),
+          maxFilesPerTrigger = 16)
         def start(out: String, ckpt: String): SinkHandle =
-          Graft.source("bench-recovery", source())
+          Graft.source("bench-recovery", recoverySource())
             .keyBy(_._1.toString)
             .to(SpreadEnrich)(long3Enc)
             .through(out, Some(ckpt))._1
@@ -682,32 +714,64 @@ object StreamBench {
             Thread.sleep(10)
           }
         }
+        // Order-independent output hash (decimal sum dodges ANSI Long-sum
+        // overflow); batch reads respect each sink's _spark_metadata
+        // manifest, so files from a killed attempt's uncommitted batch
+        // are invisible — exactly the mechanism under certification.
+        def hashOf(dir: String): (Long, java.math.BigDecimal) = {
+          val r = spark.read.parquet(dir).selectExpr("count(*)",
+            "sum(cast(xxhash64(struct(*)) as decimal(38,0)))").head()
+          (r.getLong(0),
+            if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+        }
         val killedOut = s"$root/killed"; val killedCkpt = s"$root/killed_ckpt"
         val baseOut = s"$root/baseline"; val baseCkpt = s"$root/baseline_ckpt"
-        // Phase 1 — run until two data batches committed, then kill. The
-        // poll fires mid-batch-3 (batches are multi-second at bench SF),
-        // so the stop interrupts an in-flight batch: the crash shape.
-        val victim = start(killedOut, killedCkpt)
+        // Phase 1 — the master-crasher loop: nKills abrupt stops, each
+        // after a seeded-random number of committed data batches + a
+        // seeded intra-batch sleep. An attempt that drains the source
+        // early (an empty batch committed) marks the schedule exhausted —
+        // visible in the log, never a hang.
+        val nKills = math.max(1,
+          sys.env.getOrElse("GRAFT_RECOVERY_KILLS", "3").toInt)
+        val seed = sys.env.getOrElse("GRAFT_RECOVERY_SEED", "14").toLong
+        val rng = new scala.util.Random(seed + recoveryLog.size)
+        val killLog = scala.collection.mutable.ArrayBuffer.empty[String]
+        var exhausted = false
         var preKillBatches = 0L; var preKillRows = 0L
-        try {
-          waitFor(victim.query.exists(
-            _.recentProgress.count(_.numInputRows > 0) >= 2),
-            "two committed pre-kill batches")
-          val ps = victim.query
-            .map(_.recentProgress.filter(_.numInputRows > 0).toSeq)
-            .getOrElse(Seq.empty)
-          preKillBatches = ps.size.toLong
-          preKillRows = ps.map(_.numInputRows).sum
-        } finally (try victim.stop() catch { case _: Throwable => })
-        teardown() // cold restart: provider caches evicted, writeback flushed
-        // Phase 2 — the timed recovery: restart from the same checkpoint
-        // into the same sink, to first output and to fully drained.
+        for (k <- 1 to nKills if !exhausted) {
+          val victim = start(killedOut, killedCkpt)
+          val targetBatches = 1 + rng.nextInt(2)
+          val sleepMs = rng.nextInt(400).toLong
+          try {
+            def progress = victim.query.map(_.recentProgress.toSeq).getOrElse(Seq.empty)
+            waitFor({
+              val ps = progress
+              exhausted = ps.exists(_.numInputRows == 0)
+              exhausted || ps.count(_.numInputRows > 0) >= targetBatches
+            }, s"kill $k: $targetBatches committed batches")
+            Thread.sleep(sleepMs) // land the stop at a varied in-flight offset
+            val ps = progress.filter(_.numInputRows > 0)
+            preKillBatches += ps.size
+            preKillRows += ps.map(_.numInputRows).sum
+            killLog += s"""{"kill":$k,"target_batches":$targetBatches,""" +
+              s""""sleep_ms":$sleepMs,"batches_this_attempt":${ps.size},""" +
+              s""""exhausted":$exhausted}"""
+          } finally (try victim.stop() catch { case _: Throwable => })
+          teardown() // cold restart: provider caches evicted, writeback flushed
+        }
+        // Phase 2 — the timed recovery: the restart after the LAST kill,
+        // from the same checkpoint into the same sink, to first output
+        // and to fully drained.
         val t1 = System.nanoTime()
         val re = start(killedOut, killedCkpt)
         var firstSec = 0.0; var catchupSec = 0.0
         var sustained = 0.0; var latency = (0L, 0L); var st = (0L, 0L, 0L)
         try {
-          waitFor(re.query.exists(_.recentProgress.exists(_.numInputRows > 0)),
+          // an exhausted schedule (source fully drained before the last
+          // kill — visible in the kill log) has no data batch left: any
+          // progress event then counts as "restarted", not a hang
+          waitFor(re.query.exists(_.recentProgress.exists(p =>
+            exhausted || p.numInputRows > 0)),
             "first post-restart output")
           firstSec = (System.nanoTime() - t1) / 1e9
           re.processAllAvailable()
@@ -718,7 +782,7 @@ object StreamBench {
         } finally (try re.stop() catch { case _: Throwable => })
         teardown()
         // Phase 3 — the uninterrupted baseline: same topology, same
-        // provider, fresh dirs, straight through.
+        // provider, same trigger sizing, fresh dirs, straight through.
         val t2 = System.nanoTime()
         val base = start(baseOut, baseCkpt)
         var baselineSec = 0.0
@@ -726,28 +790,47 @@ object StreamBench {
           base.processAllAvailable()
           baselineSec = (System.nanoTime() - t2) / 1e9
         } finally (try base.stop() catch { case _: Throwable => })
-        // Phase 4 — the 1-to-1 verify: batch reads respect each sink's
-        // _spark_metadata manifest, so files from the killed attempt's
-        // uncommitted batch are invisible — which is exactly the
-        // exactly-once mechanism under certification. Order-independent
-        // hash (decimal sum dodges ANSI Long-sum overflow).
-        def hashOf(dir: String): (Long, java.math.BigDecimal) = {
-          val r = spark.read.parquet(dir).selectExpr("count(*)",
-            "sum(cast(xxhash64(struct(*)) as decimal(38,0)))").head()
-          (r.getLong(0),
-            if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-        }
+        // Phase 4 — the 1-to-1 verify across the whole kill schedule.
         val (nRec, hRec) = hashOf(killedOut)
         val (nBase, hBase) = hashOf(baseOut)
         val hashEqual = nRec == nBase && hRec.compareTo(hBase) == 0
-        recoveryLog += s"""{"trial":${recoveryLog.size + 1},""" +
+        recoveryLog += s"""{"trial":${recoveryLog.size + 1},"seed":$seed,""" +
+          s""""n_kills":${killLog.size},"kills":${killLog.mkString("[", ",", "]")},""" +
           s""""pre_kill_batches":$preKillBatches,"pre_kill_rows":$preKillRows,""" +
           s""""time_to_first_output_sec":$firstSec,"catchup_sec":$catchupSec,""" +
           s""""baseline_wall_sec":$baselineSec,"rows_out_recovered":$nRec,""" +
           s""""rows_out_baseline":$nBase,"hash_equal":$hashEqual}"""
         require(hashEqual, s"stream_recovery: recovered output diverged from " +
           s"the uninterrupted run (rows $nRec vs $nBase, hash $hRec vs $hBase) " +
-          "— exactly-once violated across the kill")
+          s"— exactly-once violated across ${killLog.size} kills")
+        // ---- Rescale pricing (VERDICT r13 #4, second half; once per
+        // run, on the first trial): live key migration is impossible on
+        // a running query (RescaleSpec pins the restriction) — the
+        // mitigation is replayable source + FRESH checkpoint at the new
+        // parallelism (core/autoscale/autoscale.pony:37-110 is the
+        // reference's live form). This prices it: the rebuild wall at 2×
+        // state partitions is what the 16→32 rescale costs when key
+        // volume outgrows the narrow end of Graft.statePartitionsFor.
+        // The rebuilt output must hash-equal the baseline — a rescale
+        // that changed answers would be a partitioning-sensitive bug.
+        if (rescaleLog.isEmpty) {
+          val from = spark.conf.get("spark.sql.shuffle.partitions").toInt
+          val to = from * 2
+          val rsOut = s"$root/rescale"; val rsCkpt = s"$root/rescale_ckpt"
+          teardown()
+          val t3 = System.nanoTime()
+          withConfs(Seq("spark.sql.shuffle.partitions" -> to.toString)) {
+            val h = start(rsOut, rsCkpt)
+            try h.processAllAvailable()
+            finally (try h.stop() catch { case _: Throwable => })
+          }
+          val rebuildSec = (System.nanoTime() - t3) / 1e9
+          val (nRs, hRs) = hashOf(rsOut)
+          rescaleLog += s"""{"from_partitions":$from,"to_partitions":$to,""" +
+            s""""rebuild_wall_sec":$rebuildSec,"baseline_wall_sec":$baselineSec,""" +
+            s""""rows_out":$nRs,""" +
+            s""""hash_equal_baseline":${nRs == nBase && hRs.compareTo(hBase) == 0}}"""
+        }
         (catchupSec, sustained, latency, st)
       } finally deleteRecursively(new java.io.File(root))
     }
@@ -773,16 +856,6 @@ object StreamBench {
     def register(name: String, provider: String,
         confs: Seq[(String, String)] = Nil)(runTrial: () => Trial): Unit =
       if (wanted(name)) rowDefs += ((name, provider, confs, runTrial))
-    def withConfs[T](confs: Seq[(String, String)])(body: => T): T =
-      if (confs.isEmpty) body
-      else {
-        val prev = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
-        confs.foreach { case (key, v) => spark.conf.set(key, v) }
-        try body finally prev.foreach {
-          case (key, Some(v)) => spark.conf.set(key, v)
-          case (key, None)    => spark.conf.unset(key)
-        }
-      }
 
     def statecomp(src: SourceConfig[(Long, Long, Long)]) =
       Graft.source("bench-statecomp", src)
@@ -1372,8 +1445,10 @@ object StreamBench {
         provider, stateJson, spikedJson, wallRerunJson, wallOutliers)
     }
     val extra =
-      if (recoveryLog.isEmpty) Nil
-      else Seq("stream_recovery_detail" -> recoveryLog.mkString("[", ",", "]"))
+      (if (recoveryLog.isEmpty) Nil
+       else Seq("stream_recovery_detail" -> recoveryLog.mkString("[", ",", "]"))) ++
+      (if (rescaleLog.isEmpty) Nil
+       else Seq("stream_rescale_detail" -> rescaleLog.mkString("[", ",", "]")))
     Out(results, failed.toList.distinct, roundCal.toSeq, extra)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)

@@ -44,7 +44,14 @@ object WireScanProbe {
       t.setDaemon(true); t.start(); ssk
     }
 
-    def timed(label: String)(mk: Int => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    // `expectRows` = rows the query EMITS (numInputRows counts emitted
+    // rows, not frames walked): nFrames for total decoders, nFrames/2
+    // for the 50%-drop run. Throughput is reported over FRAMES WALKED —
+    // the wire-side unit every variant shares — so the drop50 line reads
+    // directly against the decode line: equal frames/s = a dropped frame
+    // costs the frame walk and nothing else.
+    def timed(label: String, expectRows: Long = nFrames.toLong)(
+        mk: Int => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val srv = serveAll()
       // per-query-id counts (ADVICE r10: the listener bus is async and
       // session-global — a straggler progress event from a previous
@@ -73,7 +80,7 @@ object WireScanProbe {
           Option(seenByQuery.get(q.id)).map(_.get).getOrElse(0L)
         val deadline = System.nanoTime() + 600L * 1000000000L
         var lastLog = System.nanoTime()
-        while (seen() < nFrames && System.nanoTime() < deadline) {
+        while (seen() < expectRows && System.nanoTime() < deadline) {
           Thread.sleep(25)
           if (q.exception.isDefined) throw q.exception.get
           if (System.nanoTime() - lastLog > 2000000000L) {
@@ -86,10 +93,10 @@ object WireScanProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         q.stop()
         val done = seen()
-        if (done < nFrames)
-          println(f"[wire-scan] $label%-8s TIMED OUT at $done of $nFrames rows after ${sec}%7.2f s")
+        if (done < expectRows)
+          println(f"[wire-scan] $label%-8s TIMED OUT at $done of $expectRows rows after ${sec}%7.2f s")
         else
-          println(f"[wire-scan] $label%-8s $nFrames rows  ${sec}%7.2f s  ${nFrames / sec / 1e6}%6.2f M rows/s")
+          println(f"[wire-scan] $label%-8s $nFrames frames ($done rows)  ${sec}%7.2f s  ${nFrames / sec / 1e6}%6.2f M frames/s")
       } finally {
         spark.streams.removeListener(listener)
         srv.close()
@@ -116,6 +123,20 @@ object WireScanProbe {
         .start()
     }
 
+    // decode-drop pricing (VERDICT r13 #6): the same typed-decode path
+    // with a decodeOpt dropping 50% of frames at the source — the
+    // reference's heartbeat/filter-at-decode use case
+    // (framed_source_notify.pony:118-133), which no bench row exercised
+    // at a HIGH drop rate. Read against the `decode` line in frames/s:
+    // parity means a dropped frame costs exactly the frame walk.
+    timed("drop50", nFrames / 2L) { port =>
+      FramedSocketSource("127.0.0.1", port, DroppingWireDecoder)
+        .load(spark)
+        .writeStream.format("noop").option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wsp_drop").toString)
+        .start()
+    }
+
     // full DSL wrap
     timed("dsl") { port =>
       val h = Graft.source("wire-scan-dsl",
@@ -139,5 +160,18 @@ object WireScanProbe {
     }
 
     spark.stop()
+  }
+
+  /** SpreadWireDecoder with the reference's decode-time drop: every
+    * odd-cents frame (exactly half the probe's generated stream) returns
+    * None from decodeOpt, so the run prices the drop path itself. */
+  object DroppingWireDecoder extends FramedDecoder[(Long, Long, Long, Long, Long)] {
+    private val base = StreamBench.SpreadWireDecoder(0L)
+    def decode(payload: Array[Byte]): (Long, Long, Long, Long, Long) = base.decode(payload)
+    override def decodeOpt(payload: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+      val t = base.decode(payload)
+      if (t._4 % 2 == 0) Some(t) else None // cents = the generator's running index
+    }
+    def eventTimeNs(t: (Long, Long, Long, Long, Long)): Long = t._5
   }
 }

@@ -84,6 +84,12 @@ def rows_of(rel_rows, colnames):
 
 def close(a, b):
     if isinstance(a, float) and isinstance(b, float):
+        # both-NaN is equal, like a hash of the bits — the driver's
+        # pandas-path compare (driver_compare) and the real hash gate
+        # both treat it so; before this the value gate alone FAILed a
+        # both-NaN cell the driver would pass (r14 gate-tooling sweep)
+        if math.isnan(a) and math.isnan(b):
+            return True, False
         if a == b:
             return True, False
         if math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9):
@@ -108,8 +114,14 @@ def main():
             f"SELECT * FROM read_parquet({files!r})").fetchall()
         got_cols = [c[0] for c in con.description]
         if name not in oracle:
-            print(f"[rows-only] {name}: {len(got)} rows "
-                  f"{'OK' if len(got) > 0 else 'EMPTY!'}")
+            # the driver's rows-only fallback REQUIRES rows > 0 — an empty
+            # result must fail the exit code, not just print (r14 sweep:
+            # this path previously exited 0 on a broken non-SQL operator)
+            ok = len(got) > 0
+            if not ok:
+                n_fail += 1
+            print(f"[{'rows-only' if ok else 'FAIL'}] {name}: {len(got)} rows "
+                  f"{'OK' if ok else 'EMPTY!'}")
             continue
         exp = con.execute(oracle[name]).fetchall()
         exp_cols = [c[0] for c in con.description]
@@ -140,7 +152,10 @@ def main():
         if status == "PASS" and pd is not None:
             dstat, ddetail = driver_compare(files, con, oracle[name])
             if dstat != "PASS":
-                status, detail = "FAIL", f"driver-path: {ddetail}"
+                # keep ERR distinct from FAIL — the real driver records
+                # `err` as its own field and the round discipline demands
+                # "zero err anywhere"; both count toward the exit code
+                status, detail = dstat, f"driver-path: {ddetail}"
         if status == "PASS":
             n_pass += 1
         elif status == "NEAR":
