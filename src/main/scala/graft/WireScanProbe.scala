@@ -44,13 +44,14 @@ object WireScanProbe {
       t.setDaemon(true); t.start(); ssk
     }
 
-    // `expectRows` = rows the query EMITS (numInputRows counts emitted
-    // rows, not frames walked): nFrames for total decoders, nFrames/2
-    // for the 50%-drop run. Throughput is reported over FRAMES WALKED —
-    // the wire-side unit every variant shares — so the drop50 line reads
-    // directly against the decode line: equal frames/s = a dropped frame
+    // numInputRows counts FRAMES SCANNED by the DSv2 relation — the
+    // decode (and any decodeOpt drop) happens in the typed flatMap ABOVE
+    // the scan — so every variant, dropping or not, drains at exactly
+    // nFrames counted rows. Throughput is reported in frames/s, the
+    // wire-side unit every variant shares: the drop50 line reads
+    // directly against the decode line — parity means a dropped frame
     // costs the frame walk and nothing else.
-    def timed(label: String, expectRows: Long = nFrames.toLong)(
+    def timed(label: String)(
         mk: Int => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val srv = serveAll()
       // per-query-id counts (ADVICE r10: the listener bus is async and
@@ -80,7 +81,7 @@ object WireScanProbe {
           Option(seenByQuery.get(q.id)).map(_.get).getOrElse(0L)
         val deadline = System.nanoTime() + 600L * 1000000000L
         var lastLog = System.nanoTime()
-        while (seen() < expectRows && System.nanoTime() < deadline) {
+        while (seen() < nFrames && System.nanoTime() < deadline) {
           Thread.sleep(25)
           if (q.exception.isDefined) throw q.exception.get
           if (System.nanoTime() - lastLog > 2000000000L) {
@@ -93,10 +94,10 @@ object WireScanProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         q.stop()
         val done = seen()
-        if (done < expectRows)
-          println(f"[wire-scan] $label%-8s TIMED OUT at $done of $expectRows rows after ${sec}%7.2f s")
+        if (done < nFrames)
+          println(f"[wire-scan] $label%-8s TIMED OUT at $done of $nFrames frames after ${sec}%7.2f s")
         else
-          println(f"[wire-scan] $label%-8s $nFrames frames ($done rows)  ${sec}%7.2f s  ${nFrames / sec / 1e6}%6.2f M frames/s")
+          println(f"[wire-scan] $label%-8s $nFrames frames  ${sec}%7.2f s  ${nFrames / sec / 1e6}%6.2f M frames/s")
       } finally {
         spark.streams.removeListener(listener)
         srv.close()
@@ -129,7 +130,7 @@ object WireScanProbe {
     // (framed_source_notify.pony:118-133), which no bench row exercised
     // at a HIGH drop rate. Read against the `decode` line in frames/s:
     // parity means a dropped frame costs exactly the frame walk.
-    timed("drop50", nFrames / 2L) { port =>
+    timed("drop50") { port =>
       FramedSocketSource("127.0.0.1", port, DroppingWireDecoder)
         .load(spark)
         .writeStream.format("noop").option("checkpointLocation",
