@@ -272,6 +272,24 @@ object StreamBench {
           .select(col("user_id"), col("cents"),
             (col("ts_ns") + col("id")).as("ts_ns"))
         ev.repartition(128).write.mode("overwrite").parquet(staged)
+        // Deterministic replay order: FileStreamSource batches files in
+        // MODIFICATION-TIME order with an UNSTABLE tie-break (the local
+        // FS listing), and a single write job stamps near-identical
+        // mtimes — so file→batch assignment could differ between query
+        // instances. Throughput rows don't care, but the recovery row's
+        // 1-to-1 hash verify does: a key's running mean depends on its
+        // rows' batch grouping (within-batch event-time sort), so a
+        // restarted chain and the uninterrupted baseline must see the
+        // SAME file→batch map (r14: trial 3's verify diverged with equal
+        // row counts — order, not duplication). Strictly increasing
+        // mtimes in path order make the sort total for everyone.
+        locally {
+          val fs = new java.io.File(staged).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          val base = System.currentTimeMillis() - (fs.length + 1) * 1000L
+          fs.zipWithIndex.foreach { case (f, i) =>
+            f.setLastModified(base + i * 1000L) }
+        }
         Some((staged, spark.read.parquet(staged).count().toDouble))
       } catch { case e: Throwable =>
         System.err.println(s"[stream] events staging failed: $e")
@@ -664,10 +682,10 @@ object StreamBench {
     // the RocksDB changelog, and re-execute the in-flight batch).
     // teardown() between attempts evicts the cached state-store
     // providers + flushes dirty pages, so each restart pays the COLD
-    // recovery cost a process kill would. The replay runs at 16 files/
-    // trigger (~8 data batches — the single-kill r13 row ran 32/4, whose
-    // walls are therefore not directly comparable) so three kills leave
-    // real catch-up work. Published per trial: the kill schedule
+    // recovery cost a process kill would. The replay runs at 8 files/
+    // trigger (~16 data batches — the single-kill r13 row ran 32/4,
+    // whose walls are therefore not directly comparable) so three kills
+    // plus their overshoot always leave real catch-up work. Published per trial: the kill schedule
     // (seeded, logged), time-to-first-output after the LAST restart,
     // catch-up wall (the row's headline), the uninterrupted baseline
     // wall, and the 1-to-1 verify — an order-independent full-row hash
@@ -700,15 +718,21 @@ object StreamBench {
           staged,
           (r: Row) => (r.getLong(0), r.getLong(1), r.getLong(2)),
           (r: Row) => r.getLong(2),
-          maxFilesPerTrigger = 16)
+          maxFilesPerTrigger = 8)
         def start(out: String, ckpt: String): SinkHandle =
           Graft.source("bench-recovery", recoverySource())
             .keyBy(_._1.toString)
             .to(SpreadEnrich)(long3Enc)
             .through(out, Some(ckpt))._1
-        def waitFor(cond: => Boolean, what: String, maxSec: Int = 300): Unit = {
+        // Waits surface the QUERY'S OWN failure, not a 300 s timeout that
+        // masks it (r14: the first sf0.1 run reported "timed out waiting
+        // for first post-restart output" where the restarted query had
+        // actually failed at start).
+        def waitOn(h: SinkHandle, cond: => Boolean, what: String,
+            maxSec: Int = 300): Unit = {
           val deadline = System.nanoTime() + maxSec * 1000000000L
           while (!cond) {
+            h.query.foreach(q => q.exception.foreach(throw _))
             if (System.nanoTime() > deadline)
               throw new IllegalStateException(s"stream_recovery: timed out waiting for $what")
             Thread.sleep(10)
@@ -728,23 +752,38 @@ object StreamBench {
         val baseOut = s"$root/baseline"; val baseCkpt = s"$root/baseline_ckpt"
         // Phase 1 — the master-crasher loop: nKills abrupt stops, each
         // after a seeded-random number of committed data batches + a
-        // seeded intra-batch sleep. An attempt that drains the source
-        // early (an empty batch committed) marks the schedule exhausted —
-        // visible in the log, never a hang.
+        // seeded intra-batch sleep. TWO guards keep the schedule from
+        // consuming the whole replay before the timed recovery (a fully
+        // drained checkpoint restarts into silence — no batch runs, no
+        // progress events, and the TTFO wait can only time out; trial 3
+        // / seed 16 of the first r14 sf0.1 run hit exactly that):
+        // a batch BUDGET — killing stops once the attempts' committed
+        // batches (replays counted, so the budget errs conservative)
+        // reach totalBatches - 2 — and the empty-batch `exhausted` flag,
+        // which also degrades phase 2 to a drain-only measurement
+        // (TTFO = 0, marked in the log) instead of a wait that can hang.
         val nKills = math.max(1,
           sys.env.getOrElse("GRAFT_RECOVERY_KILLS", "3").toInt)
         val seed = sys.env.getOrElse("GRAFT_RECOVERY_SEED", "14").toLong
         val rng = new scala.util.Random(seed + recoveryLog.size)
         val killLog = scala.collection.mutable.ArrayBuffer.empty[String]
+        val nStagedFiles = new java.io.File(staged).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val totalBatches = math.ceil(nStagedFiles / 8.0).toLong
         var exhausted = false
         var preKillBatches = 0L; var preKillRows = 0L
-        for (k <- 1 to nKills if !exhausted) {
+        // an attempt can overshoot its target by a commit or two (the
+        // intra-batch sleep, the stop's own drain), so the budget leaves
+        // 4 batches of slack — at 8-file triggers (~16 batches) three
+        // kills always fit AND the recovery always has real work
+        for (k <- 1 to nKills
+             if !exhausted && preKillBatches < totalBatches - 4) {
           val victim = start(killedOut, killedCkpt)
           val targetBatches = 1 + rng.nextInt(2)
           val sleepMs = rng.nextInt(400).toLong
           try {
             def progress = victim.query.map(_.recentProgress.toSeq).getOrElse(Seq.empty)
-            waitFor({
+            waitOn(victim, {
               val ps = progress
               exhausted = ps.exists(_.numInputRows == 0)
               exhausted || ps.count(_.numInputRows > 0) >= targetBatches
@@ -753,6 +792,10 @@ object StreamBench {
             val ps = progress.filter(_.numInputRows > 0)
             preKillBatches += ps.size
             preKillRows += ps.map(_.numInputRows).sum
+            System.err.println(s"[stream] stream_recovery trial " +
+              s"${recoveryLog.size + 1} kill $k: target=$targetBatches " +
+              s"committed=${ps.size} cumulative=$preKillBatches/" +
+              s"$totalBatches exhausted=$exhausted")
             killLog += s"""{"kill":$k,"target_batches":$targetBatches,""" +
               s""""sleep_ms":$sleepMs,"batches_this_attempt":${ps.size},""" +
               s""""exhausted":$exhausted}"""
@@ -768,12 +811,15 @@ object StreamBench {
         var sustained = 0.0; var latency = (0L, 0L); var st = (0L, 0L, 0L)
         try {
           // an exhausted schedule (source fully drained before the last
-          // kill — visible in the kill log) has no data batch left: any
-          // progress event then counts as "restarted", not a hang
-          waitFor(re.query.exists(_.recentProgress.exists(p =>
-            exhausted || p.numInputRows > 0)),
-            "first post-restart output")
-          firstSec = (System.nanoTime() - t1) / 1e9
+          // kill — visible in the kill log) may restart into a query
+          // with NOTHING to run: no batch, no progress events — so the
+          // TTFO wait is skipped entirely (firstSec stays 0, a visibly
+          // degenerate reading) and the drain below is the measurement
+          if (!exhausted) {
+            waitOn(re, re.query.exists(_.recentProgress.exists(_.numInputRows > 0)),
+              "first post-restart output")
+            firstSec = (System.nanoTime() - t1) / 1e9
+          }
           re.processAllAvailable()
           catchupSec = (System.nanoTime() - t1) / 1e9
           val sl = sustainedOf(re.query, nRows, catchupSec)
