@@ -764,8 +764,11 @@ object StreamBench {
         // (TTFO = 0, marked in the log) instead of a wait that can hang.
         val nKills = math.max(1,
           sys.env.getOrElse("GRAFT_RECOVERY_KILLS", "3").toInt)
-        val seed = sys.env.getOrElse("GRAFT_RECOVERY_SEED", "14").toLong
-        val rng = new scala.util.Random(seed + recoveryLog.size)
+        // effective per-trial seed (base + trial index) — logged as-is so
+        // a schedule replays from the artifact alone
+        val seed = sys.env.getOrElse("GRAFT_RECOVERY_SEED", "14").toLong +
+          recoveryLog.size
+        val rng = new scala.util.Random(seed)
         val killLog = scala.collection.mutable.ArrayBuffer.empty[String]
         val nStagedFiles = new java.io.File(staged).listFiles()
           .count(_.getName.endsWith(".parquet"))
@@ -840,6 +843,46 @@ object StreamBench {
         val (nRec, hRec) = hashOf(killedOut)
         val (nBase, hBase) = hashOf(baseOut)
         val hashEqual = nRec == nBase && hRec.compareTo(hBase) == 0
+        // Mismatch forensics (r14: a pack-context trial diverged with
+        // EQUAL row counts — the decisive question is per-user counts/
+        // sums, which separate duplication from order): print per-user
+        // aggregate diffs, the first divergent (user, ts) rows, and both
+        // chains' batch compositions, all BEFORE the throw, so the
+        // artifact's stderr pinpoints the class of failure.
+        if (!hashEqual) {
+          def perUser(dir: String) = spark.read.parquet(dir)
+            .selectExpr("_1._1 as user", "_1._2 as cents", "_1._3 as mean", "_2 as ts")
+            .groupBy("user")
+            .agg(expr("count(*) as n"), expr("sum(cents) as sc"),
+              expr("sum(mean) as sm"))
+          val a = perUser(killedOut).withColumnRenamed("n", "n_a")
+            .withColumnRenamed("sc", "sc_a").withColumnRenamed("sm", "sm_a")
+          val b = perUser(baseOut).withColumnRenamed("n", "n_b")
+            .withColumnRenamed("sc", "sc_b").withColumnRenamed("sm", "sm_b")
+          val diff = a.join(b, "user")
+            .filter("n_a != n_b or sc_a != sc_b or sm_a != sm_b")
+          val sample = diff.orderBy("user").limit(3).collect()
+          System.err.println(s"[stream] recovery verify MISMATCH: " +
+            s"${diff.count()} users differ; first: ${sample.mkString(" | ")}")
+          sample.headOption.foreach { r0 =>
+            val u = r0.getLong(0)
+            def rowsOf(dir: String, tag: String) = spark.read.parquet(dir)
+              .selectExpr("_1._1 as user", "_1._2 as cents",
+                s"_1._3 as mean_$tag", "_2 as ts")
+              .filter(s"user = $u")
+            val firstDiv = rowsOf(killedOut, "rec").join(
+                rowsOf(baseOut, "base").drop("user", "cents"), Seq("ts"))
+              .filter("mean_rec != mean_base").orderBy("ts").limit(3).collect()
+            System.err.println(s"[stream] recovery verify user $u first " +
+              s"divergent rows: ${firstDiv.mkString(" | ")}")
+          }
+          def batchesOf(h: SinkHandle, tag: String): Unit =
+            System.err.println(s"[stream] recovery $tag batches: " +
+              h.query.map(_.recentProgress.map(p =>
+                s"${p.batchId}:${p.numInputRows}").mkString(",")).getOrElse("?"))
+          batchesOf(re, "recovered(last attempt)")
+          batchesOf(base, "baseline")
+        }
         recoveryLog += s"""{"trial":${recoveryLog.size + 1},"seed":$seed,""" +
           s""""n_kills":${killLog.size},"kills":${killLog.mkString("[", ",", "]")},""" +
           s""""pre_kill_batches":$preKillBatches,"pre_kill_rows":$preKillRows,""" +
