@@ -560,6 +560,17 @@ object Bench {
       val totalRawAll = total + streamTotal
       val calAll = median((calSeries.map(_._2) ++ streamCalVals).toSeq)
       val normalized = if (calAll > 0) totalRawAll * (refCal / calAll) else totalRawAll
+      // Split-normalized variant, published per candidate but NOT yet
+      // the selection key (SCALING.md r14 "selection-metric wrinkle"):
+      // wall-bound rows pace on triggers/sockets, not host speed, so
+      // scaling the WHOLE run by refCal/cal lets a slower-host run
+      // normalize favorably. Recording both metrics now gives r15 the
+      // full candidate history to switch rules on — changing the rule
+      // mid-round after seeing the winners is exactly the judgment the
+      // machinery exists to remove.
+      val normalizedSplit =
+        if (calAll > 0) totalWallBound + (totalCpuBound + streamTotal) * (refCal / calAll)
+        else totalRawAll
       val grade =
         if (failed.nonEmpty) "failed"
         else if (stormFlag) "storm"
@@ -572,6 +583,7 @@ object Bench {
         s""""total_raw_sec":$totalRawAll,"batch_total_sec":$total,""" +
         s""""stream_total_sec":$streamTotal,"cal_median_sec":$calAll,""" +
         s""""normalized_total_sec":$normalized,""" +
+        s""""normalized_split_sec":$normalizedSplit,""" +
         s""""spiked_rows":${streamSpikedRows + batchSpikedRows},""" +
         s""""wall_outliers":$wallOutlierCount,"elevated_trials":$elevatedCount,""" +
         s""""failed_rows":${failed.size},"repeats":$repeats,""" +

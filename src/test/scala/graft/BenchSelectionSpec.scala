@@ -62,7 +62,8 @@ class BenchSelectionSpec extends AnyFunSuite {
   private val cand =
     """{"seq":3,"ts":"2026-08-16T05:00:00Z","grade":"turbulent",""" +
       """"total_raw_sec":125.4,"batch_total_sec":105.1,"stream_total_sec":20.3,""" +
-      """"cal_median_sec":0.391,"normalized_total_sec":298.2,"spiked_rows":0,""" +
+      """"cal_median_sec":0.391,"normalized_total_sec":298.2,""" +
+      """"normalized_split_sec":280.4,"spiked_rows":0,""" +
       """"wall_outliers":0,"elevated_trials":2,"failed_rows":0,"repeats":3,""" +
       """"wire_rps":1157000,"wire_standalone_rps":1030000,"out":"bench_out.json.run3"}"""
 
