@@ -282,7 +282,11 @@ object StreamBench {
         // restarted chain and the uninterrupted baseline must see the
         // SAME file→batch map (r14: trial 3's verify diverged with equal
         // row counts — order, not duplication). Strictly increasing
-        // mtimes in path order make the sort total for everyone.
+        // mtimes in path order make the sort total for everyone. NOTE
+        // this fixes the file ORDER only — restart re-planning can still
+        // legitimately re-GROUP files into differently-sized batches
+        // (observed: a 16-file recovered batch under an 8-file cap),
+        // which is why the recovery verify is grouping-insensitive.
         locally {
           val fs = new java.io.File(staged).listFiles()
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -688,13 +692,16 @@ object StreamBench {
     // plus their overshoot always leave real catch-up work. Published per trial: the kill schedule
     // (seeded, logged), time-to-first-output after the LAST restart,
     // catch-up wall (the row's headline), the uninterrupted baseline
-    // wall, and the 1-to-1 verify — an order-independent full-row hash
-    // over both sinks' manifest-committed output. SpreadEnrich makes the
-    // hash STRONG: every output row carries its key's running mean, so a
-    // replayed row that double-counted into state diverges every later
-    // row of that key, not just the duplicate. The trial THROWS on hash
-    // mismatch — the row goes to `failed` in the artifact rather than
-    // publishing a wall for a broken recovery.
+    // wall, and the 1-to-1 DELIVERY verify over both sinks'
+    // manifest-committed output (see hashOf below) — deliberately
+    // insensitive to per-key prefix GROUPING, because Spark may re-plan
+    // batch composition across a restart (observed and forensically
+    // pinned this round: a recovered first batch of 16 files under an
+    // 8-file cap) — a property neither Spark nor the reference
+    // contracts, and which the reference's own 1-to-1 passthrough
+    // verify likewise ignores. The trial THROWS on mismatch — the row
+    // goes to `failed` in the artifact rather than publishing a wall
+    // for a broken recovery.
     // Set/restore session confs around a block — used by every per-trial
     // conf override AND the recovery trial's rescale probe (defined here,
     // above both, so neither needs a forward reference over a val).
@@ -738,13 +745,30 @@ object StreamBench {
             Thread.sleep(10)
           }
         }
-        // Order-independent output hash (decimal sum dodges ANSI Long-sum
-        // overflow); batch reads respect each sink's _spark_metadata
-        // manifest, so files from a killed attempt's uncommitted batch
-        // are invisible — exactly the mechanism under certification.
+        // The 1-to-1 verify: an order-insensitive DELIVERY hash over the
+        // passthrough columns (user, cents, event ts) — any lost,
+        // duplicated, or corrupted row diverges. This is EXACTLY the
+        // reference's own gate (testing/correctness/scripts/
+        // effectively-once/1-to-1-passthrough-verify.sh: received ==
+        // sent as multisets), and deliberately NOT more: r14 forensics
+        // proved Spark may legitimately RE-GROUP batch composition
+        // across a restart (a recovered first batch planned 16 files
+        // under an 8-file maxFilesPerTrigger), which shifts every key's
+        // prefix grouping — so ANY output value derived from a running
+        // prefix (the full-row hash's running mean; even "the mean on
+        // the key's max-ts row", since the max-ts row of this
+        // out-of-order replay sits mid-stream) diverges on a correct
+        // recovery. Both broken proxies were observed failing with the
+        // delivery hash EQUAL — exactly-once delivery held in every
+        // kill trial this round. A TRUE double-apply detector needs the
+        // final state itself (Spark's state-store reader), noted for
+        // r15. Batch reads respect each sink's _spark_metadata manifest,
+        // so files from a killed attempt's uncommitted batch are
+        // invisible — exactly the mechanism under certification. The
+        // decimal sum dodges ANSI Long-sum overflow.
         def hashOf(dir: String): (Long, java.math.BigDecimal) = {
           val r = spark.read.parquet(dir).selectExpr("count(*)",
-            "sum(cast(xxhash64(struct(*)) as decimal(38,0)))").head()
+            "sum(cast(xxhash64(struct(_1._1, _1._2, _2)) as decimal(38,0)))").head()
           (r.getLong(0),
             if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
         }
@@ -890,8 +914,9 @@ object StreamBench {
           s""""baseline_wall_sec":$baselineSec,"rows_out_recovered":$nRec,""" +
           s""""rows_out_baseline":$nBase,"hash_equal":$hashEqual}"""
         require(hashEqual, s"stream_recovery: recovered output diverged from " +
-          s"the uninterrupted run (rows $nRec vs $nBase, hash $hRec vs $hBase) " +
-          s"— exactly-once violated across ${killLog.size} kills")
+          s"the uninterrupted run (rows $nRec vs $nBase, delivery hash $hRec " +
+          s"vs $hBase) — exactly-once delivery violated across " +
+          s"${killLog.size} kills")
         // ---- Rescale pricing (VERDICT r13 #4, second half; once per
         // run, on the first trial): live key migration is impossible on
         // a running query (RescaleSpec pins the restriction) — the
