@@ -300,22 +300,19 @@ object Bench {
       if (only.isDefined ||
           !streamOut.rows.exists(_.name == "stream_market_spread_wire")) None
       else try {
+        // 5 trials, not the pack's 3 (VERDICT r14 #6): this reading is
+        // the authoritative bar carrier, and a 3-trial median flips on a
+        // single host eruption (run 3's 12 s stall); a 5-trial median
+        // survives two.
         val o = StreamBench.run(spark, sfDir,
-          onlyOverride = Some(Set("stream_market_spread_wire")))
+          onlyOverride = Some(Set("stream_market_spread_wire")),
+          repeatsOverride = Some(5))
         failed = (o.failed.toList ::: failed).distinct
         o.rows.find(_.name == "stream_market_spread_wire")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] standalone wire run failed: $e")
         None
       }
-    val wireStandaloneJson = wireStandalone.map { r =>
-      s"""{"median_clean_sec":${r.medianCleanSec},""" +
-        s""""rows_per_sec":${r.rowsPerSecClean.round},""" +
-        s""""trials_sec":${r.trialsSec.mkString("[", ",", "]")},""" +
-        s""""spiked":${r.spikedJson},"wall_rerun":${r.wallRerunJson},""" +
-        s""""wall_outliers":${r.wallOutliers},""" +
-        s""""meets_900k_bar":${r.rowsPerSecClean >= 900000}}"""
-    }.getOrElse("null")
     val qs = (medians ++ streamSecs)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -414,6 +411,8 @@ object Bench {
     val totalCpuBound = medians.collect { case (n, m) if !wallBound(n) => m }.sum
     val totalWallBound = medians.collect { case (n, m) if wallBound(n) => m }.sum
     val wallBoundJson = wallBound.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val streamWallBoundJson = StreamWallBound.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // A query that failed on its FIRST run records Vector(0.0) and so
     // contributes 0 to queries/total (later-run failures contribute the
     // successful runs' median); the failed list makes either case visible
@@ -479,6 +478,36 @@ object Bench {
     val streamCalVals = streamCal.map(_._2)
     val streamCalMed = if (streamCalVals.isEmpty) 0.0 else median(streamCalVals)
     val calMaxRatio = if (streamCalMed > 0) streamCalVals.max / streamCalMed else 0.0
+    // ---- Host-aware wire bar (VERDICT r14 #3): the ≥900 K bar — and the
+    // quiet-host code-level band it gates (1.03-1.16 M rows/s) — were
+    // measured at stream-round calibration ≈ [[WireBarRefCalSec]]; a run
+    // on a slower host reads lower for HOST reasons (r14's committed run:
+    // 783 K at cal 0.342, a 1.3× ratio — × the ratio ≈ 990 K, in-band).
+    // meets_900k_bar stays the raw reading; the host-normalized reading
+    // (rps × calMedian/barRefCal) is published next to it with its inputs
+    // so a slow-host artifact self-explains instead of stamping a bare
+    // false, and EITHER passing counts as bar-pass for the committed-run
+    // tie-break below. rows_per_sec_best (the fastest trial) rides along
+    // as the stall-robust floor reading.
+    val wireHostNorm = wireStandalone.map { r =>
+      if (streamCalMed > 0) r.rowsPerSecClean * (streamCalMed / WireBarRefCalSec)
+      else r.rowsPerSecClean
+    }
+    val wireBarPass = wireStandalone.exists(_.rowsPerSecClean >= 900000) ||
+      wireHostNorm.exists(_ >= 900000)
+    val wireStandaloneJson = wireStandalone.map { r =>
+      s"""{"median_clean_sec":${r.medianCleanSec},""" +
+        s""""rows_per_sec":${r.rowsPerSecClean.round},""" +
+        s""""rows_per_sec_best":${r.trialsRps.max.round},""" +
+        s""""rows_per_sec_hostnorm":${wireHostNorm.get.round},""" +
+        s""""cal_median_sec":$streamCalMed,"bar_ref_cal_sec":$WireBarRefCalSec,""" +
+        s""""trials_sec":${r.trialsSec.mkString("[", ",", "]")},""" +
+        s""""trials_rps":${r.trialsRps.map(_.round).mkString("[", ",", "]")},""" +
+        s""""spiked":${r.spikedJson},"wall_rerun":${r.wallRerunJson},""" +
+        s""""wall_outliers":${r.wallOutliers},""" +
+        s""""meets_900k_bar":${r.rowsPerSecClean >= 900000},""" +
+        s""""meets_900k_bar_hostnorm":${wireHostNorm.get >= 900000}}"""
+    }.getOrElse("null")
     val elevatedRows = streamTrials.flatMap { case (name, ts) =>
       if (ts.isEmpty) Nil
       else {
@@ -514,7 +543,15 @@ object Bench {
       if (forceSpike.isDefined || sys.env.contains("GRAFT_STREAM_FORCE_WALL"))
         """"drill":true,"""
       else ""
-    val baseJson = s"""{"metric":"total","value":$total,"unit":"sec",$drillJson"subset":$subsetJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"batch_spiked_trials":$batchSpikedJson,"stream_round_health":$streamRoundHealthJson,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_median_clean":$streamCleanJson,"stream_spiked_trials":$streamSpikedJson,"stream_wall_rerun_trials":$streamWallRerunJson,$streamExtraJson"stream_wire_standalone":$wireStandaloneJson,"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
+    // A run whose SHAPE was overridden by env (subset rows, altered kill
+    // schedules, pinned providers, non-default repeats/paths) marks
+    // itself in the artifact and is excluded from committed-run candidacy
+    // below (ADVICE r14 high: a GRAFT_STREAM_ONLY attribution run's
+    // subset total would otherwise win selection and rewrite
+    // bench_committed.json with a partial or non-default-config artifact).
+    val shapeOverrides = ShapeEnvVars.filter(sys.env.contains)
+    val shapeJson = shapeOverrides.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val baseJson = s"""{"metric":"total","value":$total,"unit":"sec",$drillJson"subset":$subsetJson,"shape_overrides":$shapeJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"stream_wall_bound_queries":$streamWallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"batch_spiked_trials":$batchSpikedJson,"stream_round_health":$streamRoundHealthJson,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_median_clean":$streamCleanJson,"stream_spiked_trials":$streamSpikedJson,"stream_wall_rerun_trials":$streamWallRerunJson,$streamExtraJson"stream_wire_standalone":$wireStandaloneJson,"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
     // The round-4 driver capture truncated the stdout tail and destroyed
     // the artifact (VERDICT r4 #1) — also write the same JSON to a file so
     // log interleaving / tail-truncation can never lose it again. A
@@ -541,8 +578,12 @@ object Bench {
     // zero judgment. The normalized total is a SELECTION metric (whole
     // run × refCal/combined-cal-median), not a benchmark number: every
     // candidate is normalized identically, which is all a ranking needs.
+    if (shapeOverrides.nonEmpty)
+      System.err.println("[bench] shape overrides set (" +
+        shapeOverrides.mkString(", ") + ") — this run is NOT a " +
+        "committed-run candidate")
     val isFullRun = only.isEmpty && forceSpike.isEmpty &&
-      !sys.env.contains("GRAFT_STREAM_FORCE_WALL")
+      !sys.env.contains("GRAFT_STREAM_FORCE_WALL") && shapeOverrides.isEmpty
     val finalJson = if (!isFullRun) baseJson else try {
       val runsLog = sys.env.getOrElse("GRAFT_BENCH_RUNS_LOG", "bench_runs.jsonl")
       val logPath = java.nio.file.Paths.get(runsLog)
@@ -560,17 +601,21 @@ object Bench {
       val totalRawAll = total + streamTotal
       val calAll = median((calSeries.map(_._2) ++ streamCalVals).toSeq)
       val normalized = if (calAll > 0) totalRawAll * (refCal / calAll) else totalRawAll
-      // Split-normalized variant, published per candidate but NOT yet
-      // the selection key (SCALING.md r14 "selection-metric wrinkle"):
-      // wall-bound rows pace on triggers/sockets, not host speed, so
-      // scaling the WHOLE run by refCal/cal lets a slower-host run
-      // normalize favorably. Recording both metrics now gives r15 the
-      // full candidate history to switch rules on — changing the rule
-      // mid-round after seeing the winners is exactly the judgment the
-      // machinery exists to remove.
-      val normalizedSplit =
-        if (calAll > 0) totalWallBound + (totalCpuBound + streamTotal) * (refCal / calAll)
-        else totalRawAll
+      // THE selection metric since r15 (VERDICT r14 #1): wall-bound rows
+      // pace on triggers/sockets/restart machinery, not host speed, so
+      // scaling the WHOLE run by refCal/cal over-credits a slower host
+      // (r14: run 3, cal 0.342, beat run 4's lower raw total; the
+      // storm-graded run 8 at cal 0.487 posted the round's lowest
+      // whole-run normalized total). Only the CPU-bound subtotals scale;
+      // the stream pack's wall-bound rows ([[StreamWallBound]], tagged
+      // from the r14 cross-host evidence) ride at face value. The r14
+      // table replayed under this rule is in SCALING.md.
+      val streamWallTotal = streamSecs
+        .collect { case (n, s) if StreamWallBound(n) => s }.sum
+      val streamCpuTotal = streamTotal - streamWallTotal
+      val normalizedSplit = splitNormalizedTotal(
+        totalWallBound + streamWallTotal, totalCpuBound + streamCpuTotal,
+        calAll, refCal)
       val grade =
         if (failed.nonEmpty) "failed"
         else if (stormFlag) "storm"
@@ -584,10 +629,12 @@ object Bench {
         s""""stream_total_sec":$streamTotal,"cal_median_sec":$calAll,""" +
         s""""normalized_total_sec":$normalized,""" +
         s""""normalized_split_sec":$normalizedSplit,""" +
+        s""""stream_wall_bound_sec":$streamWallTotal,""" +
         s""""spiked_rows":${streamSpikedRows + batchSpikedRows},""" +
         s""""wall_outliers":$wallOutlierCount,"elevated_trials":$elevatedCount,""" +
         s""""failed_rows":${failed.size},"repeats":$repeats,""" +
-        s""""wire_rps":$wireRps,"wire_standalone_rps":$wireStdRps,"out":"$runFile"}"""
+        s""""wire_rps":$wireRps,"wire_standalone_rps":$wireStdRps,""" +
+        s""""wire_bar_pass":$wireBarPass,"out":"$runFile"}"""
       java.nio.file.Files.write(logPath, (cand + "\n").getBytes(
         java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
@@ -595,7 +642,7 @@ object Bench {
       val all = prior :+ cand
       val parsed = all.flatMap(parseCand)
       val chosen = selectCommitted(parsed).getOrElse(
-        RunCand(seq, grade, normalized, runFile))
+        RunCand(seq, grade, normalizedSplit, wireBarPass, runFile))
       val selJson = s"""{"rule":"$SelectionRule","chosen_seq":${chosen.seq},""" +
         s""""candidates":[${all.mkString(",")}]}"""
       def withSelection(js: String): String =
@@ -633,15 +680,70 @@ object Bench {
     spark.stop()
   }
 
-  /** The encoded commit rule (VERDICT r13 #1) — also embedded verbatim in
+  /** Stream-pack rows paced by machinery other than host CPU — the
+    * stream half of the wall-bound/CPU-bound split (VERDICT r14 #1).
+    * Tagged structurally, with the r14 cross-host evidence behind each
+    * (SCALING.md r15 corr table — these four read corr(wall, cal) of
+    * −0.09 to +0.14 across the eight r14 runs while every other row
+    * tracked the host at 0.61-0.94):
+    *  - stream_market_spread_wire: socket-paced (senders + sockets set
+    *    the cadence; the in-pack row has been pacing-sensitive since r13);
+    *  - stream_recovery: restart machinery — checkpoint reload, TTFO
+    *    waits, cold store re-opens (r14's slowest host posted the round's
+    *    LOWEST recovery wall);
+    *  - stream_two_stage / stream_topk: concurrent two-query topologies
+    *    bridged by a file handoff the downstream polls.
+    * Membership changes WHICH run wins selection — pinned by
+    * BenchSelectionSpec. */
+  private[graft] val StreamWallBound: Set[String] = Set(
+    "stream_market_spread_wire", "stream_recovery",
+    "stream_two_stage", "stream_topk")
+
+  /** The stream-round calibration (sec) at which the ≥900 K wire bar and
+    * the quiet-host band (1.03-1.16 M rows/s) were measured — r13's and
+    * r14's committed hosts read 0.25-0.27 (SCALING.md). The standalone
+    * wire reading publishes rps × calMedian/THIS next to the raw rps, so
+    * a slow-host artifact self-explains its bar verdict (VERDICT r14 #3). */
+  private[graft] val WireBarRefCalSec: Double = 0.27
+
+  /** Env overrides that change a run's SHAPE — row subset, kill
+    * schedule, provider/host pinning, repeats, wire sizing, calibration
+    * reference, output path. A run with ANY of these set is excluded
+    * from committed-run candidacy (ADVICE r14 high: a GRAFT_STREAM_ONLY
+    * attribution run's subset total would otherwise win selection and
+    * commit a partial artifact). */
+  private[graft] val ShapeEnvVars: Seq[String] = Seq(
+    "GRAFT_STREAM_ONLY", "GRAFT_STREAM_SHUFFLE", "GRAFT_RECOVERY_KILLS",
+    "GRAFT_RECOVERY_SEED", "GRAFT_BENCH_REPEATS", "GRAFT_STREAM_REPEATS",
+    "STREAM_BENCH_PROVIDER", "STREAM_BENCH_HOST", "STREAM_WIRE_STATELESS",
+    "GRAFT_STREAM_WIRE_SHARDS", "GRAFT_STREAM_WIRE_REPS",
+    "GRAFT_STREAM_WIRE_TRIGGER", "GRAFT_BENCH_REF_CAL_SEC", "GRAFT_BENCH_OUT")
+
+  /** The selection metric (VERDICT r14 #1), pure so BenchSelectionSpec
+    * can pin the property that killed the old one: only the CPU-bound
+    * seconds scale by refCal/cal — wall-bound seconds (trigger cadence,
+    * sockets, restart machinery) are the same on any host, so scaling
+    * them over-credits slow hosts (r14: run 3 at cal 0.342 beat run 4's
+    * lower raw; storm-graded run 8 at cal 0.487 posted the round's
+    * lowest whole-run normalized total). */
+  private[graft] def splitNormalizedTotal(wallBoundSec: Double,
+      cpuBoundSec: Double, calMedian: Double, refCal: Double): Double =
+    if (calMedian > 0) wallBoundSec + cpuBoundSec * (refCal / calMedian)
+    else wallBoundSec + cpuBoundSec
+
+  /** The encoded commit rule (VERDICT r13 #1; metric and tie-break
+    * re-pinned r15 per VERDICT r14 #1/#3) — also embedded verbatim in
     * every full-run artifact so the chosen run self-documents. */
   private[graft] val SelectionRule: String =
     "lowest health grade (clean < turbulent < storm < failed), " +
-      "then lowest host-normalized batch+stream total, then earliest run"
+      "then wire-bar-passing runs before bar-missing, then lowest " +
+      "split-normalized batch+stream total (wall-bound rows not " +
+      "host-scaled), then earliest run"
 
   /** Minimal view of one logged run, parsed back from bench_runs.jsonl. */
   private[graft] final case class RunCand(
-      seq: Int, grade: String, normalizedTotal: Double, out: String)
+      seq: Int, grade: String, normalizedSplit: Double, barPass: Boolean,
+      out: String)
 
   private[graft] def gradeRank(g: String): Int = g match {
     case "clean"     => 0
@@ -652,16 +754,22 @@ object Bench {
 
   /** THE committed-run selection, pure and unit-tested
     * (BenchSelectionSpec): best (lowest) health grade first — a clean
-    * run beats ANY normalized total advantage of a stormy one — then the
-    * lowest host-normalized total, then the earliest run (stable under
-    * re-runs appending candidates). */
+    * run beats ANY normalized total advantage of a stormy one — then
+    * wire-bar-passing candidates before bar-missing ones (VERDICT r14
+    * #3: r14 committed a bar-missing run over four bar-passing equals),
+    * then the lowest SPLIT-normalized total (VERDICT r14 #1: whole-run
+    * normalization let slower hosts win twice in the r14 table), then
+    * the earliest run (stable under re-runs appending candidates). */
   private[graft] def selectCommitted(cs: Seq[RunCand]): Option[RunCand] =
-    cs.sortBy(c => (gradeRank(c.grade), c.normalizedTotal, c.seq)).headOption
+    cs.sortBy(c =>
+      (gradeRank(c.grade), if (c.barPass) 0 else 1, c.normalizedSplit, c.seq))
+      .headOption
 
   /** Flat-field extractor for our OWN candidate records (every value is
-    * a number or a quoted string without escapes — by construction). */
+    * a number, a boolean, or a quoted string without escapes — by
+    * construction). */
   private[graft] def jsonField(js: String, key: String): Option[String] =
-    ("\"" + java.util.regex.Pattern.quote(key) + "\":(\"[^\"]*\"|[-0-9.eE+]+)").r
+    ("\"" + java.util.regex.Pattern.quote(key) + "\":(\"[^\"]*\"|true|false|[-0-9.eE+]+)").r
       .findFirstMatchIn(js)
       .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
 
@@ -669,9 +777,13 @@ object Bench {
     for {
       s <- jsonField(js, "seq")
       g <- jsonField(js, "grade")
-      n <- jsonField(js, "normalized_total_sec")
+      // pre-r15 logs carry only the whole-run metric (or a 0 split from
+      // the r14 transition records): fall back so an old log still parses
+      n <- jsonField(js, "normalized_split_sec").filter(_.toDouble > 0)
+        .orElse(jsonField(js, "normalized_total_sec"))
       o <- jsonField(js, "out")
-    } yield RunCand(s.toInt, g, n.toDouble, o)
+    } yield RunCand(s.toInt, g, n.toDouble,
+      jsonField(js, "wire_bar_pass").contains("true"), o)
 
   /** The closing-run table as generated markdown (VERDICT r13 #1's done
     * bar: SCALING.md's run table is generated output, not hand-written
@@ -685,14 +797,20 @@ object Bench {
       try f"${v.toDouble}%.3f" catch { case _: NumberFormatException => v }
     val header =
       "| run | grade | raw batch+stream (s) | cal med (s) | normalized (s) | " +
-        "spiked rows | wall outliers | elevated | failed | wire rps | " +
-        "wire standalone rps |\n" +
-      "|---|---|---|---|---|---|---|---|---|---|---|\n"
+        "split-normalized (s) | bar | spiked rows | wall outliers | " +
+        "elevated | failed | wire rps | wire standalone rps |\n" +
+      "|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
     val rows = cands.map { c =>
       val seq = f(c, "seq")
       val mark = if (seq == chosenSeq.toString) s"**$seq (committed)**" else seq
+      val bar = jsonField(c, "wire_bar_pass") match {
+        case Some("true")  => "pass"
+        case Some("false") => "miss"
+        case _             => "?"
+      }
       s"| $mark | ${f(c, "grade")} | ${s1(f(c, "total_raw_sec"))} | " +
         s"${s3(f(c, "cal_median_sec"))} | ${s1(f(c, "normalized_total_sec"))} | " +
+        s"${s1(f(c, "normalized_split_sec"))} | $bar | " +
         s"${f(c, "spiked_rows")} | ${f(c, "wall_outliers")} | " +
         s"${f(c, "elevated_trials")} | ${f(c, "failed_rows")} | " +
         s"${f(c, "wire_rps")} | ${f(c, "wire_standalone_rps")} |"

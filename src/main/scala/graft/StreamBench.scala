@@ -38,6 +38,7 @@ object StreamBench {
     * invisible to both mechanisms). */
   final case class RowOut(name: String, medianCleanSec: Double,
       trialsSec: Seq[Double], rowsPerSecClean: Double,
+      trialsRps: Seq[Double],
       latency: (Long, Long), provider: String, stateJson: String,
       spikedJson: String, wallRerunJson: String, wallOutliers: Int)
 
@@ -216,7 +217,8 @@ object StreamBench {
     * running.
     */
   def run(spark: SparkSession, sfDir: String,
-      onlyOverride: Option[Set[String]] = None): Out = {
+      onlyOverride: Option[Set[String]] = None,
+      repeatsOverride: Option[Int] = None): Out = {
     implicit val ss: SparkSession = spark
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // GRAFT_STREAM_ONLY="stream_neardup,stream_ann" runs a subset (and
@@ -292,7 +294,14 @@ object StreamBench {
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
           val base = System.currentTimeMillis() - (fs.length + 1) * 1000L
           fs.zipWithIndex.foreach { case (f, i) =>
-            f.setLastModified(base + i * 1000L) }
+            // fail LOUDLY on a refused stamp (ADVICE r14): the recovery
+            // gate's whole determinism argument rests on these mtimes —
+            // a filesystem that silently ignores setLastModified would
+            // re-open the mtime-tie flake with no diagnostic
+            require(f.setLastModified(base + i * 1000L),
+              s"setLastModified failed on $f — the staged replay's " +
+                "file order would be non-deterministic (mtime ties)")
+          }
         }
         Some((staged, spark.read.parquet(staged).count().toDouble))
       } catch { case e: Throwable =>
@@ -783,7 +792,9 @@ object StreamBench {
         // / seed 16 of the first r14 sf0.1 run hit exactly that):
         // a batch BUDGET — killing stops once the attempts' committed
         // batches (replays counted, so the budget errs conservative)
-        // reach totalBatches - 2 — and the empty-batch `exhausted` flag,
+        // reach totalBatches - 4 (the loop guard below; 4 batches of
+        // slack because an attempt can overshoot its target by a commit
+        // or two) — and the empty-batch `exhausted` flag,
         // which also degrades phase 2 to a drain-only measurement
         // (TTFO = 0, marked in the log) instead of a wait that can hang.
         val nKills = math.max(1,
@@ -907,16 +918,49 @@ object StreamBench {
           batchesOf(re, "recovered(last attempt)")
           batchesOf(base, "baseline")
         }
+        // Phase 5 — TRUE double-apply detection (VERDICT r14 next #2,
+        // closing the delivery hash's designed blind spot: a replayed row
+        // APPLIED to state twice but emitted once passes the multiset
+        // verify). Read the final committed keyed state of BOTH chains
+        // from their checkpoints via Spark's state-store reader and
+        // compare the DECODED per-key user state — (sum, n) per user is
+        // order- AND grouping-free, so the comparison is immune to the
+        // restart re-grouping class the r14 forensics pinned (unlike the
+        // raw kryo blob, whose outputWm legitimately moves with batch
+        // composition — StateIntrospection's scaladoc). ~1.5 K keys:
+        // driver-bounded by construction.
+        def spreadStateOf(ckpt: String): Map[String, (Long, Long)] =
+          StateIntrospection.keyedComputationState(spark, ckpt).map {
+            case (k, st: SpreadState) => k -> ((st.sum, st.n))
+            case (k, other) => throw new IllegalStateException(
+              s"key $k holds ${other.getClass}, expected SpreadState")
+          }.toMap
+        val stRec = spreadStateOf(killedCkpt)
+        val stBase = spreadStateOf(baseCkpt)
+        val stateEqual = stRec == stBase
+        if (!stateEqual) {
+          val keys = (stRec.keySet ++ stBase.keySet).toSeq.sorted
+          val diffs = keys.filter(k => stRec.get(k) != stBase.get(k))
+          System.err.println(s"[stream] recovery STATE MISMATCH: " +
+            s"${diffs.size} of ${keys.size} keys differ; first: " +
+            diffs.take(3).map(k => s"$k rec=${stRec.get(k)} base=${stBase.get(k)}")
+              .mkString(" | "))
+        }
         recoveryLog += s"""{"trial":${recoveryLog.size + 1},"seed":$seed,""" +
           s""""n_kills":${killLog.size},"kills":${killLog.mkString("[", ",", "]")},""" +
           s""""pre_kill_batches":$preKillBatches,"pre_kill_rows":$preKillRows,""" +
           s""""time_to_first_output_sec":$firstSec,"catchup_sec":$catchupSec,""" +
           s""""baseline_wall_sec":$baselineSec,"rows_out_recovered":$nRec,""" +
-          s""""rows_out_baseline":$nBase,"hash_equal":$hashEqual}"""
+          s""""rows_out_baseline":$nBase,"hash_equal":$hashEqual,""" +
+          s""""state_keys":${stRec.size},"state_hash_equal":$stateEqual}"""
         require(hashEqual, s"stream_recovery: recovered output diverged from " +
           s"the uninterrupted run (rows $nRec vs $nBase, delivery hash $hRec " +
           s"vs $hBase) — exactly-once delivery violated across " +
           s"${killLog.size} kills")
+        require(stateEqual, s"stream_recovery: recovered final STATE diverged " +
+          s"from the uninterrupted run (${stRec.size} vs ${stBase.size} keys) " +
+          s"with delivery hash EQUAL — a double-apply (state mutated twice, " +
+          s"emitted once) across ${killLog.size} kills")
         // ---- Rescale pricing (VERDICT r13 #4, second half; once per
         // run, on the first trial): live key migration is impossible on
         // a running query (RescaleSpec pins the restriction) — the
@@ -925,9 +969,24 @@ object StreamBench {
         // reference's live form). This prices it: the rebuild wall at 2×
         // state partitions is what the 16→32 rescale costs when key
         // volume outgrows the narrow end of Graft.statePartitionsFor.
-        // The rebuilt output must hash-equal the baseline — a rescale
-        // that changed answers would be a partitioning-sensitive bug.
+        // The rebuilt output must equal the baseline on the FULL row —
+        // including the state-derived running mean (_1._3), the one value
+        // a partitioning-sensitive bug could corrupt (ADVICE r14: the
+        // delivery hash excludes it, so it cannot certify what this probe
+        // claims). Unlike the restart case, both chains here are fresh
+        // same-trigger replays over the deterministically-ordered staging
+        // (strictly increasing mtimes), so batch composition — and hence
+        // every key's prefix — is identical and the full-row hash is
+        // stable; only the shuffle width differs, which must not change
+        // any answer.
         if (rescaleLog.isEmpty) {
+          def fullHashOf(dir: String): (Long, java.math.BigDecimal) = {
+            val r = spark.read.parquet(dir).selectExpr("count(*)",
+              "sum(cast(xxhash64(struct(_1._1, _1._2, _1._3, _2)) as decimal(38,0)))")
+              .head()
+            (r.getLong(0),
+              if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+          }
           val from = spark.conf.get("spark.sql.shuffle.partitions").toInt
           val to = from * 2
           val rsOut = s"$root/rescale"; val rsCkpt = s"$root/rescale_ckpt"
@@ -940,10 +999,17 @@ object StreamBench {
           }
           val rebuildSec = (System.nanoTime() - t3) / 1e9
           val (nRs, hRs) = hashOf(rsOut)
+          val (nRsF, hRsF) = fullHashOf(rsOut)
+          val (nBaseF, hBaseF) = fullHashOf(baseOut)
+          val fullEqual = nRsF == nBaseF && hRsF.compareTo(hBaseF) == 0
           rescaleLog += s"""{"from_partitions":$from,"to_partitions":$to,""" +
             s""""rebuild_wall_sec":$rebuildSec,"baseline_wall_sec":$baselineSec,""" +
             s""""rows_out":$nRs,""" +
-            s""""hash_equal_baseline":${nRs == nBase && hRs.compareTo(hBase) == 0}}"""
+            s""""hash_equal_baseline":${nRs == nBase && hRs.compareTo(hBase) == 0},""" +
+            s""""full_hash_equal_baseline":$fullEqual}"""
+          require(fullEqual, s"stream_rescale: rebuilt output at $to partitions " +
+            s"diverged from the $from-partition baseline on the FULL row " +
+            s"(rows $nRsF vs $nBaseF) — a partitioning-sensitive state bug")
         }
         (catchupSec, sustained, latency, st)
       } finally deleteRecursively(new java.io.File(root))
@@ -960,7 +1026,12 @@ object StreamBench {
     // GRAFT_STREAM_REPEATS trials (default 3) PLUS the per-trial wall
     // seconds, so the published JSON shows the spread a reader needs to
     // adjudicate a regression without a re-run.
-    val repeats = sys.env.getOrElse("GRAFT_STREAM_REPEATS", "3").toInt.max(1)
+    // `repeatsOverride` widens a programmatic re-entry beyond the env
+    // default — Bench's standalone wire reading runs 5 trials (VERDICT
+    // r14 #6: a 3-trial median was one 12 s eruption away from flipping
+    // the authoritative bar; a 5-trial median survives two).
+    val repeats = repeatsOverride
+      .getOrElse(sys.env.getOrElse("GRAFT_STREAM_REPEATS", "3").toInt).max(1)
     // Row registry: (name, provider label, per-trial session confs, trial
     // thunk). Confs are set/restored around EACH trial (tws rows
     // interleave with default-host rows).
@@ -1554,7 +1625,7 @@ object StreamBench {
       // folded into Bench's stream_round_health storm signal.
       val wallOutliers = wallOutlierIdx(ts.map(_._1), flags, factor = 2.0).size
       RowOut(name, medianD(used.map(_._1)), ts.map(_._1),
-        medianD(used.map(_._2)),
+        medianD(used.map(_._2)), ts.map(_._2),
         (medianL(used.map(_._3._1)), medianL(used.map(_._3._2))),
         provider, stateJson, spikedJson, wallRerunJson, wallOutliers)
     }

@@ -78,7 +78,14 @@ object Graft {
     // never more partitions than keys (empty partitions still pay commits)
     val target = math.min(math.max(fromKeys, floor), expectedKeys.toDouble)
     val exp = math.round(math.log(target) / math.log(2.0)).toInt
-    val p2 = math.max(1, 1 << math.min(exp, 30))
+    val nearest = math.max(1, 1 << math.min(exp, 30))
+    // round-to-NEAREST can land one power below a binding cores floor on a
+    // non-power-of-two cluster (1400 cores -> round(log2 1400) = 10 ->
+    // 1024 < cores, ADVICE r14): when the floor binds, step UP — the
+    // scaladoc's "never sit below the available cores" is a hard bound.
+    // Rounding is at most one power short of target >= floor, so one
+    // doubling always clears it (capped at 2^30 against Int overflow).
+    val p2 = if (nearest < floor) math.min(1 << 30, nearest << 1) else nearest
     if (p2 <= expectedKeys) p2
     else math.max(1, java.lang.Long.highestOneBit(expectedKeys).toInt)
   }
@@ -102,7 +109,8 @@ final class Pipeline[T] private[pipeline] (
     private[pipeline] val stamped: Dataset[(T, Long)],
     private[pipeline] val keyFn: Option[T => String],
     val name: String,
-    private[pipeline] val partitionScopedKey: Boolean = false)(
+    private[pipeline] val partitionScopedKey: Boolean = false,
+    private[pipeline] val stateParallelism: Option[Int] = None)(
     implicit enc: Encoder[T]) {
 
   private def tup[U](implicit e: Encoder[U]): Encoder[(U, Long)] =
@@ -129,7 +137,7 @@ final class Pipeline[T] private[pipeline] (
         case ComputationResult.Timestamped(os) => os.iterator
       }
     }(tup[U])
-    new Pipeline[U](spark, out, None, name)
+    new Pipeline[U](spark, out, None, name, stateParallelism = stateParallelism)
   }
 
   def map[U: Encoder](f: T => U): Pipeline[U] =
@@ -155,7 +163,39 @@ final class Pipeline[T] private[pipeline] (
   /** Partition the stream by key (application.pony:221-239). Lazy: the
     * shuffle happens at the next stateful stage's groupByKey. */
   def keyBy(extractor: T => String): Pipeline[T] =
-    new Pipeline[T](spark, stamped, Some(extractor), name)
+    new Pipeline[T](spark, stamped, Some(extractor), name,
+      stateParallelism = stateParallelism)
+
+  /** [[keyBy]] with an explicit per-stage parallelism — the reference's
+    * first-class stage argument (application.pony:149-150
+    * `to(comp, parallelism)`). The value becomes the query's
+    * `spark.sql.shuffle.partitions` (the state-store partition count,
+    * fixed per checkpoint at FIRST query start) for the duration of the
+    * sink/handoff start call, then the session conf is restored — other
+    * queries on the session are untouched. Prefer [[withExpectedKeys]]
+    * unless you have a measured width: the state-partition optimum
+    * tracks key volume, not cores ([[Graft.statePartitionsFor]]). */
+  def keyBy(extractor: T => String, parallelism: Int): Pipeline[T] =
+    keyBy(extractor).withParallelism(parallelism)
+
+  /** Pin this pipeline's state-partition width explicitly (see the
+    * [[keyBy]] overload). Applied at query/write start; a restart from an
+    * existing checkpoint keeps the checkpoint's width — Spark pins the
+    * state layout at first start (RescaleSpec), so changing the hint
+    * means a fresh checkpoint (the priced rescale path, SCALING.md). */
+  def withParallelism(parallelism: Int): Pipeline[T] = {
+    require(parallelism > 0, s"parallelism must be positive, got $parallelism")
+    new Pipeline[T](spark, stamped, keyFn, name, partitionScopedKey,
+      stateParallelism = Some(parallelism))
+  }
+
+  /** Size the stateful stage's width from EXPECTED KEY VOLUME through the
+    * measured deployment rule [[Graft.statePartitionsFor]] (VERDICT r13
+    * ladder: the optimum tracks keys, not cores) — the declarative form
+    * of the reference's per-stage `parallelism` argument. */
+  def withExpectedKeys(expectedKeys: Long): Pipeline[T] =
+    withParallelism(Graft.statePartitionsFor(
+      expectedKeys, spark.sparkContext.defaultParallelism))
 
   /** Worker-local keyed routing (application.pony:241-248): state at the
     * next stateful stage is scoped to (UPSTREAM PARTITION, key), never
@@ -174,7 +214,8 @@ final class Pipeline[T] private[pipeline] (
     * either way (worker-local routing buys no shuffle avoidance here). */
   def localKeyBy(extractor: T => String): Pipeline[T] = {
     requireBatchForLocalScope("local_key_by")
-    new Pipeline[T](spark, stamped, Some(extractor), name, partitionScopedKey = true)
+    new Pipeline[T](spark, stamped, Some(extractor), name,
+      partitionScopedKey = true, stateParallelism = stateParallelism)
   }
 
   private def requireBatchForLocalScope(op: String): Unit =
@@ -202,7 +243,8 @@ final class Pipeline[T] private[pipeline] (
     * BATCH ONLY, for the same reason as [[localKeyBy]]. */
   def localCollect(): Pipeline[T] = {
     requireBatchForLocalScope("local_collect")
-    new Pipeline[T](spark, stamped, Some(_ => ""), name, partitionScopedKey = true)
+    new Pipeline[T](spark, stamped, Some(_ => ""), name,
+      partitionScopedKey = true, stateParallelism = stateParallelism)
   }
 
   /** Explicit routing policies (core/partitioning/partitioning.pony:39-106).
@@ -214,9 +256,11 @@ final class Pipeline[T] private[pipeline] (
   def partitionWith(p: PartitionerConfig): Pipeline[T] = p match {
     case PartitionerConfig.Passthrough => this
     case PartitionerConfig.Random(n) =>
-      new Pipeline[T](spark, stamped.repartition(n), None, name)
+      new Pipeline[T](spark, stamped.repartition(n), None, name,
+        stateParallelism = stateParallelism)
     case PartitionerConfig.Single =>
-      new Pipeline[T](spark, stamped.coalesce(1), None, name)
+      new Pipeline[T](spark, stamped.coalesce(1), None, name,
+        stateParallelism = stateParallelism)
     case k: PartitionerConfig.Key[T @unchecked] => keyBy(k.extractor)
   }
 
@@ -243,7 +287,7 @@ final class Pipeline[T] private[pipeline] (
         "reference carries key_by through stateless stages; this engine " +
         "makes the re-key explicit)"))
     val out = if (stamped.isStreaming) streamingStateful(kf, init) else batchStateful(kf, init)
-    new Pipeline[U](spark, out, None, name)
+    new Pipeline[U](spark, out, None, name, stateParallelism = stateParallelism)
   }
 
   private def streamingStateful[U: Encoder](
@@ -424,7 +468,8 @@ final class Pipeline[T] private[pipeline] (
         .flatMapSortedGroups(org.apache.spark.sql.functions.col("_3")) {
           (_: String, rows: Iterator[(String, T, Long)]) => rows.take(1)
         }(enc3)
-    new Pipeline[T](spark, kept.map(r => (r._2, r._3))(tup[T]), None, name)
+    new Pipeline[T](spark, kept.map(r => (r._2, r._3))(tup[T]), None, name,
+      stateParallelism = stateParallelism)
   }
 
   /** Bounded-state streaming dedup: duplicates are only suppressed while
@@ -459,7 +504,8 @@ final class Pipeline[T] private[pipeline] (
         .withWatermark("_4", s"$withinMs milliseconds")
         .as[(String, T, Long, java.sql.Timestamp)](rowEnc)
         .dropDuplicatesWithinWatermark("_1")
-      new Pipeline[T](spark, kept.map(r => (r._2, r._3))(tup[T]), None, name)
+      new Pipeline[T](spark, kept.map(r => (r._2, r._3))(tup[T]), None, name,
+        stateParallelism = stateParallelism)
     }
   }
 
@@ -495,16 +541,38 @@ final class Pipeline[T] private[pipeline] (
     * extractors agree): re-key after the merge, before a stateful
     * stage. */
   def merge(other: Pipeline[T]): Pipeline[T] =
-    new Pipeline[T](spark, stamped.union(other.stamped), None, name)
+    new Pipeline[T](spark, stamped.union(other.stamped), None, name,
+      stateParallelism = stateParallelism.orElse(other.stateParallelism))
+
+  /** Scope the stage-parallelism hint ([[withParallelism]]) around a
+    * query/write start: `spark.sql.shuffle.partitions` is what fixes the
+    * state-store partition count, and a streaming query snapshots the
+    * session confs synchronously at `.start()` (StreamExecution clones
+    * the session eagerly), so set → start → restore is race-free and
+    * leaves concurrent queries on the shared session untouched. Batch
+    * actions read the conf at execution, which happens inside `body`
+    * here too (AQE may still coalesce batch shuffles — the hint is the
+    * INITIAL width there). */
+  private def withStateParallelismConf[A](body: => A): A =
+    stateParallelism match {
+      case Some(n) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, n.toString)
+        try body finally spark.conf.set(key, prev)
+      case None => body
+    }
 
   /** Terminate in a sink (application.pony:172-219). Batch pipelines write
     * immediately; streaming pipelines start a query. */
   def toSink(sink: SinkConfig[T],
       checkpointLocation: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime(0L)): SinkHandle =
-    if (stamped.isStreaming)
-      new SinkHandle(Some(sink.writeStream(stamped, name, checkpointLocation, trigger)))
-    else { sink.writeBatch(stamped); new SinkHandle(None) }
+    withStateParallelismConf {
+      if (stamped.isStreaming)
+        new SinkHandle(Some(sink.writeStream(stamped, name, checkpointLocation, trigger)))
+      else { sink.writeBatch(stamped); new SinkHandle(None) }
+    }
 
   /** Fan out to several sinks (application.pony:193-219). Streaming: one
     * query, each micro-batch persisted once then written to every sink. */
@@ -512,6 +580,7 @@ final class Pipeline[T] private[pipeline] (
       checkpointLocation: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime(0L)): SinkHandle = {
     require(sinks.nonEmpty, "You must specify at least one sink when using toSinks()")
+    withStateParallelismConf {
     if (stamped.isStreaming) {
       val q = SinkConfig.streamWriter(stamped, name, checkpointLocation, trigger)
         .foreachBatch { (batch: Dataset[(T, Long)], batchId: Long) =>
@@ -544,6 +613,7 @@ final class Pipeline[T] private[pipeline] (
       finally { stamped.unpersist(); () }
       new SinkHandle(None)
     }
+    }
   }
 
   /** Durable stage boundary: terminate this pipeline into a parquet
@@ -571,11 +641,15 @@ final class Pipeline[T] private[pipeline] (
       // test topologies compose (production passes a durable location).
       val ckpt = checkpointLocation.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_handoff_ckpt").toString)
-      val q = SinkConfig.streamWriter(stamped, s"$name-handoff", Some(ckpt),
-          Trigger.ProcessingTime(0L))
-        .format("parquet").option("path", handoffDir).outputMode("append").start()
+      val q = withStateParallelismConf {
+        SinkConfig.streamWriter(stamped, s"$name-handoff", Some(ckpt),
+            Trigger.ProcessingTime(0L))
+          .format("parquet").option("path", handoffDir).outputMode("append").start()
+      }
       val replay = spark.readStream.schema(tup[T].schema).parquet(handoffDir)
         .as[(T, Long)](tup[T])
+      // hint NOT carried downstream: the handoff replay is a NEW query
+      // whose stateful stage sizes independently (re-hint after through)
       (new SinkHandle(Some(q)), new Pipeline[T](spark, replay, None, name))
     }
 

@@ -29,6 +29,12 @@ final class StateComputationWrapper[In, Out, S](
     comp: StateComputation[In, Out, S]) extends StateWrapper[In, Out] {
   private var state: S = comp.initialState()
 
+  /** Read-only view of the user state, for checkpoint forensics
+    * ([[StateIntrospection]] — the recovery gate's double-apply detector
+    * compares the DECODED per-key state across chains, because the raw
+    * kryo blob also carries the grouping-sensitive outputWm). */
+  private[graft] def currentState: S = state
+
   def apply(input: In, eventTs: Long, watermarkTs: Long): (Vector[(Out, Long)], Long, Boolean) = {
     val outs = comp(input, state) match {
       case ComputationResult.Discard          => Vector.empty

@@ -33,6 +33,25 @@ class StatePartitionsSpec extends AnyFunSuite {
     assert(p >= 1000, s"expected >= cores(1000), got $p")
   }
 
+  test("the cores floor holds on non-power-of-two clusters (round-up, not round-to-nearest)") {
+    // ADVICE r14: round(log2 1400) = 10 -> 1024 < cores contradicted the
+    // documented hard floor; when the floor binds, the width steps UP
+    assert(Graft.statePartitionsFor(150000000L, 1400) === 2048)
+    // sweep: wherever keys clear the >= 100/core threshold, the result
+    // must never sit below cores
+    for (cores <- Seq(3, 5, 24, 48, 96, 1000, 1400, 3000)) {
+      val keys = 1000L * cores
+      val p = Graft.statePartitionsFor(keys, cores)
+      assert(p >= cores, s"cores=$cores keys=$keys -> $p sits below the floor")
+    }
+  }
+
+  test("mid-band point: 15K keys on 32 cores -> 32 (the r15 measured ladder line)") {
+    // interpolation + the >= 100 keys/core floor agree here; the cell is
+    // MEASURED r15 (SCALING.md partition-rule ladder, keyMult 10)
+    assert(Graft.statePartitionsFor(15000L, 32) === 32)
+  }
+
   test("monotone in key volume between the anchors") {
     val ladder = Seq(1500L, 5000L, 15000L, 50000L, 150000L)
       .map(Graft.statePartitionsFor(_, 32))
