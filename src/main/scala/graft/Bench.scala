@@ -567,17 +567,20 @@ object Bench {
     // non-drill) run appends a candidate record to GRAFT_BENCH_RUNS_LOG
     // (default bench_runs.jsonl — the builder starts it fresh per round)
     // and preserves its full artifact as <out>.run<seq>; the selection
-    // over ALL logged candidates — best health grade (clean < turbulent
-    // < storm < failed), ties by lowest host-normalized batch+stream
-    // total, then earliest run — is embedded in THIS run's JSON
+    // over ALL logged candidates — [[SelectionRule]]: best health grade,
+    // then wire-bar-passing before bar-missing, then lowest
+    // SPLIT-normalized total, then earliest run — is embedded in THIS
+    // run's JSON
     // (committed_selection: rule + chosen_seq + the candidate table), the
     // chosen run's artifact is re-written to GRAFT_BENCH_COMMITTED
     // (default bench_committed.json) with the up-to-date table, and the
     // human-readable run table lands in bench_runs.md. Committing the
     // round's artifact is then `cp bench_committed.json bench_out.json` —
-    // zero judgment. The normalized total is a SELECTION metric (whole
-    // run × refCal/combined-cal-median), not a benchmark number: every
-    // candidate is normalized identically, which is all a ranking needs.
+    // zero judgment. The split-normalized total is a SELECTION metric
+    // (wall-bound seconds + CPU-bound seconds × refCal/combined-cal-
+    // median), not a benchmark number: every candidate is normalized
+    // identically, which is all a ranking needs. The whole-run
+    // normalized_total_sec stays in the record for r14-table continuity.
     if (shapeOverrides.nonEmpty)
       System.err.println("[bench] shape overrides set (" +
         shapeOverrides.mkString(", ") + ") — this run is NOT a " +
