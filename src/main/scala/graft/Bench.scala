@@ -489,12 +489,10 @@ object Bench {
     // false, and EITHER passing counts as bar-pass for the committed-run
     // tie-break below. rows_per_sec_best (the fastest trial) rides along
     // as the stall-robust floor reading.
-    val wireHostNorm = wireStandalone.map { r =>
-      if (streamCalMed > 0) r.rowsPerSecClean * (streamCalMed / WireBarRefCalSec)
-      else r.rowsPerSecClean
-    }
-    val wireBarPass = wireStandalone.exists(_.rowsPerSecClean >= 900000) ||
-      wireHostNorm.exists(_ >= 900000)
+    val wireHostNorm = wireStandalone.map(r =>
+      wireHostNormalizedRps(r.rowsPerSecClean, streamCalMed))
+    val wireBarPass = wireStandalone.exists(r =>
+      wireBarPasses(r.rowsPerSecClean, streamCalMed))
     val wireStandaloneJson = wireStandalone.map { r =>
       s"""{"median_clean_sec":${r.medianCleanSec},""" +
         s""""rows_per_sec":${r.rowsPerSecClean.round},""" +
@@ -505,8 +503,8 @@ object Bench {
         s""""trials_rps":${r.trialsRps.map(_.round).mkString("[", ",", "]")},""" +
         s""""spiked":${r.spikedJson},"wall_rerun":${r.wallRerunJson},""" +
         s""""wall_outliers":${r.wallOutliers},""" +
-        s""""meets_900k_bar":${r.rowsPerSecClean >= 900000},""" +
-        s""""meets_900k_bar_hostnorm":${wireHostNorm.get >= 900000}}"""
+        s""""meets_900k_bar":${r.rowsPerSecClean >= WireBarRps},""" +
+        s""""meets_900k_bar_hostnorm":${wireHostNorm.get >= WireBarRps}}"""
     }.getOrElse("null")
     val elevatedRows = streamTrials.flatMap { case (name, ts) =>
       if (ts.isEmpty) Nil
@@ -708,6 +706,24 @@ object Bench {
     * wire reading publishes rps × calMedian/THIS next to the raw rps, so
     * a slow-host artifact self-explains its bar verdict (VERDICT r14 #3). */
   private[graft] val WireBarRefCalSec: Double = 0.27
+
+  /** The published wire done-bar (rows/s, standalone reading). */
+  private[graft] val WireBarRps: Double = 900000.0
+
+  /** Host-normalized wire reading: what the measured rps corresponds to
+    * at the bar's reference calibration. calMedian > refCal (slower
+    * host) credits the reading up; a degenerate calibration (no stream
+    * probes) leaves it raw. */
+  private[graft] def wireHostNormalizedRps(rps: Double, calMedian: Double): Double =
+    if (calMedian > 0) rps * (calMedian / WireBarRefCalSec) else rps
+
+  /** The bar verdict the committed-run tie-break consumes: EITHER the
+    * raw standalone reading or its host-normalized form clearing
+    * [[WireBarRps]] counts — a quiet-host run must not need the
+    * normalization, and a slow-host run must not be punished for its
+    * host (BenchSelectionSpec pins both directions on r14 vectors). */
+  private[graft] def wireBarPasses(rps: Double, calMedian: Double): Boolean =
+    rps >= WireBarRps || wireHostNormalizedRps(rps, calMedian) >= WireBarRps
 
   /** Env overrides that change a run's SHAPE — row subset, kill
     * schedule, provider/host pinning, repeats, wire sizing, calibration

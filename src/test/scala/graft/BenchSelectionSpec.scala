@@ -9,8 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * changes WHICH run gets committed every round, so every clause has a
   * vector. */
 class BenchSelectionSpec extends AnyFunSuite {
-  import Bench.{RunCand, StreamWallBound, gradeRank, jsonField, parseCand,
-    runsMarkdown, selectCommitted, splitNormalizedTotal}
+  import Bench.{RunCand, StreamWallBound, WireBarRefCalSec, WireBarRps,
+    gradeRank, jsonField, parseCand, runsMarkdown, selectCommitted,
+    splitNormalizedTotal, wireBarPasses, wireHostNormalizedRps}
 
   test("grade ranking: clean < turbulent < storm < failed/unknown") {
     assert(Seq("clean", "turbulent", "storm", "failed").map(gradeRank) === Seq(0, 1, 2, 3))
@@ -67,6 +68,30 @@ class BenchSelectionSpec extends AnyFunSuite {
     assert(oldSlow < oldFast, "the vector must reproduce the old metric's bias")
     // degenerate calibration (no probes) falls back to raw seconds
     assert(splitNormalizedTotal(30.0, 100.0, 0.0, refCal) === 130.0)
+  }
+
+  test("the wire bar evaluation is pinned: either raw or host-normalized clears 900K") {
+    // the anchor is the quiet-host stream-round calibration the bar and
+    // the 1.03-1.16M band were measured at (SCALING.md r15: ref_cal_sec's
+    // 0.93 idle-r4 anchor would normalize every modern reading to ~330K)
+    assert(WireBarRefCalSec === 0.27)
+    assert(WireBarRps === 900000.0)
+    // r14 run 4's committed-shape vector: quiet host, raw passes alone
+    assert(wireBarPasses(1045492, 0.256))
+    // r14 run 8's vector: slow host (stream cal 0.396), raw 898K misses
+    // but host-normalized 1.32M passes — the self-explaining stamp
+    assert(!(898000.0 >= WireBarRps))
+    assert(wireBarPasses(898000, 0.396))
+    assert(wireHostNormalizedRps(898000, 0.396) > WireBarRps)
+    // r14 run 3's vector (the round's committed miss): 783K at stream
+    // cal 0.261 — quiet window, the miss was a trial eruption, so the
+    // normalization must NOT rescue it
+    assert(!wireBarPasses(783495, 0.261))
+    // a quiet host slightly under the anchor is not punished into a miss
+    assert(wireBarPasses(1030000, 0.251))
+    // degenerate calibration: raw reading stands
+    assert(wireHostNormalizedRps(950000, 0.0) === 950000.0)
+    assert(wireBarPasses(950000, 0.0))
   }
 
   test("the stream wall-bound tag set is pinned — membership moves committed runs") {
