@@ -710,12 +710,25 @@ object Bench {
   /** The published wire done-bar (rows/s, standalone reading). */
   private[graft] val WireBarRps: Double = 900000.0
 
+  /** Ceiling on the slow-host credit: the normalization exists to
+    * explain a ~1.3×-slow host's honest miss (the r14 case, credit
+    * 1.27-1.47), not to let an arbitrarily slow host rescue a genuinely
+    * bad reading — a UNIFORMLY slow host (flat cal, no intra-run window)
+    * stays clean under the calibration-storm clause, so without this cap
+    * a 2×+ credit would be ungated. Wire throughput is also only partly
+    * host-CPU-paced (the same fact that makes the row WALL-bound in the
+    * split metric), so large extrapolations overstate it. */
+  private[graft] val WireBarMaxHostCredit: Double = 1.5
+
   /** Host-normalized wire reading: what the measured rps corresponds to
     * at the bar's reference calibration. calMedian > refCal (slower
-    * host) credits the reading up; a degenerate calibration (no stream
-    * probes) leaves it raw. */
+    * host) credits the reading up, capped at [[WireBarMaxHostCredit]];
+    * a faster-than-anchor host reads DOWN uncapped (conservative); a
+    * degenerate calibration (no stream probes) leaves it raw. */
   private[graft] def wireHostNormalizedRps(rps: Double, calMedian: Double): Double =
-    if (calMedian > 0) rps * (calMedian / WireBarRefCalSec) else rps
+    if (calMedian > 0)
+      rps * math.min(WireBarMaxHostCredit, calMedian / WireBarRefCalSec)
+    else rps
 
   /** The bar verdict the committed-run tie-break consumes: EITHER the
     * raw standalone reading or its host-normalized form clearing

@@ -92,6 +92,13 @@ class BenchSelectionSpec extends AnyFunSuite {
     // degenerate calibration: raw reading stands
     assert(wireHostNormalizedRps(950000, 0.0) === 950000.0)
     assert(wireBarPasses(950000, 0.0))
+    // the slow-host credit is CAPPED at 1.5x: a uniformly slow host
+    // (flat cal — invisible to the window-based storm clause) must not
+    // rescue a genuinely bad reading with an unbounded extrapolation
+    assert(wireHostNormalizedRps(700000, 0.81) === 700000.0 * 1.5)
+    assert(!wireBarPasses(500000, 0.81))
+    // a fast host reads DOWN uncapped (conservative direction)
+    assert(wireHostNormalizedRps(1200000, 0.135) === 600000.0)
   }
 
   test("the stream wall-bound tag set is pinned — membership moves committed runs") {
