@@ -539,7 +539,9 @@ final class Pipeline[T] private[pipeline] (
     * first (the market-spread pattern), then merge. Merging CLEARS any
     * pending key extractor (the union cannot prove both sides'
     * extractors agree): re-key after the merge, before a stateful
-    * stage. */
+    * stage. A parallelism hint ([[withParallelism]]) carries across the
+    * union; if BOTH sides set one, this side's wins — set the hint once,
+    * after the merge, when the sides could disagree. */
   def merge(other: Pipeline[T]): Pipeline[T] =
     new Pipeline[T](spark, stamped.union(other.stamped), None, name,
       stateParallelism = stateParallelism.orElse(other.stateParallelism))
