@@ -296,7 +296,7 @@ object Bench {
     // published under its own key; the ≥900 K done-bar evaluates
     // against THIS reading, so a pacing-squeezed in-pack number
     // self-explains instead of needing a manual re-measure.
-    val wireStandalone: Option[StreamBench.RowOut] =
+    val wireStandaloneOut: Option[StreamBench.Out] =
       if (only.isDefined ||
           !streamOut.rows.exists(_.name == "stream_market_spread_wire")) None
       else try {
@@ -308,11 +308,13 @@ object Bench {
           onlyOverride = Some(Set("stream_market_spread_wire")),
           repeatsOverride = Some(5))
         failed = (o.failed.toList ::: failed).distinct
-        o.rows.find(_.name == "stream_market_spread_wire")
+        Some(o)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] standalone wire run failed: $e")
         None
       }
+    val wireStandalone: Option[StreamBench.RowOut] =
+      wireStandaloneOut.flatMap(_.rows.find(_.name == "stream_market_spread_wire"))
     val qs = (medians ++ streamSecs)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -489,16 +491,32 @@ object Bench {
     // false, and EITHER passing counts as bar-pass for the committed-run
     // tie-break below. rows_per_sec_best (the fastest trial) rides along
     // as the stall-robust floor reading.
+    // The normalization INPUT (ADVICE r15 low): the pack's streamCalMed is
+    // measured during the earlier in-pack stream round — host load that
+    // changes between the pack and the standalone wire trials (run last)
+    // skews the credit. The standalone re-entry samples the SAME
+    // calibration kernel at its own trial-round boundaries (6 samples
+    // bracketing the 5 trials); the bar consumes the MIN of the two
+    // medians — the quieter (faster) reading grants the LEAST credit, so
+    // a load window during either phase can only shrink the
+    // extrapolation, never inflate it. Both inputs are published.
+    val wireAdjCal = wireStandaloneOut
+      .map(o => median(o.roundCal.map(_._2))).filter(_ > 0)
+    val wireBarCal = (Seq(streamCalMed) ++ wireAdjCal).filter(_ > 0)
+      .minOption.getOrElse(0.0)
     val wireHostNorm = wireStandalone.map(r =>
-      wireHostNormalizedRps(r.rowsPerSecClean, streamCalMed))
+      wireHostNormalizedRps(r.rowsPerSecClean, wireBarCal))
     val wireBarPass = wireStandalone.exists(r =>
-      wireBarPasses(r.rowsPerSecClean, streamCalMed))
+      wireBarPasses(r.rowsPerSecClean, wireBarCal))
     val wireStandaloneJson = wireStandalone.map { r =>
       s"""{"median_clean_sec":${r.medianCleanSec},""" +
         s""""rows_per_sec":${r.rowsPerSecClean.round},""" +
         s""""rows_per_sec_best":${r.trialsRps.max.round},""" +
         s""""rows_per_sec_hostnorm":${wireHostNorm.get.round},""" +
-        s""""cal_median_sec":$streamCalMed,"bar_ref_cal_sec":$WireBarRefCalSec,""" +
+        s""""cal_median_sec":$streamCalMed,""" +
+        s""""cal_adjacent_sec":${wireAdjCal.getOrElse(0.0)},""" +
+        s""""cal_bar_input_sec":$wireBarCal,""" +
+        s""""bar_ref_cal_sec":$WireBarRefCalSec,""" +
         s""""trials_sec":${r.trialsSec.mkString("[", ",", "]")},""" +
         s""""trials_rps":${r.trialsRps.map(_.round).mkString("[", ",", "]")},""" +
         s""""spiked":${r.spikedJson},"wall_rerun":${r.wallRerunJson},""" +
@@ -614,9 +632,13 @@ object Bench {
       val streamWallTotal = streamSecs
         .collect { case (n, s) if StreamWallBound(n) => s }.sum
       val streamCpuTotal = streamTotal - streamWallTotal
+      // anchored at SplitRefCalSec (the modern quiet-host band), NOT the
+      // legacy refCal=0.93 — see splitNormalizedTotal's scaladoc (r16:
+      // the discount side is where the 0.93 anchor amplified the host
+      // ratio x2-3.7, VERDICT r15 what's-wrong #4)
       val normalizedSplit = splitNormalizedTotal(
         totalWallBound + streamWallTotal, totalCpuBound + streamCpuTotal,
-        calAll, refCal)
+        calAll, SplitRefCalSec)
       val grade =
         if (failed.nonEmpty) "failed"
         else if (stormFlag) "storm"
@@ -626,6 +648,7 @@ object Bench {
         case (n, v) if n == "stream_market_spread_wire" => v.round }.getOrElse(0L)
       val wireStdRps = wireStandalone.map(_.rowsPerSecClean.round).getOrElse(0L)
       val cand = s"""{"seq":$seq,"ts":"${java.time.Instant.now()}","grade":"$grade",""" +
+        s""""metric_version":$SplitMetricVersion,""" +
         s""""total_raw_sec":$totalRawAll,"batch_total_sec":$total,""" +
         s""""stream_total_sec":$streamTotal,"cal_median_sec":$calAll,""" +
         s""""normalized_total_sec":$normalized,""" +
@@ -643,7 +666,8 @@ object Bench {
       val all = prior :+ cand
       val parsed = all.flatMap(parseCand)
       val chosen = selectCommitted(parsed).getOrElse(
-        RunCand(seq, grade, normalizedSplit, wireBarPass, runFile))
+        RunCand(seq, grade, normalizedSplit, wireBarPass, runFile,
+          SplitMetricVersion))
       val selJson = s"""{"rule":"$SelectionRule","chosen_seq":${chosen.seq},""" +
         s""""candidates":[${all.mkString(",")}]}"""
       def withSelection(js: String): String =
@@ -751,31 +775,82 @@ object Bench {
     "GRAFT_STREAM_WIRE_SHARDS", "GRAFT_STREAM_WIRE_REPS",
     "GRAFT_STREAM_WIRE_TRIGGER", "GRAFT_BENCH_REF_CAL_SEC", "GRAFT_BENCH_OUT")
 
-  /** The selection metric (VERDICT r14 #1), pure so BenchSelectionSpec
-    * can pin the property that killed the old one: only the CPU-bound
-    * seconds scale by refCal/cal — wall-bound seconds (trigger cadence,
-    * sockets, restart machinery) are the same on any host, so scaling
-    * them over-credits slow hosts (r14: run 3 at cal 0.342 beat run 4's
-    * lower raw; storm-graded run 8 at cal 0.487 posted the round's
-    * lowest whole-run normalized total). */
+  /** The anchor for the SELECTION metric's host normalization — the
+    * modern quiet-host calibration band (r13-r15 committed hosts all
+    * read 0.25-0.28; same basis as [[WireBarRefCalSec]]). NOT the
+    * legacy `ref_cal_sec` 0.93 (the r4 idle-host kernel), which only
+    * survives in the whole-run `normalized_total_sec` for
+    * round-over-round table continuity: dividing modern cals into 0.93
+    * made the discount a ×1.9-3.7 amplifier of every calibration
+    * measurement error (VERDICT r15 what's-wrong #4). */
+  private[graft] val SplitRefCalSec: Double = 0.27
+
+  /** Ceiling on the slow-host CPU discount in the selection metric —
+    * 1.0, i.e. NO credit for a slower-than-anchor host (VERDICT r15
+    * what's-wrong #1 / next #2). The verdict sketched a 1.5× cap
+    * mirroring [[WireBarMaxHostCredit]], but the r15 table's own
+    * arithmetic shows 1.5× is not enough: run 8's calibration claimed a
+    * 1.57×-slow host (cal 0.424 vs anchor 0.27) while its CPU-bound
+    * seconds ran only ~3% over clean run 4's (176.8 vs 171.1 s — the
+    * kernel exaggerates the host ratio relative to the pack mix,
+    * SCALING.md), so even a 2/3-floored discount leaves run 8 posting
+    * the table's lowest split total (162.8 vs 177.6 s). Any positive
+    * credit computed from this kernel can be out of proportion to the
+    * pack's true slowdown; selection therefore gives none: candidates
+    * on slower-than-anchor hosts rank on their RAW seconds (which
+    * already over-states, never under-states, their cost), and only
+    * faster-than-anchor hosts are normalized (UP — removing a fast
+    * window's advantage, the conservative direction). Committing the
+    * quiet-host run over a discounted slow-host run is also simply the
+    * right artifact choice: its numbers are the representative ones. */
+  private[graft] val MaxSplitHostDiscount: Double = 1.0
+
+  /** Version of the selection metric carried in each candidate record.
+    * v1 = whole-run normalized total (r13-r14); v2 = split-normalized,
+    * refCal 0.93, uncapped discount (r15); v3 = split-normalized,
+    * anchored at [[SplitRefCalSec]] with the slow-host discount floored
+    * by [[MaxSplitHostDiscount]] (r16). [[selectCommitted]] ranks only
+    * within the NEWEST version present — the scales are not comparable
+    * (ADVICE r15: a mixed log ranked v1 whole-run totals against v2
+    * split totals in one sort). */
+  private[graft] val SplitMetricVersion: Int = 3
+
+  /** The selection metric (VERDICT r14 #1; discount bounded r16), pure
+    * so BenchSelectionSpec can pin both properties that killed its
+    * predecessors: (1) only the CPU-bound seconds scale by refCal/cal —
+    * wall-bound seconds (trigger cadence, sockets, restart machinery)
+    * are the same on any host, so scaling them over-credits slow hosts
+    * (r14: run 3 at cal 0.342 beat run 4's lower raw; storm-graded
+    * run 8 at cal 0.487 posted the round's lowest whole-run normalized
+    * total); (2) the CPU scale factor is FLOORED at
+    * 1/[[MaxSplitHostDiscount]] — a slower-than-anchor host gets no
+    * discount at all (see that constant's scaladoc for why the
+    * verdict's 1.5× sketch is insufficient), so a slow-host bar-passer
+    * can never out-rank a quiet-host bar-passer with a lower raw total
+    * as long as neither host is faster than the anchor. */
   private[graft] def splitNormalizedTotal(wallBoundSec: Double,
       cpuBoundSec: Double, calMedian: Double, refCal: Double): Double =
-    if (calMedian > 0) wallBoundSec + cpuBoundSec * (refCal / calMedian)
+    if (calMedian > 0)
+      wallBoundSec + cpuBoundSec *
+        math.max(refCal / calMedian, 1.0 / MaxSplitHostDiscount)
     else wallBoundSec + cpuBoundSec
 
   /** The encoded commit rule (VERDICT r13 #1; metric and tie-break
-    * re-pinned r15 per VERDICT r14 #1/#3) — also embedded verbatim in
-    * every full-run artifact so the chosen run self-documents. */
+    * re-pinned r15 per VERDICT r14 #1/#3; discount floored + version
+    * gate r16) — also embedded verbatim in every full-run artifact so
+    * the chosen run self-documents. */
   private[graft] val SelectionRule: String =
-    "lowest health grade (clean < turbulent < storm < failed), " +
-      "then wire-bar-passing runs before bar-missing, then lowest " +
+    "among candidates of the newest metric_version present: lowest " +
+      "health grade (clean < turbulent < storm < failed), then " +
+      "wire-bar-passing runs before bar-missing, then lowest " +
       "split-normalized batch+stream total (wall-bound rows not " +
-      "host-scaled), then earliest run"
+      "host-scaled; CPU-bound rows scaled only UP toward the 0.27 " +
+      "quiet-host anchor — no slow-host discount), then earliest run"
 
   /** Minimal view of one logged run, parsed back from bench_runs.jsonl. */
   private[graft] final case class RunCand(
       seq: Int, grade: String, normalizedSplit: Double, barPass: Boolean,
-      out: String)
+      out: String, version: Int = SplitMetricVersion)
 
   private[graft] def gradeRank(g: String): Int = g match {
     case "clean"     => 0
@@ -785,17 +860,23 @@ object Bench {
   }
 
   /** THE committed-run selection, pure and unit-tested
-    * (BenchSelectionSpec): best (lowest) health grade first — a clean
-    * run beats ANY normalized total advantage of a stormy one — then
+    * (BenchSelectionSpec): among candidates of the newest metric
+    * version present (ADVICE r15: v1 whole-run totals and v2/v3 split
+    * totals are different scales — ranking a mixed log in one sort is
+    * meaningless, and nothing but convention enforces a fresh log per
+    * round) — best (lowest) health grade first — a clean run beats ANY
+    * normalized total advantage of a stormy one — then
     * wire-bar-passing candidates before bar-missing ones (VERDICT r14
     * #3: r14 committed a bar-missing run over four bar-passing equals),
     * then the lowest SPLIT-normalized total (VERDICT r14 #1: whole-run
     * normalization let slower hosts win twice in the r14 table), then
     * the earliest run (stable under re-runs appending candidates). */
-  private[graft] def selectCommitted(cs: Seq[RunCand]): Option[RunCand] =
-    cs.sortBy(c =>
+  private[graft] def selectCommitted(cs: Seq[RunCand]): Option[RunCand] = {
+    val newest = cs.map(_.version).maxOption.getOrElse(SplitMetricVersion)
+    cs.filter(_.version == newest).sortBy(c =>
       (gradeRank(c.grade), if (c.barPass) 0 else 1, c.normalizedSplit, c.seq))
       .headOption
+  }
 
   /** Flat-field extractor for our OWN candidate records (every value is
     * a number, a boolean, or a quoted string without escapes — by
@@ -814,8 +895,13 @@ object Bench {
       n <- jsonField(js, "normalized_split_sec").filter(_.toDouble > 0)
         .orElse(jsonField(js, "normalized_total_sec"))
       o <- jsonField(js, "out")
+      // version inference for records that predate the explicit tag:
+      // a usable split field = r15's v2, whole-run-only = v1
+      v = jsonField(js, "metric_version").map(_.toInt).getOrElse(
+        if (jsonField(js, "normalized_split_sec").exists(_.toDouble > 0)) 2
+        else 1)
     } yield RunCand(s.toInt, g, n.toDouble,
-      jsonField(js, "wire_bar_pass").contains("true"), o)
+      jsonField(js, "wire_bar_pass").contains("true"), o, v)
 
   /** The closing-run table as generated markdown (VERDICT r13 #1's done
     * bar: SCALING.md's run table is generated output, not hand-written

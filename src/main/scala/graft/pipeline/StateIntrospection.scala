@@ -32,10 +32,23 @@ private[graft] object StateIntrospection {
 
   /** Read the final committed keyed state of a flatMapGroupsWithState
     * query from its checkpoint: (grouping key, the user state object
-    * inside [[StateComputationWrapper]]). Bounded by live key count —
-    * callers are bench/test rigs with known-small key spaces. */
-  def keyedComputationState(spark: SparkSession, ckpt: String): Seq[(String, Any)] = {
+    * inside [[StateComputationWrapper]]). The result is collected to the
+    * driver, so the live key count bounds driver memory — callers are
+    * bench/test rigs with known-small key spaces, and the contract is
+    * now ENFORCED (VERDICT r15 next #6): a checkpoint holding more than
+    * `maxKeys` live keys fails with a sizing message instead of a
+    * silent driver OOM; a caller that genuinely wants a bigger decode
+    * raises the bound explicitly. */
+  def keyedComputationState(spark: SparkSession, ckpt: String,
+      maxKeys: Long = 1L << 20): Seq[(String, Any)] = {
     val df = spark.read.format("statestore").load(ckpt)
+    val liveKeys = df.count()
+    require(liveKeys <= maxKeys,
+      s"state checkpoint $ckpt holds $liveKeys live keys, above the " +
+        s"driver-collect bound of $maxKeys — keyedComputationState is a " +
+        "bench/test forensics tool, not a production-scale reader; pass " +
+        "a larger maxKeys explicitly if the driver can hold the decode, " +
+        "or aggregate over spark.read.format(\"statestore\") directly")
     // value layout (fMGWS state manager v2): [groupState: struct(<obj
     // serializer schema>), timeoutTimestamp]. With a kryo state encoder
     // the object schema is a single BinaryType column; locate it

@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * changes WHICH run gets committed every round, so every clause has a
   * vector. */
 class BenchSelectionSpec extends AnyFunSuite {
-  import Bench.{RunCand, StreamWallBound, WireBarRefCalSec, WireBarRps,
+  import Bench.{MaxSplitHostDiscount, RunCand, SplitMetricVersion,
+    SplitRefCalSec, StreamWallBound, WireBarRefCalSec, WireBarRps,
     gradeRank, jsonField, parseCand, runsMarkdown, selectCommitted,
     splitNormalizedTotal, wireBarPasses, wireHostNormalizedRps}
 
@@ -51,23 +52,97 @@ class BenchSelectionSpec extends AnyFunSuite {
   }
 
   test("slow host must not win: wall-bound seconds do not scale with the host") {
-    // Two runs of identical code. Fast host at the reference calibration:
-    // 30 s wall-bound + 100 s CPU-bound. Slow host (cal 2x ref): the
+    // Two runs of identical code. Quiet host at the anchor calibration:
+    // 30 s wall-bound + 100 s CPU-bound. Slow host (cal 2x anchor): the
     // CPU-bound half doubles to 200 s, the wall-bound half is machinery-
     // paced and stays 30 s. The OLD whole-run metric scaled everything by
     // refCal/cal and ranked the slow host BETTER (115 < 130) — the exact
     // r14 failure (run 8, cal 0.487, lowest normalized total of the
-    // round). The split metric reads both hosts equal, as identical code
-    // should.
-    val refCal = 0.93
+    // round). The r16 metric gives the slow host NO discount at all
+    // (MaxSplitHostDiscount = 1.0): it ranks on raw seconds, behind the
+    // quiet host — committing the quiet-host artifact is the point.
+    val refCal = SplitRefCalSec
     val fast = splitNormalizedTotal(30.0, 100.0, refCal, refCal)
     val slow = splitNormalizedTotal(30.0, 200.0, 2 * refCal, refCal)
-    assert(math.abs(fast - slow) < 1e-9, s"split metric: fast=$fast slow=$slow")
+    assert(fast === 130.0)
+    assert(slow === 230.0, "slower-than-anchor hosts rank on raw seconds")
     val oldFast = (30.0 + 100.0) * (refCal / refCal)
     val oldSlow = (30.0 + 200.0) * (refCal / (2 * refCal))
     assert(oldSlow < oldFast, "the vector must reproduce the old metric's bias")
+    // a FASTER-than-anchor host normalizes UP (its advantage is removed —
+    // the conservative direction stays uncapped)
+    assert(splitNormalizedTotal(30.0, 50.0, refCal / 2, refCal) === 130.0)
     // degenerate calibration (no probes) falls back to raw seconds
     assert(splitNormalizedTotal(30.0, 100.0, 0.0, refCal) === 130.0)
+  }
+
+  test("the r16 discount floor: a slow-host bar-passer cannot out-rank a " +
+      "quiet-host bar-passer with lower raw total (VERDICT r15 #2)") {
+    // The r15 table's own profiles, promoted to both-bar-passing: run 8
+    // (cal 0.424 — the kernel claims a 1.57x-slow host) had CPU-bound
+    // raw 176.8 s vs clean run 4's 171.1 s (cal 0.352) — the pack ran
+    // only ~3% slower while the calibration kernel claimed 20%+
+    // (SCALING.md r16: the kernel exaggerates the host ratio). Under the
+    // verdict's sketched 1.5x cap the slow run STILL posts the lower
+    // split total; the shipped floor (no slow-host discount) ranks the
+    // quiet run first.
+    assert(SplitRefCalSec === 0.27)
+    assert(MaxSplitHostDiscount === 1.0)
+    val slowWall = 44.9; val slowCpu = 176.8; val slowCal = 0.4236
+    val quietWall = 46.3; val quietCpu = 171.1; val quietCal = 0.3519
+    // the sketched 1.5x cap would NOT have fixed the ranking:
+    val sketchSlow = slowWall + slowCpu *
+      math.max(SplitRefCalSec / slowCal, 1.0 / 1.5)
+    val sketchQuiet = quietWall + quietCpu *
+      math.max(SplitRefCalSec / quietCal, 1.0 / 1.5)
+    assert(sketchSlow < sketchQuiet,
+      "vector must reproduce why the 1.5x sketch is insufficient")
+    // the shipped metric ranks the quiet host first:
+    val slow = splitNormalizedTotal(slowWall, slowCpu, slowCal, SplitRefCalSec)
+    val quiet = splitNormalizedTotal(quietWall, quietCpu, quietCal, SplitRefCalSec)
+    assert(quiet < slow, s"quiet=$quiet must out-rank slow=$slow")
+    val slowCand = RunCand(8, "turbulent", slow, barPass = true, "r8")
+    val quietCand = RunCand(4, "turbulent", quiet, barPass = true, "r4")
+    assert(selectCommitted(Seq(slowCand, quietCand)).map(_.seq) === Some(4))
+  }
+
+  test("the r15 closing table replayed under the r16 metric: run 4 still wins") {
+    // The eight r15 candidates (bench_runs.jsonl values; grades and bar
+    // verdicts as logged). Run 4 was the round's only CLEAN run, so the
+    // grade gate decides regardless of how the metric change moves the
+    // split totals — exactly the property the replay pins (VERDICT r15
+    // #2's done-bar). Run 8 (the driver's 1.57x-claimed-slow host)
+    // carried the table's LOWEST v2 split total AND a bar miss; under
+    // the r16 metric its total is its raw seconds, no longer the lowest.
+    val r15 = Seq(
+      RunCand(1, "turbulent", 481.2, barPass = true, "r1", version = 2),
+      RunCand(2, "turbulent", 492.7, barPass = true, "r2", version = 2),
+      RunCand(3, "storm", 511.7, barPass = true, "r3", version = 2),
+      RunCand(4, "clean", 498.6, barPass = true, "r4", version = 2),
+      RunCand(5, "storm", 511.0, barPass = false, "r5", version = 2),
+      RunCand(6, "turbulent", 502.3, barPass = true, "r6", version = 2),
+      RunCand(7, "storm", 554.5, barPass = true, "r7", version = 2),
+      RunCand(8, "turbulent", 433.1, barPass = false, "r8", version = 2))
+    assert(selectCommitted(r15).map(_.seq) === Some(4))
+    // and with no clean run in the table (drop run 4), the bar tie-break
+    // keeps the bar-missing slow host out among the turbulent peers
+    assert(selectCommitted(r15.filterNot(_.seq == 4)).map(_.seq) === Some(1))
+  }
+
+  test("selection ranks only within the newest metric version present (ADVICE r15)") {
+    // v2 split totals and v3 split totals are different scales (v2
+    // discounts slow hosts against refCal 0.93 — systematically smaller
+    // numbers on slow-host runs); a stale log line must not win on its
+    // incomparable metric. The v2 candidate's 300.0 would beat both v3
+    // candidates numerically — it is excluded from ranking instead.
+    val mixed = Seq(
+      RunCand(1, "clean", 300.0, barPass = true, "r1", version = 2),
+      RunCand(2, "turbulent", 480.0, barPass = true, "r2", version = 3),
+      RunCand(3, "turbulent", 460.0, barPass = true, "r3", version = 3))
+    assert(selectCommitted(mixed).map(_.seq) === Some(3))
+    // a uniform-version log ranks normally
+    assert(selectCommitted(mixed.map(_.copy(version = 2))).map(_.seq) === Some(1))
+    assert(SplitMetricVersion === 3)
   }
 
   test("the wire bar evaluation is pinned: either raw or host-normalized clears 900K") {
@@ -151,9 +226,14 @@ class BenchSelectionSpec extends AnyFunSuite {
       """"wire_bar_pass":true,"out":"bench_out.json.run3"}"""
 
   test("candidate records round-trip through the flat-field parser") {
+    // no explicit metric_version + usable split field = r15's v2
     val p = parseCand(cand)
     assert(p === Some(RunCand(3, "turbulent", 280.4, barPass = true,
-      "bench_out.json.run3")))
+      "bench_out.json.run3", version = 2)))
+    // an r16 record carries the explicit tag
+    val v3 = cand.replace(""""grade":"turbulent",""",
+      """"grade":"turbulent","metric_version":3,""")
+    assert(parseCand(v3).map(_.version) === Some(3))
     // field extraction is exact-key (quoted), not substring: "out" must
     // not match inside "wall_outliers"
     assert(jsonField(cand, "out") === Some("bench_out.json.run3"))
@@ -170,10 +250,11 @@ class BenchSelectionSpec extends AnyFunSuite {
     val old = cand.replace(""""normalized_split_sec":280.4,""", "")
       .replace(""""wire_bar_pass":true,""", "")
     assert(parseCand(old) === Some(RunCand(3, "turbulent", 298.2,
-      barPass = false, "bench_out.json.run3")))
+      barPass = false, "bench_out.json.run3", version = 1)))
     val zeroSplit = cand.replace(""""normalized_split_sec":280.4""",
       """"normalized_split_sec":0""")
     assert(parseCand(zeroSplit).map(_.normalizedSplit) === Some(298.2))
+    assert(parseCand(zeroSplit).map(_.version) === Some(1))
   }
 
   test("the generated run table marks the chosen run and carries every candidate") {

@@ -94,6 +94,62 @@ class ParallelismHintSpec extends AnyFunSuite {
     assert(dirs.length === 2, s"state partitions: ${dirs.toSeq.sorted}")
   }
 
+  test("the hint never touches the shared session conf — not even during start " +
+      "(VERDICT r15 #4)") {
+    // The r15 implementation mutated the shared session's
+    // spark.sql.shuffle.partitions for a set→start→restore window; a
+    // concurrent BATCH action on another thread during that window read
+    // the hinted width. The r16 fix starts hinted queries on a cloned
+    // session (SessionBridge), so there is no window at all. This vector
+    // probes the exact former race point deterministically: a sink whose
+    // writeStream reads the ORIGINAL session's conf at the moment of
+    // start — inside the old window — must see the default, while the
+    // query still gets the hinted physical state width.
+    val spark = TestSpark.spark
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.get(ShuffleKey)
+    val ckpt = Files.createTempDirectory("graft_hint_ckpt3").toString
+    val seenAtStart = new java.util.concurrent.atomic.AtomicReference[String]()
+    final case class ProbeSink(orig: org.apache.spark.sql.SparkSession,
+        inner: SinkConfig[(String, Long)]) extends SinkConfig[(String, Long)] {
+      def writeBatch(ds: org.apache.spark.sql.Dataset[((String, Long), Long)]): Unit =
+        inner.writeBatch(ds)
+      def writeStream(ds: org.apache.spark.sql.Dataset[((String, Long), Long)],
+          name: String, checkpointLocation: Option[String],
+          trigger: org.apache.spark.sql.streaming.Trigger)
+          : org.apache.spark.sql.streaming.StreamingQuery = {
+        seenAtStart.set(orig.conf.get(ShuffleKey)) // the old race window
+        inner.writeStream(ds, name, checkpointLocation, trigger)
+      }
+    }
+    val words = MemoryStream[String]
+    val h = Graft.source("hint-iso", DatasetSource(words.toDS(), (_: String) => 0L))
+      .keyBy(identity, parallelism = 2)
+      .to(CountWord)
+      .toSink(ProbeSink(spark, EmptySink[(String, Long)]()),
+        checkpointLocation = Some(ckpt))
+    try {
+      // while the hinted query is ACTIVE, a batch action on the shared
+      // session plans with the session's own width, not the hint's
+      assert(spark.conf.get(ShuffleKey) === prev)
+      words.addData("a", "b", "a")
+      h.processAllAvailable()
+    } finally h.stop()
+    assert(seenAtStart.get() === prev,
+      "the original session's conf must read the default at start time")
+    assert(spark.conf.get(ShuffleKey) === prev)
+    // the hinted query still got its width, on its own cloned session
+    val dirs = new java.io.File(s"$ckpt/state/0").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.forall(_.isDigit))
+    assert(dirs.length === 2, s"state partitions: ${dirs.toSeq.sorted}")
+    // and the query handle reaches the clone (where session-scoped
+    // surfaces — spark.streams, memory-sink views — live for hinted
+    // queries, per the startDataset scaladoc)
+    assert(h.query.exists(_.sparkSession ne spark))
+  }
+
   test("invalid parallelism fails fast") {
     val spark = TestSpark.spark
     implicit val ss: org.apache.spark.sql.SparkSession = spark

@@ -66,6 +66,15 @@ class StateIntrospectionSpec extends AnyFunSuite {
     // stable across reads of the same checkpoint (the bench reads each
     // chain once; a flaky read would fake a double-apply)
     assert(decoded() === expected)
+    // the driver-collect bound is ENFORCED (VERDICT r15 next #6): a
+    // checkpoint with more live keys than maxKeys fails with a sizing
+    // message instead of a silent driver OOM, and the bound is
+    // caller-overridable (this checkpoint holds 3 keys)
+    val e = intercept[IllegalArgumentException](
+      StateIntrospection.keyedComputationState(spark, ckpt, maxKeys = 2))
+    assert(e.getMessage.contains("3 live keys"))
+    assert(StateIntrospection.keyedComputationState(spark, ckpt, maxKeys = 3)
+      .size === 3)
   }
 
   test("a checkpoint without state fails loudly, not with a wrong-column read") {
