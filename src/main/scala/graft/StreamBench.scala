@@ -110,6 +110,16 @@ object StreamBench {
       val ts = bb.getLong
       (kind, ts, user, cents, ts + kind)
     }
+    // zero-copy slice decode for the in-scan path (FramedDecoder doc):
+    // fields read straight from the chunk buffer, no per-frame payload copy
+    override def decodeSliceOpt(bytes: Array[Byte], off: Int, len: Int)
+        : Option[(Long, Long, Long, Long, Long)] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes, off, len)
+      val user = bb.getLong
+      val cents = bb.getLong
+      val ts = bb.getLong
+      Some((kind, ts, user, cents, ts + kind))
+    }
     def eventTimeNs(t: (Long, Long, Long, Long, Long)): Long = t._5
   }
 
@@ -1187,9 +1197,16 @@ object StreamBench {
       var handleOpt: Option[SinkHandle] = None
       try {
         val t0 = System.nanoTime()
-        // bounded triggers: ~1 M merged rows per micro-batch, so batches
-        // pipeline with ingest instead of one all-buffered mega-batch
-        val perTrigger = sys.env.getOrElse("GRAFT_STREAM_WIRE_TRIGGER", "131072").toLong
+        // bounded triggers: ~2 M merged rows per micro-batch. The r16
+        // trigger ladder (same day, same build, inline decode): 131072 →
+        // 756 K rows/s, 262144 → 1.21 M, 524288 → mega-batch eruption
+        // (7.8/15.1/23.1 s trials — the all-buffered regime r10 first
+        // hit). Once the per-frame decode stack was removed the ~180 ms
+        // fixed micro-batch overhead (offset WAL + planning 8 sources +
+        // commit log) became the visible tax, and 2× amortizes it while
+        // staying a quarter of the per-source buffer — batches still
+        // pipeline with ingest.
+        val perTrigger = sys.env.getOrElse("GRAFT_STREAM_WIRE_TRIGGER", "262144").toLong
         val legs = sq.zipWithIndex.map { case (srv, i) =>
           Graft.source(s"bench-msw-quotes-$i",
             FramedSocketSource("127.0.0.1", srv.getLocalPort, SpreadWireDecoder(0L),

@@ -44,14 +44,17 @@ object WireScanProbe {
       t.setDaemon(true); t.start(); ssk
     }
 
-    // numInputRows counts FRAMES SCANNED by the DSv2 relation — the
-    // decode (and any decodeOpt drop) happens in the typed flatMap ABOVE
-    // the scan — so every variant, dropping or not, drains at exactly
-    // nFrames counted rows. Throughput is reported in frames/s, the
-    // wire-side unit every variant shares: the drop50 line reads
-    // directly against the decode line — parity means a dropped frame
-    // costs the frame walk and nothing else.
-    def timed(label: String)(
+    // Row accounting depends on the decode path (FramedSocketSource doc):
+    // the raw scan and the flatMap path count FRAMES SCANNED in
+    // numInputRows (decode/drops happen above the scan), while the
+    // inline-decode default counts DECODED rows — a dropping decoder's
+    // drops never become rows. Each variant passes the row count it
+    // drains to completion on; throughput is still reported in FRAMES/s
+    // (frames served / wall), the wire-side unit every variant shares,
+    // so the drop50 line reads directly against the decode line — a
+    // cheaper-than-decode reading means a dropped frame costs the frame
+    // walk and the slice decode but no row machinery.
+    def timed(label: String, expectRows: Long = nFrames.toLong)(
         mk: Int => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val srv = serveAll()
       // per-query-id counts (ADVICE r10: the listener bus is async and
@@ -81,7 +84,7 @@ object WireScanProbe {
           Option(seenByQuery.get(q.id)).map(_.get).getOrElse(0L)
         val deadline = System.nanoTime() + 600L * 1000000000L
         var lastLog = System.nanoTime()
-        while (seen() < nFrames && System.nanoTime() < deadline) {
+        while (seen() < expectRows && System.nanoTime() < deadline) {
           Thread.sleep(25)
           if (q.exception.isDefined) throw q.exception.get
           if (System.nanoTime() - lastLog > 2000000000L) {
@@ -94,8 +97,8 @@ object WireScanProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         q.stop()
         val done = seen()
-        if (done < nFrames)
-          println(f"[wire-scan] $label%-8s TIMED OUT at $done of $nFrames frames after ${sec}%7.2f s")
+        if (done < expectRows)
+          println(f"[wire-scan] $label%-8s TIMED OUT at $done of $expectRows rows after ${sec}%7.2f s")
         else
           println(f"[wire-scan] $label%-8s $nFrames frames  ${sec}%7.2f s  ${nFrames / sec / 1e6}%6.2f M frames/s")
       } finally {
@@ -115,12 +118,24 @@ object WireScanProbe {
         .start()
     }
 
-    // the typed-decode path FramedSocketSource.load builds
+    // the in-scan decode path (FramedSocketSource's default): decode +
+    // serialize inside the DSv2 reader, no typed flatMap boundary
     timed("decode") { port =>
       FramedSocketSource("127.0.0.1", port, StreamBench.SpreadWireDecoder(0L))
         .load(spark)
         .writeStream.format("noop").option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("wsp_dec").toString)
+        .start()
+    }
+
+    // the pre-r16 typed-flatMap path (inlineDecode = false), kept
+    // measurable so the in-scan gain stays pinned to numbers
+    timed("flatmap") { port =>
+      FramedSocketSource("127.0.0.1", port, StreamBench.SpreadWireDecoder(0L),
+        inlineDecode = false)
+        .load(spark)
+        .writeStream.format("noop").option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wsp_fm").toString)
         .start()
     }
 
@@ -130,7 +145,7 @@ object WireScanProbe {
     // (framed_source_notify.pony:118-133), which no bench row exercised
     // at a HIGH drop rate. Read against the `decode` line in frames/s:
     // parity means a dropped frame costs exactly the frame walk.
-    timed("drop50") { port =>
+    timed("drop50", expectRows = nFrames / 2) { port =>
       FramedSocketSource("127.0.0.1", port, DroppingWireDecoder)
         .load(spark)
         .writeStream.format("noop").option("checkpointLocation",

@@ -57,8 +57,59 @@ object FramedSocket {
       ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
 }
 
+/** Driver-side handoff of the in-scan decode configuration
+  * ([[FramedSocketSource]] `inlineDecode`): DSv2 providers are
+  * instantiated by reflection and receive string options only, so the
+  * decoder + row encoder can't ride the option map — `load()` registers
+  * them here under a fresh key and passes the KEY as an option. Only the
+  * driver consults the registry (schema inference + stream
+  * construction); the reader factory ships the actual objects to
+  * executors, so this is cluster-safe. Entries are retained for the
+  * session (a stopped query can be restarted against the same
+  * DataFrame, which re-resolves the key): one small tuple per
+  * [[FramedSocketSource.load]] call. */
+private[pipeline] object FramedSocketInlineRegistry {
+  private val entries = new java.util.concurrent.ConcurrentHashMap[
+    String, (FramedDecoder[Any], Encoder[Any])]()
+  def register(decoder: FramedDecoder[_], enc: Encoder[_]): String = {
+    val key = java.util.UUID.randomUUID().toString
+    entries.put(key, (decoder.asInstanceOf[FramedDecoder[Any]],
+      enc.asInstanceOf[Encoder[Any]]))
+    key
+  }
+  def apply(key: String): (FramedDecoder[Any], Encoder[Any]) = {
+    val e = entries.get(key)
+    require(e != null, s"no inline decoder registered under '$key' — the " +
+      s"'decoderKey' option is ${FramedSocket.ShortName}-internal (set by " +
+      "FramedSocketSource.load on this driver), not a user-facing option")
+    e
+  }
+  /** The catalyst serializer for the registered row encoder — built on
+    * demand (executor side too: the factory re-derives it from the
+    * shipped Encoder, which is a serializable AgnosticEncoder). */
+  def serializerFor(enc: Encoder[Any]): Any => org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, ExpressionEncoder}
+    val ee = enc match {
+      case e: ExpressionEncoder[Any @unchecked] => e
+      case a: AgnosticEncoder[Any @unchecked]   => ExpressionEncoder(a)
+    }
+    val ser = ee.createSerializer()
+    (v: Any) => ser(v)
+  }
+  def schemaFor(enc: Encoder[Any]): StructType = {
+    import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, ExpressionEncoder}
+    enc match {
+      case e: ExpressionEncoder[Any @unchecked] => e.schema
+      case a: AgnosticEncoder[Any @unchecked]   => ExpressionEncoder(a).schema
+    }
+  }
+}
+
 final class FramedSocketTableProvider extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = FramedSocket.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Option(options.get("decoderKey"))
+      .map(k => FramedSocketInlineRegistry.schemaFor(FramedSocketInlineRegistry(k)._2))
+      .getOrElse(FramedSocket.Schema)
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new FramedSocketTable(properties.asScala.toMap)
@@ -68,19 +119,24 @@ final class FramedSocketTableProvider extends TableProvider {
 final class FramedSocketTable(options: Map[String, String]) extends Table with SupportsRead {
   private def req(k: String): String = options.getOrElse(k,
     throw new IllegalArgumentException(s"${FramedSocket.ShortName} requires a '$k' option"))
+  private def inline: Option[(FramedDecoder[Any], Encoder[Any])] =
+    options.get("decoderKey").map(FramedSocketInlineRegistry(_))
   override def name(): String = s"${FramedSocket.ShortName}:${req("host")}:${req("port")}"
-  override def schema(): StructType = FramedSocket.Schema
+  override def schema(): StructType =
+    inline.map(e => FramedSocketInlineRegistry.schemaFor(e._2))
+      .getOrElse(FramedSocket.Schema)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = FramedSocket.Schema
+        override def readSchema(): StructType = FramedSocketTable.this.schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new FramedSocketMicroBatchStream(req("host"), req("port").toInt,
             options.get("maxFramesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue),
             options.get("maxBufferedFrames").map(_.toInt).getOrElse(1 << 20),
-            options.get("ordered").exists(_.toBoolean))
+            options.get("ordered").exists(_.toBoolean),
+            inline)
       }
     }
 }
@@ -101,7 +157,8 @@ private[pipeline] final case class FrameChunk(count: Int, bytes: Array[Byte])
 
 final class FramedSocketMicroBatchStream(host: String, port: Int,
     maxFramesPerTrigger: Long, maxBufferedFrames: Int,
-    ordered: Boolean = false)
+    ordered: Boolean = false,
+    inline: Option[(FramedDecoder[Any], Encoder[Any])] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** Seal threshold: a chunk closes at this many bytes (or whenever the
@@ -334,7 +391,10 @@ final class FramedSocketMicroBatchStream(host: String, port: Int,
         java.util.Arrays.copyOfRange(c.bytes, startByte, pos), take)
     }
 
-  override def createReaderFactory(): PartitionReaderFactory = new FramedSocketReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = inline match {
+    case Some((dec, enc)) => FramedSocketInlineReaderFactory(dec, enc)
+    case None             => new FramedSocketReaderFactory
+  }
 
   override def commit(end: Offset): Unit = lock.synchronized {
     val e = end.asInstanceOf[FrameCount].n
@@ -401,6 +461,70 @@ final class FramedArrayReaderFactory extends PartitionReaderFactory {
   }
 }
 
+/** In-scan decode ([[FramedSocketSource]] `inlineDecode`): each slice
+  * decodes straight from the chunk bytes to serialized `(T, eventTsNs)`
+  * rows INSIDE the DSv2 reader — the reference's own decode boundary
+  * (framed_source_notify.pony:118-133 decodes inside the source notify).
+  * Versus the typed-flatMap path this removes, per frame: the payload
+  * `copyOfRange`, the `GenericInternalRow` boxing, the payload's copy
+  * into an UnsafeRow, and the UnsafeRow→`Array[Byte]` deserialize on the
+  * flatMap's input side — the r16 wire attribution measured that stack
+  * at more per row than the ENTIRE parquet-replay pipeline including its
+  * keyed state (SCALING.md). A dropping decoder drops here, before any
+  * row exists (numInputRows therefore counts DECODED rows on this path).
+  * Ships the decoder and the (serializable, agnostic) row encoder by
+  * value; the catalyst serializer is rebuilt per reader, so the reused
+  * UnsafeRow buffer is never shared across tasks. */
+final case class FramedSocketInlineReaderFactory(
+    decoder: FramedDecoder[Any], enc: Encoder[Any]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: FramedSocketPartition => sliceReader(p)
+      case o: FramedSocketOrderedPartition =>
+        new PartitionReader[InternalRow] {
+          private var i = 0
+          private var cur: PartitionReader[InternalRow] =
+            if (o.slices.isEmpty) null else sliceReader(o.slices(0))
+          override def next(): Boolean = {
+            while (cur != null && !cur.next()) {
+              i += 1
+              cur = if (i < o.slices.length) sliceReader(o.slices(i)) else null
+            }
+            cur != null
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = ()
+        }
+      case other => throw new IllegalArgumentException(
+        s"unexpected partition type ${other.getClass.getName}")
+    }
+
+  private def sliceReader(p: FramedSocketPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val ser = FramedSocketInlineRegistry.serializerFor(enc)
+      private var pos = 0
+      private var walked = 0
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (walked < p.take) {
+          val len = FramedSocket.frameLen(p.bytes, pos)
+          val off = pos + 4
+          pos += 4 + len
+          walked += 1
+          decoder.decodeSliceOpt(p.bytes, off, len) match {
+            case Some(t) =>
+              current = ser((t, decoder.eventTimeNs(t)))
+              return true
+            case None => () // decode-time drop: advance past the frame
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+}
+
 final class FramedSocketReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -449,29 +573,49 @@ final class FramedSocketReaderFactory extends PartitionReaderFactory {
 /** DSL SourceConfig over the framed TCP transport: decode each frame with
   * the same [[FramedDecoder]] contract the file/log sources use (the
   * transport owns the reference-default 4-byte big-endian framing; the
-  * decoder sees whole payloads). */
+  * decoder sees whole payloads).
+  *
+  * `inlineDecode` (default true) runs the decode INSIDE the DSv2 scan
+  * ([[FramedSocketInlineReaderFactory]]) — the reference's own decode
+  * boundary, and ~2× the per-row throughput of the typed-flatMap path
+  * (r16 wire attribution, SCALING.md). Semantics are identical
+  * (DecoderFilterSpec pins both paths, drops included) with two
+  * observable differences: `numInputRows` counts DECODED rows rather
+  * than scanned frames (a dropping decoder's drops never become rows),
+  * and the scan's output schema is the row schema rather than
+  * (offset, payload) — so toggling it across a RESTART of an existing
+  * checkpoint is a plan change (use a fresh checkpoint, as with any
+  * source swap). Set false to keep the frame-addressed scan (e.g. to
+  * observe raw frame counts in progress metrics). */
 final case class FramedSocketSource[T](
     host: String,
     port: Int,
     decoder: FramedDecoder[T],
     maxFramesPerTrigger: Long = Long.MaxValue,
     maxBufferedFrames: Int = 1 << 20,
-    ordered: Boolean = false)(implicit enc: Encoder[T])
+    ordered: Boolean = false,
+    inlineDecode: Boolean = true)(implicit enc: Encoder[T])
     extends SourceConfig[T] {
   def load(spark: SparkSession): Dataset[(T, Long)] = {
-    val reader = spark.readStream
+    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
+    val base = spark.readStream
       .format(classOf[FramedSocketTableProvider].getName)
       .option("host", host).option("port", port.toString)
       .option("maxBufferedFrames", maxBufferedFrames.toString)
       .option("ordered", ordered.toString)
+    val reader = if (inlineDecode)
+      base.option("decoderKey", FramedSocketInlineRegistry.register(decoder, tupEnc))
+    else base
     val df = (if (maxFramesPerTrigger != Long.MaxValue)
       reader.option("maxFramesPerTrigger", maxFramesPerTrigger.toString) else reader).load()
-    val dec = decoder
-    val tupEnc = Encoders.tuple(enc, Encoders.scalaLong)
-    // flatMap over decodeOpt: a dropping decoder ([[FramedDecoder.decodeOpt]])
-    // discards its frame here, at the decode boundary — reference
-    // framed_source_notify.pony:118-133 semantics
-    df.select("payload").as[Array[Byte]](Encoders.BINARY)
-      .flatMap { bytes => dec.decodeOpt(bytes).map(t => (t, dec.eventTimeNs(t))) }(tupEnc)
+    if (inlineDecode) df.as[(T, Long)](tupEnc)
+    else {
+      val dec = decoder
+      // flatMap over decodeOpt: a dropping decoder ([[FramedDecoder.decodeOpt]])
+      // discards its frame here, at the decode boundary — reference
+      // framed_source_notify.pony:118-133 semantics
+      df.select("payload").as[Array[Byte]](Encoders.BINARY)
+        .flatMap { bytes => dec.decodeOpt(bytes).map(t => (t, dec.eventTimeNs(t))) }(tupEnc)
+    }
   }
 }
