@@ -1197,16 +1197,26 @@ object StreamBench {
       var handleOpt: Option[SinkHandle] = None
       try {
         val t0 = System.nanoTime()
-        // bounded triggers: ~2 M merged rows per micro-batch. The r16
-        // trigger ladder (same day, same build, inline decode): 131072 →
-        // 756 K rows/s, 262144 → 1.21 M, 524288 → mega-batch eruption
-        // (7.8/15.1/23.1 s trials — the all-buffered regime r10 first
-        // hit). Once the per-frame decode stack was removed the ~180 ms
-        // fixed micro-batch overhead (offset WAL + planning 8 sources +
-        // commit log) became the visible tax, and 2× amortizes it while
-        // staying a quarter of the per-source buffer — batches still
-        // pipeline with ingest.
-        val perTrigger = sys.env.getOrElse("GRAFT_STREAM_WIRE_TRIGGER", "262144").toLong
+        // Bounded triggers, sized by CONTEXT. Standalone (the
+        // authoritative, bar-carrying reading): ~2 M merged rows per
+        // micro-batch — the r16 trigger ladder (same day, same build,
+        // inline decode): 131072 → 756 K rows/s, 262144 → 1.21 M,
+        // 524288 → mega-batch eruption (7.8/15.1/23.1 s trials — the
+        // all-buffered regime r10 first hit). Once the per-frame decode
+        // stack was removed the ~180 ms fixed micro-batch overhead
+        // (offset WAL + planning 8 sources + commit log) became the
+        // visible tax, and 2× amortizes it while staying a quarter of
+        // the per-source buffer. IN-PACK the row keeps the r13-r15
+        // 131072 shape: the pack context carries IO/heap debt that
+        // lands as multi-second stalls INSIDE a batch (r16 run 2: one
+        // 17.8 s batch execution with 1-2 s commit_ms), and at ~2
+        // steady batches per trial a single stall owns the trial —
+        // storm-grading whole runs — where eight small batches average
+        // it; small batches also keep the in-pack number comparable to
+        // the r13-r15 series. Both rows publish; the standalone one is
+        // the code-level reading (VERDICT r13 #2).
+        val perTrigger = sys.env.get("GRAFT_STREAM_WIRE_TRIGGER").map(_.toLong)
+          .getOrElse(if (streamOnly.isDefined) 262144L else 131072L)
         val legs = sq.zipWithIndex.map { case (srv, i) =>
           Graft.source(s"bench-msw-quotes-$i",
             FramedSocketSource("127.0.0.1", srv.getLocalPort, SpreadWireDecoder(0L),
