@@ -1197,26 +1197,26 @@ object StreamBench {
       var handleOpt: Option[SinkHandle] = None
       try {
         val t0 = System.nanoTime()
-        // Bounded triggers, sized by CONTEXT. Standalone (the
-        // authoritative, bar-carrying reading): ~2 M merged rows per
-        // micro-batch — the r16 trigger ladder (same day, same build,
-        // inline decode): 131072 → 756 K rows/s, 262144 → 1.21 M,
-        // 524288 → mega-batch eruption (7.8/15.1/23.1 s trials — the
-        // all-buffered regime r10 first hit). Once the per-frame decode
-        // stack was removed the ~180 ms fixed micro-batch overhead
-        // (offset WAL + planning 8 sources + commit log) became the
-        // visible tax, and 2× amortizes it while staying a quarter of
-        // the per-source buffer. IN-PACK the row keeps the r13-r15
-        // 131072 shape: the pack context carries IO/heap debt that
-        // lands as multi-second stalls INSIDE a batch (r16 run 2: one
-        // 17.8 s batch execution with 1-2 s commit_ms), and at ~2
-        // steady batches per trial a single stall owns the trial —
-        // storm-grading whole runs — where eight small batches average
-        // it; small batches also keep the in-pack number comparable to
-        // the r13-r15 series. Both rows publish; the standalone one is
-        // the code-level reading (VERDICT r13 #2).
-        val perTrigger = sys.env.get("GRAFT_STREAM_WIRE_TRIGGER").map(_.toLong)
-          .getOrElse(if (streamOnly.isDefined) 262144L else 131072L)
+        // Bounded triggers: ~1 M merged rows per micro-batch — eight
+        // steady batches per 4 M-row trial. The r16 ladder measured the
+        // per-batch economics precisely (adjacent-run pairs, inline
+        // decode): 131072 → 756 K-978 K rows/s, 262144 → 1.087-1.21 M
+        // (the ~180 ms fixed micro-batch overhead — offset WAL +
+        // 8-source planning + commit log — amortizing), 524288 → the
+        // all-buffered mega-batch cliff (7.8/15.1/23.1 s trials). A
+        // long-running DEPLOYMENT should therefore size triggers near
+        // 2 M rows; the BENCH keeps 1 M because at this trial volume
+        // the 2× shape leaves only ~2 steady batches and the sustained
+        // estimator (rows/Σtrigger-time, batch 0 excluded) turns
+        // bimodal on the batch-composition lottery — observed medians
+        // swung 350 K-1.45 M on one build — while any in-batch IO
+        // stall owns the whole trial instead of one-eighth of it
+        // (r16 run 2: one 17.8 s batch execution, commit_ms clean).
+        // Doubling the trial volume instead (reps 40) doubles state-
+        // commit IO and tripped this box's stall windows nearly every
+        // trial — rejected. 1 M batches also keep the row comparable
+        // to the whole r13-r15 series the band/bar were pinned on.
+        val perTrigger = sys.env.getOrElse("GRAFT_STREAM_WIRE_TRIGGER", "131072").toLong
         val legs = sq.zipWithIndex.map { case (srv, i) =>
           Graft.source(s"bench-msw-quotes-$i",
             FramedSocketSource("127.0.0.1", srv.getLocalPort, SpreadWireDecoder(0L),
