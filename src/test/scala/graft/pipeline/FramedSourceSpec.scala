@@ -207,6 +207,16 @@ class FramedSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("an unknown inline-decoder key fails with the internal-option diagnostic") {
+    // the 'decoderKey' option is library-internal (FramedSocketSource.load
+    // registers the decoder driver-side and passes the key); a user
+    // pasting the format string by hand must get the contract message,
+    // not a null-pointer from the registry
+    val e = intercept[IllegalArgumentException](
+      FramedSocketInlineRegistry("no-such-key"))
+    assert(e.getMessage.contains("no inline decoder registered"))
+  }
+
   test("a stream larger than maxBufferedFrames drains (deferred-commit wedge regression)") {
     // Spark only commits batch N after batch N+1 exists, so a reader that
     // parks at the buffer cap until COMMIT frees slots deadlocks the
