@@ -524,6 +524,59 @@ object Bench {
         s""""meets_900k_bar":${r.rowsPerSecClean >= WireBarRps},""" +
         s""""meets_900k_bar_hostnorm":${wireHostNorm.get >= WireBarRps}}"""
     }.getOrElse("null")
+    // ---- Deployment-shape wire reading (VERDICT r16 next #1): the bench
+    // row and the standalone bar carrier measure at the series-comparable
+    // 1 M-row trigger shape; the DOCUMENTED deployment shape is 2 M-row
+    // batches (262144 frames/source — the r16 trigger ladder's optimum),
+    // which at the bench's 4 M-row trial volume leaves ~2 steady batches
+    // and a bimodal sustained estimator. This side reading fixes the
+    // ESTIMATOR'S input instead of the shape: 2× trigger AND 3.5× volume
+    // (reps 70 → ~14 M merged rows → ~6 steady 2 M-row batches per
+    // trial), one 3-trial set after the bar carrier, same staging/spike
+    // discipline, adjacent-calibration-stamped. Published as its own
+    // artifact key; NOT a selection input (the committed-run rule reads
+    // wire_bar_pass from the standalone reading only) and NOT in the
+    // r13+ series band, which stays pinned to the 1 M shape.
+    // Setting GRAFT_WIRE_DEPLOYMENT (any value) SKIPS the reading — an
+    // iteration-speed knob; it is a ShapeEnvVar, so such a run logs no
+    // committed-run candidate (a candidate artifact always carries the
+    // deployment field).
+    // A failure here is published IN the field, never added to `failed`:
+    // the side reading must not be able to grade a whole run "failed"
+    // when the selection rule doesn't consume it.
+    var wireDeploymentErr: Option[String] = None
+    val wireDeploymentOut: Option[StreamBench.Out] =
+      if (wireStandalone.isEmpty || sys.env.contains("GRAFT_WIRE_DEPLOYMENT")) None
+      else try {
+        val o = StreamBench.run(spark, sfDir,
+          onlyOverride = Some(Set("stream_market_spread_wire")),
+          repeatsOverride = Some(3),
+          wireTriggerOverride = Some(262144L),
+          wireRepsOverride = Some(70))
+        if (o.failed.nonEmpty)
+          wireDeploymentErr = Some(o.failed.mkString("; "))
+        Some(o)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] deployment-shape wire run failed: $e")
+        wireDeploymentErr = Some(String.valueOf(e).replace('"', '\'').take(300))
+        None
+      }
+    val wireDeployment: Option[StreamBench.RowOut] =
+      wireDeploymentOut.flatMap(_.rows.find(_.name == "stream_market_spread_wire"))
+    val wireDeploymentJson = wireDeployment.map { r =>
+      val adjCal = wireDeploymentOut
+        .map(o => median(o.roundCal.map(_._2))).filter(_ > 0).getOrElse(0.0)
+      s"""{"trigger_frames_per_source":262144,"wire_reps":70,""" +
+        s""""median_clean_sec":${r.medianCleanSec},""" +
+        s""""rows_per_sec":${r.rowsPerSecClean.round},""" +
+        s""""rows_per_sec_best":${r.trialsRps.max.round},""" +
+        s""""cal_adjacent_sec":$adjCal,""" +
+        s""""trials_sec":${r.trialsSec.mkString("[", ",", "]")},""" +
+        s""""trials_rps":${r.trialsRps.map(_.round).mkString("[", ",", "]")},""" +
+        s""""spiked":${r.spikedJson},"wall_rerun":${r.wallRerunJson},""" +
+        s""""wall_outliers":${r.wallOutliers}}"""
+    }.getOrElse(wireDeploymentErr
+      .map(m => s"""{"error":"$m"}""").getOrElse("null"))
     val elevatedRows = streamTrials.flatMap { case (name, ts) =>
       if (ts.isEmpty) Nil
       else {
@@ -567,7 +620,7 @@ object Bench {
     // bench_committed.json with a partial or non-default-config artifact).
     val shapeOverrides = ShapeEnvVars.filter(sys.env.contains)
     val shapeJson = shapeOverrides.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val baseJson = s"""{"metric":"total","value":$total,"unit":"sec",$drillJson"subset":$subsetJson,"shape_overrides":$shapeJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"stream_wall_bound_queries":$streamWallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"batch_spiked_trials":$batchSpikedJson,"stream_round_health":$streamRoundHealthJson,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_median_clean":$streamCleanJson,"stream_spiked_trials":$streamSpikedJson,"stream_wall_rerun_trials":$streamWallRerunJson,$streamExtraJson"stream_wire_standalone":$wireStandaloneJson,"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
+    val baseJson = s"""{"metric":"total","value":$total,"unit":"sec",$drillJson"subset":$subsetJson,"shape_overrides":$shapeJson,"total_cpu_bound":$totalCpuBound,"total_wall_bound":$totalWallBound,"total_calibrated_split":$totalCalibratedSplit,"wall_bound_queries":$wallBoundJson,"stream_wall_bound_queries":$streamWallBoundJson,"pinned_twins":$pinnedTwinsJson,"total_calibrated":$totalCalibrated,"total_calibrated_interleaved":$totalCalibratedInterleaved,"ref_cal_sec":$refCal,"repeats":$repeats,"stream_repeats":$streamRepeats,"calibration_sec":$calibration,"calibration_series":$calSeriesJson,"queries":$qs,"queries_detail":$detail,"batch_spiked_trials":$batchSpikedJson,"stream_round_health":$streamRoundHealthJson,"failed":$failedJson,"stream_rows_per_sec":$rps,"stream_trials_sec":$streamTrialsJson,"stream_median_clean":$streamCleanJson,"stream_spiked_trials":$streamSpikedJson,"stream_wall_rerun_trials":$streamWallRerunJson,$streamExtraJson"stream_wire_standalone":$wireStandaloneJson,"stream_wire_deployment":$wireDeploymentJson,"stream_calibration_series":$streamCalJson,"stream_batch_latency":$lat,"stream_state_provider":$providers,"stream_state":$streamStateJson,"sf":"$sfDir"}"""
     // The round-4 driver capture truncated the stdout tail and destroyed
     // the artifact (VERDICT r4 #1) — also write the same JSON to a file so
     // log interleaving / tail-truncation can never lose it again. A
@@ -773,7 +826,8 @@ object Bench {
     "GRAFT_RECOVERY_SEED", "GRAFT_BENCH_REPEATS", "GRAFT_STREAM_REPEATS",
     "STREAM_BENCH_PROVIDER", "STREAM_BENCH_HOST", "STREAM_WIRE_STATELESS",
     "GRAFT_STREAM_WIRE_SHARDS", "GRAFT_STREAM_WIRE_REPS",
-    "GRAFT_STREAM_WIRE_TRIGGER", "GRAFT_BENCH_REF_CAL_SEC", "GRAFT_BENCH_OUT")
+    "GRAFT_STREAM_WIRE_TRIGGER", "GRAFT_WIRE_DEPLOYMENT",
+    "GRAFT_BENCH_REF_CAL_SEC", "GRAFT_BENCH_OUT")
 
   /** The anchor for the SELECTION metric's host normalization — the
     * modern quiet-host calibration band (r13-r15 committed hosts all
@@ -914,7 +968,8 @@ object Bench {
     def s3(v: String): String =
       try f"${v.toDouble}%.3f" catch { case _: NumberFormatException => v }
     val header =
-      "| run | grade | raw batch+stream (s) | cal med (s) | normalized (s) | " +
+      "| run | grade | raw batch+stream (s) | cal med (s) | " +
+        "legacy normalized (s, v1 ref 0.93 — not used for selection) | " +
         "split-normalized (s) | bar | spiked rows | wall outliers | " +
         "elevated | failed | wire rps | wire standalone rps |\n" +
       "|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"

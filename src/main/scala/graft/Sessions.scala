@@ -37,6 +37,20 @@ object Sessions {
       // as TIMESTAMP(MICROS), where this conf is a no-op. Tables.events
       // branches on the loaded dataType; keep the conf for the ns layout.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming-checkpoint file checksums (Spark 4.1 default ON) write
+      // and fsync a SECOND file per state-store delta/metadata-log entry.
+      // Measured on the keyed wire row (r17 adjacent-run pairs, SCALING.md
+      // r17 §fixed-cost split): summed per-batch state commit 2.3-3.2 s
+      // with checksums vs 0.72-0.83 s without — ~3× on the state-commit
+      // path — while walCommit/commitOffsets stay ~40 ms either way (the
+      // metadata-log protocol itself, not the checksum, is their floor).
+      // The reference's own state checkpoint has no checksum layer
+      // (recovery log = raw entries + length framing), so OFF is also the
+      // like-for-like comparison shape. Deployments that want media-
+      // corruption detection on checkpoint files opt back in:
+      // GRAFT_CKPT_CHECKSUM=1.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.get("GRAFT_CKPT_CHECKSUM").contains("1").toString)
     localDir.fold(tuned)(tuned.config("spark.local.dir", _))
   }
 

@@ -62,6 +62,14 @@ object WireScanProbe {
       // timed() query must not credit this one's total)
       val seenByQuery = new java.util.concurrent.ConcurrentHashMap[
         java.util.UUID, java.util.concurrent.atomic.AtomicLong]()
+      // frame-range completion per query: the highest committed source
+      // endOffset (FrameCount's json is the plain frame count). A
+      // dropping decoder emits fewer ROWS than frames, so the row count
+      // alone can stop the clock before the tail frames' walk is in a
+      // published progress event (ADVICE r16) — the drain is complete
+      // only when the offset frontier has consumed every served frame.
+      val offsetByQuery = new java.util.concurrent.ConcurrentHashMap[
+        java.util.UUID, java.util.concurrent.atomic.AtomicLong]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -71,6 +79,15 @@ object WireScanProbe {
             .computeIfAbsent(e.progress.id,
               _ => new java.util.concurrent.atomic.AtomicLong(0L))
             .addAndGet(e.progress.numInputRows)
+          e.progress.sources.headOption.foreach { s =>
+            val end = try Option(s.endOffset).map(_.trim.toLong) catch {
+              case _: NumberFormatException => None
+            }
+            end.foreach(o => offsetByQuery
+              .computeIfAbsent(e.progress.id,
+                _ => new java.util.concurrent.atomic.AtomicLong(0L))
+              .accumulateAndGet(o, math.max))
+          }
           ()
         }
         override def onQueryTerminated(
@@ -82,9 +99,12 @@ object WireScanProbe {
         val q = mk(srv.getLocalPort)
         def seen(): Long =
           Option(seenByQuery.get(q.id)).map(_.get).getOrElse(0L)
+        def offset(): Long =
+          Option(offsetByQuery.get(q.id)).map(_.get).getOrElse(0L)
+        def drained(): Boolean = seen() >= expectRows && offset() >= nFrames
         val deadline = System.nanoTime() + 600L * 1000000000L
         var lastLog = System.nanoTime()
-        while (seen() < expectRows && System.nanoTime() < deadline) {
+        while (!drained() && System.nanoTime() < deadline) {
           Thread.sleep(25)
           if (q.exception.isDefined) throw q.exception.get
           if (System.nanoTime() - lastLog > 2000000000L) {
@@ -97,8 +117,9 @@ object WireScanProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         q.stop()
         val done = seen()
-        if (done < expectRows)
-          println(f"[wire-scan] $label%-8s TIMED OUT at $done of $expectRows rows after ${sec}%7.2f s")
+        if (!drained())
+          println(f"[wire-scan] $label%-8s TIMED OUT at $done of $expectRows rows " +
+            f"(offset ${offset()} of $nFrames frames) after ${sec}%7.2f s")
         else
           println(f"[wire-scan] $label%-8s $nFrames frames  ${sec}%7.2f s  ${nFrames / sec / 1e6}%6.2f M frames/s")
       } finally {
@@ -145,7 +166,11 @@ object WireScanProbe {
     // (framed_source_notify.pony:118-133), which no bench row exercised
     // at a HIGH drop rate. Read against the `decode` line in frames/s:
     // parity means a dropped frame costs exactly the frame walk.
-    timed("drop50", expectRows = nFrames / 2) { port =>
+    // survivors = frames with an even running index = ceil(nFrames/2)
+    // exactly (ADVICE r16: the old floor-divide undercounted by one on
+    // odd nFrames; completion is offset-gated regardless, so the clock
+    // covers the full frame range including trailing drops)
+    timed("drop50", expectRows = (nFrames + 1L) / 2) { port =>
       FramedSocketSource("127.0.0.1", port, DroppingWireDecoder)
         .load(spark)
         .writeStream.format("noop").option("checkpointLocation",

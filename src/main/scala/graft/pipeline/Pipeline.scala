@@ -92,9 +92,72 @@ object Graft {
     if (p2 <= expectedKeys) p2
     else math.max(1, java.lang.Long.highestOneBit(expectedKeys).toInt)
   }
+
+  /** Below this many total state rows every measured single-box cell
+    * favors the narrow anchor (16): the r16 50 K-key ladder's shallow
+    * tws cell holds 49.5 K state rows and still reads best at P=16,
+    * while the 150 K-row cell flips to 32 — the box crossover sits in
+    * (49.5 K, 150 K) rows (SCALING.md r16 §3). */
+  val ShallowStateRowsMax = 100000L
+  /** At or above this many total state rows the box wants width: the
+    * native-session cell flips to 32 at 3.15 M live rows (23% faster)
+    * and has not yet flipped at 955 K — the measured band is
+    * (955 K, 3.15 M). The rule binds wide from the band's BOTTOM edge
+    * because under-width is the expensive error at scale (the flip cell
+    * pays 23% of its wall; over-width below the true crossover pays
+    * only the bounded 16-vs-32 commit overhead). */
+  val WideStateRowsMin = 1000000L
+  /** The measured narrow anchor (16 partitions): optimal everywhere the
+    * r13/r16 ladders read shallow state on a single JVM. */
+  val NarrowStateWidth = 16
+
+  /** [[statePartitionsFor]] with the state-VOLUME input the r16 ladder
+    * proved the single-box crossover actually tracks (VERDICT r16 next
+    * #2): at the SAME 50 K keys, shallow window state (49.5 K rows)
+    * still favors P=16 while deep session state (3.15 M live rows)
+    * flips to 32 — key count alone cannot express this.
+    * `expectedStateRows` = total live state rows across keys (panes ×
+    * keys for range windows, live sessions for sessionization, keys for
+    * O(1)-per-key state).
+    *
+    * The volume clause sizes the SINGLE-PROCESS regime — one JVM pays
+    * every partition's per-batch commit serially, so shallow state
+    * wants few partitions regardless of the key count ([[statePartitionsFor]]'s
+    * cores floor encodes the opposite, multi-executor economics: commits
+    * paid in parallel). Keys remain the cluster-width driver: a
+    * multi-executor deployment at plentiful keys/core should use the
+    * two-argument rule. Between the measured bands
+    * ([[ShallowStateRowsMax]], [[WideStateRowsMin]]) the key rule
+    * stands unmodified — no cell has measured that region.
+    *
+    * StatePartitionsSpec pins both regimes: shallow-under-10⁵ rows →
+    * the narrow anchor even where the cores floor would widen;
+    * over-10⁶ rows → at least cores wide even at key counts whose
+    * interpolation reads narrower. */
+  def statePartitionsFor(expectedKeys: Long, cores: Int, expectedStateRows: Long): Int = {
+    require(expectedStateRows > 0,
+      s"expectedStateRows must be positive, got $expectedStateRows")
+    val base = statePartitionsFor(expectedKeys, cores)
+    if (expectedStateRows < ShallowStateRowsMax)
+      math.min(base, NarrowStateWidth)
+    else if (expectedStateRows >= WideStateRowsMin) {
+      // at least cores wide (power of two, as base), never beyond keys
+      val exp = math.min(32 - Integer.numberOfLeadingZeros(math.max(1, cores) - 1), 30)
+      val coresP2 = math.max(1, 1 << exp)
+      val wide = math.max(base, coresP2)
+      if (wide <= expectedKeys) wide
+      else math.max(1, java.lang.Long.highestOneBit(expectedKeys).toInt)
+    } else base
+  }
 }
 
 object Pipeline {
+  /** One-per-JVM latch for the hinted-query clone-reroute warning (see
+    * `startDataset`): the reroute is documented behavior, so the log is
+    * a discovery aid, not per-query noise. */
+  private[pipeline] val cloneRerouteWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Watermark slacks/horizons normalized UP to a whole millisecond —
     * ONE home for the rule (streamingStateful's slack AND
     * dedupByWithin's horizon previously carried diverging copies: one
@@ -197,10 +260,28 @@ final class Pipeline[T] private[pipeline] (
   /** Size the stateful stage's width from EXPECTED KEY VOLUME through the
     * measured deployment rule [[Graft.statePartitionsFor]] (VERDICT r13
     * ladder: the optimum tracks keys, not cores) — the declarative form
-    * of the reference's per-stage `parallelism` argument. */
+    * of the reference's per-stage `parallelism` argument.
+    *
+    * This sizes the CLUSTER-WIDTH regime: keys drive width and per-batch
+    * state commits are assumed paid in parallel across executors (the
+    * rule's cores floor). A single-process deployment whose state is
+    * DEEP or SHALLOW relative to its key count sits in the regime the
+    * r16 ladder measured flipping on state VOLUME, not keys — size
+    * those with [[withExpectedState]]. */
   def withExpectedKeys(expectedKeys: Long): Pipeline[T] =
     withParallelism(Graft.statePartitionsFor(
       expectedKeys, spark.sparkContext.defaultParallelism))
+
+  /** [[withExpectedKeys]] plus the state-volume input (total live state
+    * rows) — the single-box regime where the r16 ladder measured the
+    * width optimum tracking VOLUME at fixed keys (49.5 K shallow rows →
+    * narrow, 3.15 M session rows → wide, both at 50 K keys). See
+    * [[Graft.statePartitionsFor(expectedKeys:Long,cores:Int,expectedStateRows:Long)*]]
+    * for the regime boundaries and which deployments should prefer the
+    * keys-only form. */
+  def withExpectedState(expectedKeys: Long, expectedStateRows: Long): Pipeline[T] =
+    withParallelism(Graft.statePartitionsFor(
+      expectedKeys, spark.sparkContext.defaultParallelism, expectedStateRows))
 
   /** Worker-local keyed routing (application.pony:241-248): state at the
     * next stateful stage is scoped to (UPSTREAM PARTITION, key), never
@@ -570,6 +651,22 @@ final class Pipeline[T] private[pipeline] (
   private def startDataset: Dataset[(T, Long)] =
     stateParallelism match {
       case Some(n) =>
+        // one-time heads-up (ADVICE r16 medium): the clone is a silent
+        // behavioral change for callers that combine a hint with
+        // session-scoped surfaces — spark.streams listings, metrics
+        // listeners added on the original session's manager, a
+        // memory-sink temp view — all of which follow the STARTING
+        // session. Logged once per JVM, not per query: the reroute is
+        // by design (per-query conf isolation), the log is discovery.
+        if (Pipeline.cloneRerouteWarned.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"pipeline '$name' has a state-parallelism hint ($n): the query " +
+              "starts on a per-query session CLONE (isolated " +
+              "spark.sql.shuffle.partitions). It will not appear in the " +
+              "original session's spark.streams, listeners registered there " +
+              "will not see its progress, and a memory-format sink registers " +
+              "its view on the clone — reach all of these via " +
+              "handle.query.get.sparkSession. Logged once per JVM.")
         org.apache.spark.sql.graft.SessionBridge.withSessionConfs(
           stamped, Map("spark.sql.shuffle.partitions" -> n.toString))
       case None => stamped

@@ -41,14 +41,10 @@ private[graft] object StateIntrospection {
     * raises the bound explicitly. */
   def keyedComputationState(spark: SparkSession, ckpt: String,
       maxKeys: Long = 1L << 20): Seq[(String, Any)] = {
+    require(maxKeys > 0 && maxKeys < Int.MaxValue,
+      s"maxKeys must be in (0, Int.MaxValue), got $maxKeys — the bound " +
+        "caps a driver collect, which is Int-indexed")
     val df = spark.read.format("statestore").load(ckpt)
-    val liveKeys = df.count()
-    require(liveKeys <= maxKeys,
-      s"state checkpoint $ckpt holds $liveKeys live keys, above the " +
-        s"driver-collect bound of $maxKeys — keyedComputationState is a " +
-        "bench/test forensics tool, not a production-scale reader; pass " +
-        "a larger maxKeys explicitly if the driver can hold the decode, " +
-        "or aggregate over spark.read.format(\"statestore\") directly")
     // value layout (fMGWS state manager v2): [groupState: struct(<obj
     // serializer schema>), timeoutTimestamp]. With a kryo state encoder
     // the object schema is a single BinaryType column; locate it
@@ -69,8 +65,17 @@ private[graft] object StateIntrospection {
     val keyType = df.schema("key").dataType.asInstanceOf[StructType]
     require(keyType.fields.length == 1,
       s"expected a single-field grouping key, got $keyType")
+    // single pass (ADVICE r16: the previous count()-then-collect() read
+    // the checkpoint twice on every call): take one row past the bound —
+    // its presence IS the over-bound proof, with no second scan
     val rows = df.selectExpr(s"cast(key.`${keyType.fields.head.name}` as string)",
-      blobCol).collect()
+      blobCol).take(maxKeys.toInt + 1)
+    require(rows.length <= maxKeys,
+      s"state checkpoint $ckpt holds more than $maxKeys live keys — " +
+        "keyedComputationState is a bench/test forensics tool, not a " +
+        "production-scale reader; pass a larger maxKeys explicitly if " +
+        "the driver can hold the decode, or aggregate over " +
+        "spark.read.format(\"statestore\") directly")
     // the exact serializer Encoders.kryo's DecodeUsingSerializer builds
     // (SerializerSupport: KryoSerializer over the SparkEnv conf)
     val ser = new KryoSerializer(spark.sparkContext.getConf).newInstance()

@@ -265,6 +265,11 @@ class BenchSelectionSpec extends AnyFunSuite {
     assert(md.contains("| 3 | turbulent |"))
     assert(md.contains("240.1"))
     assert(md.contains("| pass |"))
+    // the dead v1 metric must name itself (VERDICT r16 next #5: a storm
+    // run can post the lowest value in that column — readers must not
+    // mistake it for the selection metric)
+    assert(md.contains("legacy normalized"))
+    assert(md.contains("not used for selection"))
     assert(md.linesIterator.count(_.startsWith("|")) === 4) // header+sep+2 rows
   }
 }

@@ -69,6 +69,20 @@ class ParallelismHintSpec extends AnyFunSuite {
       s"state partitions: ${dirs.size}, rule says $expected")
   }
 
+  test("withExpectedState sizes through the volume regime (VERDICT r16 #2)") {
+    val spark = TestSpark.spark
+    // the measured shallow cell: 50K keys, 49.5K state rows — the
+    // keys-only rule widens to the cores floor here, the volume rule
+    // holds the box's narrow anchor
+    val expected = Graft.statePartitionsFor(
+      50000L, spark.sparkContext.defaultParallelism, 49500L)
+    assert(expected === Graft.NarrowStateWidth)
+    val dirs = statePartitionDirs(
+      _.keyBy(identity).withExpectedState(50000L, 49500L))
+    assert(dirs.size === expected,
+      s"state partitions: ${dirs.size}, volume rule says $expected")
+  }
+
   test("the hint survives stateless stages and merge prefers the defined side") {
     val spark = TestSpark.spark
     implicit val ss: org.apache.spark.sql.SparkSession = spark

@@ -69,10 +69,13 @@ class StateIntrospectionSpec extends AnyFunSuite {
     // the driver-collect bound is ENFORCED (VERDICT r15 next #6): a
     // checkpoint with more live keys than maxKeys fails with a sizing
     // message instead of a silent driver OOM, and the bound is
-    // caller-overridable (this checkpoint holds 3 keys)
+    // caller-overridable (this checkpoint holds 3 keys). The message
+    // names the BOUND, not the exact count — the single-pass check
+    // (ADVICE r16: no count()-then-collect() double scan) proves
+    // over-bound by taking one extra row, it never counts the rest
     val e = intercept[IllegalArgumentException](
       StateIntrospection.keyedComputationState(spark, ckpt, maxKeys = 2))
-    assert(e.getMessage.contains("3 live keys"))
+    assert(e.getMessage.contains("more than 2 live keys"))
     assert(StateIntrospection.keyedComputationState(spark, ckpt, maxKeys = 3)
       .size === 3)
   }
