@@ -645,7 +645,11 @@ object Dedup {
     val labels = dCluster(s, dir) // (doc_id, cluster_id), full corpus
     val q = Tables.documents(s, dir)
       .select(col("doc_id"), expr(Portable.sparkQualityScore).as("qs"))
-    val j = labels.join(q, "doc_id")
+    // j feeds two plan branches (the per-cluster argmax AND the final
+    // join); uncached, the text scan + quality score — the operator's
+    // non-CC cost — ran twice (r17; [[Caching.reuse]]: blocks die with
+    // the result). Slim rows: (doc_id, cluster_id, qs).
+    val j = Caching.reuse(labels.join(q, "doc_id"))
     val best = j.groupBy("cluster_id")
       .agg(max(struct(col("qs"), (-col("doc_id")).as("nd"))).as("b"))
       .select(col("cluster_id"), (-col("b.nd")).as("best_doc"))

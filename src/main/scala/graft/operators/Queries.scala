@@ -686,7 +686,7 @@ object Queries {
     * plan reads (ADVICE r7/r11 — counters are PER BASE). */
   def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
     val dirKey = Portable.md5Hex(dir)
-    val base = s"${sys.props("java.io.tmpdir")}/graft_bucket_" +
+    val base = s"${Staging.root}/graft_bucket_" +
       dirKey + "_" + ProcessHandle.current().pid()
     val gen = bucketStageGens
       .computeIfAbsent(dirKey, _ => new java.util.concurrent.atomic.AtomicLong(0L))

@@ -1290,6 +1290,15 @@ object TextAnalysis {
           "x -> concat('|', x, '|')), '')")
           .as("s"), col("f"))
     var (handle, vocab) = Caching.reuseWithHandle(init)
+    // Round r−1's cache handle: kept alive until round r's best-pair
+    // ACTION has materialized round r's vocab through it, then dropped.
+    // The old shape paid a dedicated count() per round just to
+    // materialize before unpersisting — deferring the unpersist by one
+    // round lets the next round's own action do the materialization,
+    // halving the sequential job count of the training loop (r17;
+    // guide §1.2 — the rounds are driver-sequential, so each saved job
+    // is saved wall-clock at any scale).
+    var prevHandle: org.apache.spark.rdd.RDD[_] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -1304,6 +1313,9 @@ object TextAnalysis {
         .groupBy("pr").agg(sum("f").as("cnt"))
         .orderBy(col("cnt").desc, col("pr").asc)
         .limit(1).collect()
+      // the action above materialized `vocab`'s cache — the round-(r−1)
+      // blocks it was derived from are no longer needed
+      if (prevHandle != null) { prevHandle.unpersist(blocking = false); prevHandle = null }
       if (best.isEmpty) {
         // Pair exhaustion: every word type is a single symbol. Real BPE
         // training returns the merges it found; the SQL twin's rounds
@@ -1322,11 +1334,17 @@ object TextAnalysis {
         merges += ((r.toLong, l, rr, l + rr, cnt))
         val (h2, v2) = Caching.reuseWithHandle(vocab.select(col("w"),
           expr(s"replace(s, '|$l||$rr|', '|${l + rr}|')").as("s"), col("f")))
-        v2.count() // materialize from the old cache before dropping it
-        handle.unpersist(blocking = false)
+        prevHandle = handle // still feeds v2's first materialization
         handle = h2; vocab = v2
         r += 1
       }
+    }
+    if (prevHandle != null) {
+      // normal loop exit: the final vocab is still lazy — materialize it
+      // through the last round's cache once, then drop that cache (ONE
+      // residual job vs the old one-per-round)
+      vocab.count()
+      prevHandle.unpersist(blocking = false)
     }
     (merges.toSeq, handle, vocab)
   }
