@@ -543,6 +543,13 @@ object Dedup {
     }
     // large-star: every node connects its LARGER neighbors to the min of
     // its closed neighborhood; output edges (v, m) already satisfy v > m.
+    // NO trailing distinct (r17; guide §2.4): the only consumer is
+    // smallStar, whose groupBy(min) absorbs duplicates in the map-side
+    // partial agg and whose own trailing distinct canonicalizes the
+    // alternation's edge SET — the set each round's convergence checksum
+    // and the next round see is identical, one full exchange cheaper per
+    // alternation. The duplicate volume shuffles once either way (into
+    // the removed distinct before, into smallStar's join now).
     def largeStar(edges: DataFrame): DataFrame = {
       val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       val mins = sym.groupBy("a").agg(min("b").as("mb"))
@@ -551,7 +558,6 @@ object Dedup {
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
     }
     // small-star: every node connects its SMALLER neighbors (and itself)
     // to the min of its neighborhood; with edges oriented a > b the

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.Portable
-
 /** Hot-key (skew) mitigation by deterministic salting — the manual
   * fallback when AQE's skew-join split can't apply (aggregation-side
   * skew, or a join AQE won't rewrite, e.g. under a required output
@@ -16,8 +14,8 @@ import graft.functions.Portable
   * stage runs at the speed of that straggler (and at 100 TB, spills).
   * Salting widens the hot key across `nSalts` partitions:
   *
-  *  - join: big side gets salt = H(row-id) % n (deterministic — portable
-  *    hash, no RNG, so retries/replays route identically); the SMALL side
+  *  - join: big side gets salt = H(row-id) % n (deterministic — xxhash64,
+  *    no RNG, so retries/replays route identically); the SMALL side
   *    is exploded n× (one copy per salt value) and the join key becomes
   *    (key, salt). Replication factor n on the small side buys n-way
   *    parallelism on the hot key — same trade as a broadcast join, paid
@@ -36,9 +34,16 @@ object Skew {
   /** Deterministic salt in [0, nSalts) from a row-id expression. NULL ids
     * salt as the empty string — concat would otherwise null the whole
     * hash and the salted using-join would DROP the row (the plain join
-    * keeps it: its join key, not the id, decides matching). */
+    * keeps it: its join key, not the id, decides matching).
+    *
+    * xxhash64, not the md5-based portable hash (r17; guide §2.5's own
+    * recipe "pmod(xxhash64(id), …)"): the salt is PHYSICAL routing only —
+    * no oracle mirrors it, so it needs determinism under task retry
+    * (xxhash64 is a pure function of its input), not cross-engine
+    * portability. The md5 form cost one digest + hex-conv per big-side
+    * row on the hot path; xxhash64 is a codegen'd primitive. */
   def saltExpr(idExpr: String, nSalts: Int): String =
-    s"pmod(${Portable.sparkHash(s"coalesce(cast(($idExpr) as string), '')", "salt")}, $nSalts)"
+    s"pmod(xxhash64(coalesce(cast(($idExpr) as string), '')), $nSalts)"
 
   /** Salted equi-join: `big ⋈ small ON key` rewritten to route the big
     * side's hot keys across `nSalts` shuffle partitions. `idExpr` is any
