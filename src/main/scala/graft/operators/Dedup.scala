@@ -178,6 +178,13 @@ object Dedup {
     // a tfp group carries the identical text (md5 groups exact bytes)
     val reps = base.groupBy("tfp")
       .agg(count(lit(1)).as("cnt"), first("text").as("text"))
+    // NOT cached (r17 — tried and reverted on measurement): sh feeds two
+    // branches (df cutoff + kept-join), but a [[Caching.reuse]] here
+    // measured 4.67 → 5.07 s — the materialization barrier serializes
+    // branches Spark otherwise runs concurrently, and the saved second
+    // explode is cheaper than the row-cache write+read at any scale
+    // where the shingle stream is large (the exact regime the cache was
+    // meant for).
     val sh = reps.select(col("tfp"), col("cnt"),
       explode(expr(Portable.sparkShingles("text", 3))).as("sh"))
     // df counts DOCS (not distinct texts) per shingle: weight by cnt
