@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to sbt's own stdout/stderr instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// so Bench's one-line JSON contract never started with '{' and the
+// driver's parse failed in ALL seventeen rounds (BENCH_r01 proves it:
+// the full line fit the capture and still read parsed:null — the
+// prefix, not truncation, was the blocker). StdoutOutput also routes
+// the fork's stderr (Spark WARN spam) to real stderr instead of
+// "[error]"-prefixed lines on stdout, keeping the captured stdout tail
+// clean for the JSON line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

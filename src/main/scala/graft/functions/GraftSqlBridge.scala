@@ -31,4 +31,51 @@ object GraftSqlBridge {
       schema: StructType): Dataset[Row] =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, false)
+
+  /** `(count, sum of xxhash64(<all columns>))` over an InternalRow RDD,
+    * the sum as an EXACT signed 128-bit value `(hi, lo)` — identical
+    * equality semantics to SQL's
+    * `agg(count(1), sum(xxhash64(cols*).cast("decimal(38,0)")))`
+    * (|sum| < 2⁶³·count < 2¹²⁷, so neither form can overflow or round),
+    * but computed in ONE shuffle-free job: per-partition partials fold
+    * on the driver, so the action that computes the checksum is also the
+    * action that materializes (and persists) the RDD — no separate SQL
+    * query, no partial→final aggregation exchange, no AQE stage job
+    * (VERDICT r17 next #5: the d_cluster CC loop paid a two-stage
+    * checksum aggregate per alternation). The hash is Catalyst's own
+    * [[XxHash64]] with the SQL function's seed (42) and null rule,
+    * evaluated on each row with the schema's field order — bit-identical
+    * to `xxhash64(col₀, col₁, …)`. */
+  def xxhash64Checksum(rdd: RDD[InternalRow], schema: StructType): (Long, Long, Long) = {
+    val hashExpr = catalyst.expressions.XxHash64(
+      schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        catalyst.expressions.BoundReference(i, f.dataType, f.nullable)
+      }, 42L)
+    // 128-bit signed accumulate: value = hi·2⁶⁴ + (lo as unsigned);
+    // adding a signed 64-bit v contributes its sign extension to hi plus
+    // the unsigned carry out of the low word.
+    val partials = rdd.mapPartitions { it =>
+      var cnt = 0L
+      var hi = 0L
+      var lo = 0L
+      while (it.hasNext) {
+        val h = hashExpr.eval(it.next()).asInstanceOf[Long]
+        val nlo = lo + h
+        hi += (h >> 63) + (((lo & h) | ((lo | h) & ~nlo)) >>> 63)
+        lo = nlo
+        cnt += 1
+      }
+      Iterator.single((cnt, hi, lo))
+    }.collect()
+    var cnt = 0L
+    var hi = 0L
+    var lo = 0L
+    partials.foreach { case (c, phi, plo) =>
+      val nlo = lo + plo
+      hi += phi + (((lo & plo) | ((lo | plo) & ~nlo)) >>> 63)
+      lo = nlo
+      cnt += c
+    }
+    (cnt, hi, lo)
+  }
 }

@@ -76,32 +76,27 @@ case class LshBandKeys(vec: Expression, m: PlanesMatrix) extends UnaryExpression
 
   def bandKeys(v: ArrayData): ArrayData = {
     val lim = math.min(m.dim, v.numElements())
-    val checkNulls = elementsNullable && {
+    val anyNull = elementsNullable && {
       // one scan decides nullity for every dot over the same prefix
       var d = 0
-      var anyNull = false
-      while (!anyNull && d < lim) { anyNull = v.isNullAt(d); d += 1 }
-      anyNull
+      var found = false
+      while (!found && d < lim) { found = v.isNullAt(d); d += 1 }
+      found
     }
+    // a null element inside the fold nulls every dot (all dots share the
+    // same prefix); CASE WHEN null yields the ELSE 0 — every bucket is 0
+    if (anyNull) return new GenericArrayData(new Array[Int](m.bands))
     val out = new Array[Int](m.bands)
     var b = 0
     while (b < m.bands) {
       var bucket = 0
       var j = 0
       while (j < m.ppb) {
-        if (checkNulls) {
-          // a null element inside the fold nulls the dot; CASE WHEN null
-          // yields the ELSE 0 — walk per-element to find whether THIS
-          // dot's range (always the same prefix here) is affected
-          // (every dot shares the prefix, so null anywhere → all 0)
-          bucket += 0
-        } else {
-          val base = (b * m.ppb + j) * m.dim
-          var s = 0.0
-          var d = 0
-          while (d < lim) { s += v.getDouble(d) * m.flat(base + d); d += 1 }
-          if (s >= 0) bucket += (1 << j)
-        }
+        val base = (b * m.ppb + j) * m.dim
+        var s = 0.0
+        var d = 0
+        while (d < lim) { s += v.getDouble(d) * m.flat(base + d); d += 1 }
+        if (s >= 0) bucket += (1 << j)
         j += 1
       }
       out(b) = bucket

@@ -30,10 +30,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * `v[m·subDim + d] · book(m,k)(d)` left-to-right over
   * d < min(subDim, |v| − m·subDim), exactly `vec_dot(slice(v, m·subDim+1,
   * subDim), <literal>)` ([[VecDot]] order; `slice` past the array end
-  * yields the shorter suffix, an empty slice dots to 0.0). A null
-  * element inside the scanned range nulls the whole output, matching the
-  * literal form's `vec_dot` null propagation. Identity equality/hash for
-  * O(1) plan-time tree compares ([[CentroidMatrix]]'s rationale).
+  * yields the shorter suffix, an empty slice dots to 0.0).
+  *
+  * Null GRANULARITY deliberately diverges from the literal form
+  * (ADVICE r17): a null element in ONE subspace nulls the ENTIRE
+  * codes/tables output here, where the old per-subspace
+  * `array_position`/cost-array columns nulled only that subspace's
+  * code_m/qcost_m and left the others valid. The divergence is
+  * unreachable at every call site — embedding vectors never carry null
+  * ELEMENTS (Tables loads them as parquet double arrays whose rows the
+  * 104-query oracle hash-matches; a null element would already null
+  * `nrm`/`vn` upstream and diverge those queries) — and collapsing to
+  * whole-output null keeps the expression one branch per row instead of
+  * per (row × subspace). PqCostExprSpec pins the new behavior.
+  * Identity equality/hash for O(1) plan-time tree compares
+  * ([[CentroidMatrix]]'s rationale).
   */
 final class PqBooksMatrix(books: Array[Array[Array[Double]]]) extends Serializable {
   require(books.nonEmpty && books.forall(_.length == books(0).length),
@@ -163,14 +174,22 @@ case class PqCodes(vec: Expression, b: PqBooksMatrix) extends PqBooksExpression 
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
-    nullSafeCodeGen(ctx, ev, v => {
-      val tmp = ctx.freshName("codes")
-      s"""
-         |Object $tmp = $ref.codes($v);
-         |if ($tmp == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
-       """.stripMargin
-    })
+    // when nullable is false, nullSafeCodeGen's non-nullable branch never
+    // declares ev.isNull (it is the literal "false"), so assigning it
+    // would fail Janino compilation and silently fall back to interpreted
+    // evaluation (ADVICE r17) — and codes() can only return null when
+    // elementsNullable, i.e. when nullable is true, so the branch is dead
+    // there anyway
+    nullSafeCodeGen(ctx, ev, v =>
+      if (nullable) {
+        val tmp = ctx.freshName("codes")
+        s"""
+           |Object $tmp = $ref.codes($v);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+         """.stripMargin
+      } else
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.codes($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
@@ -203,14 +222,17 @@ case class PqCostTables(vec: Expression, b: PqBooksMatrix) extends PqBooksExpres
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCostTables", this, classOf[PqCostTables].getName)
-    nullSafeCodeGen(ctx, ev, v => {
-      val tmp = ctx.freshName("tables")
-      s"""
-         |Object $tmp = $ref.tables($v);
-         |if ($tmp == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
-       """.stripMargin
-    })
+    // see PqCodes.doGenCode: ev.isNull is only a variable when nullable
+    nullSafeCodeGen(ctx, ev, v =>
+      if (nullable) {
+        val tmp = ctx.freshName("tables")
+        s"""
+           |Object $tmp = $ref.tables($v);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+         """.stripMargin
+      } else
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.tables($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqCostTables =

@@ -53,8 +53,12 @@ object Caching {
 
   /** [[reuse]] that also returns the persisted RDD for explicit lifecycle
     * control — iterative loops (d_cluster) unpersist the previous round
-    * the moment the next one materializes instead of waiting for GC. */
-  def reuseWithHandle(df: DataFrame): (org.apache.spark.rdd.RDD[_], DataFrame) = {
+    * the moment the next one materializes instead of waiting for GC. The
+    * handle is the typed InternalRow RDD so callers can fold a metric
+    * over the SAME job that materializes it
+    * ([[org.apache.spark.sql.GraftSqlBridge.xxhash64Checksum]] — the CC
+    * loop's convergence checksum, r18). */
+  def reuseWithHandle(df: DataFrame): (org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], DataFrame) = {
     val spark = df.sparkSession
     val schema = df.schema
     val rdd = org.apache.spark.sql.GraftSqlBridge.toInternalRowRdd(df)

@@ -540,14 +540,17 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .distinct()
-    // (count, exact hash sum) — DECIMAL(38) keeps the sum exact, so an
-    // unchanged checksum means an unchanged edge multiset (up to a
-    // 2^-64-scale collision, which the oracle + spec would catch).
-    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
-    }
+    // (count, exact hash sum) — the 128-bit signed sum is exact
+    // (|sum| < 2⁶³·count), so an unchanged checksum means an unchanged
+    // edge multiset (up to a 2^-64-scale collision, which the oracle +
+    // spec would catch) — identical detection semantics to the previous
+    // DECIMAL(38) SQL aggregate. Computed by folding Catalyst's own
+    // xxhash64 over the round's persisted InternalRow RDD in the SAME
+    // job that materializes it (GraftSqlBridge.xxhash64Checksum): one
+    // shuffle-free action per alternation instead of a separate SQL
+    // query with its own planning and partial→final agg exchange
+    // (VERDICT r17 next #5 — this loop feeds d_cluster / d_canonical /
+    // t_pipeline_e2e, the pack's most action-count-sensitive rows).
     // large-star: every node connects its LARGER neighbors to the min of
     // its closed neighborhood; output edges (v, m) already satisfy v > m.
     // NO trailing distinct (r17; guide §2.4): the only consumer is
@@ -579,17 +582,18 @@ object Dedup {
         .distinct()
     }
     var (eRdd, e) = Caching.reuseWithHandle(canon(edges0))
-    var (cnt, chk) = checksum(e)
+    var chk = org.apache.spark.sql.GraftSqlBridge.xxhash64Checksum(eRdd, e.schema)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       val (nextRdd, next) = Caching.reuseWithHandle(smallStar(largeStar(e)))
-      val (ncnt, nchk) = checksum(next) // materializes nextRdd
+      // the checksum fold IS the materializing action for nextRdd
+      val nchk = org.apache.spark.sql.GraftSqlBridge.xxhash64Checksum(nextRdd, next.schema)
       eRdd.unpersist()
       eRdd = nextRdd
       e = next
-      converged = ncnt == cnt && nchk.compareTo(chk) == 0
-      cnt = ncnt; chk = nchk
+      converged = nchk == chk
+      chk = nchk
       iters += 1
     }
     if (!converged) {

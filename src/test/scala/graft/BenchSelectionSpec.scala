@@ -209,6 +209,107 @@ class BenchSelectionSpec extends AnyFunSuite {
     val failedRun = RunCand(1, "failed", 50.0, barPass = true, "a")
     val storm = RunCand(2, "storm", 500.0, barPass = false, "b")
     assert(selectCommitted(Seq(failedRun, storm)).map(_.seq) === Some(2))
+    // ...even when the failed run's calibration is the round's best and
+    // everyone else misses the gate (the gate must not resurrect it)
+    val hotStorm = RunCand(3, "storm", 500.0, barPass = false, "c",
+      calMedian = 0.60)
+    val failedQuiet = failedRun.copy(calMedian = 0.30)
+    assert(selectCommitted(Seq(failedQuiet, hotStorm)).map(_.seq) === Some(3))
+  }
+
+  test("the r18 calibration gate outranks grade (VERDICT r17 next #4)") {
+    assert(Bench.CalGateFactor === 1.2)
+    // the exact r17 inversion: a turbulent run on the round's SLOWEST
+    // host (cal 1.42x the best) must no longer beat storm-graded runs on
+    // quiet hosts whose spikes were re-run clean
+    val quietStorm = RunCand(4, "storm", 199.1, barPass = true, "r4",
+      calMedian = 0.3675)
+    val hotTurbulent = RunCand(6, "turbulent", 220.2, barPass = true, "r6",
+      calMedian = 0.4526)
+    assert(selectCommitted(Seq(quietStorm, hotTurbulent)).map(_.seq) === Some(4))
+    // within the gate, grade still decides: a clean in-gate run beats a
+    // faster storm in-gate run
+    val inGateClean = RunCand(7, "clean", 230.0, barPass = true, "r7",
+      calMedian = 0.35)
+    assert(selectCommitted(Seq(quietStorm, inGateClean)).map(_.seq) === Some(7))
+    // legacy records without the field neither set nor miss the gate
+    val legacy = RunCand(8, "clean", 260.0, barPass = true, "r8")
+    assert(selectCommitted(Seq(quietStorm, legacy)).map(_.seq) === Some(8))
+  }
+
+  test("surviving unmarked wall outliers demote a run within its gate+grade") {
+    // wall_outliers > 0 = readings >2x the row min that NO mechanism
+    // repaired or excluded — a run carrying them loses to an
+    // outlier-free peer even with a lower split total
+    val outliery = RunCand(5, "storm", 215.9, barPass = true, "r5",
+      calMedian = 0.3385, wallOutliers = 2)
+    val outlierFree = RunCand(1, "storm", 221.1, barPass = true, "r1",
+      calMedian = 0.3191)
+    assert(selectCommitted(Seq(outliery, outlierFree)).map(_.seq) === Some(1))
+  }
+
+  test("the r17 closing table replayed under the r18 rule: run 4, not run 6") {
+    // The seven r17 candidates exactly as logged (bench_runs.jsonl r17:
+    // grade, cal_median_sec, wall_outliers, wire_bar_pass,
+    // normalized_split_sec). The shipped r17 rule committed run 6 — the
+    // driver's own run on the round's slowest host (cal 0.4526 = 1.42x
+    // run 1's 0.3191) — because `turbulent` beat five storm grades; the
+    // verdict's audit showed the committed artifact under-stated the
+    // build (batch 124.6 s vs run 4's 107.5). Under the r18 rule the
+    // calibration gate (1.2x best = 0.3829) puts runs 2/6/7 behind runs
+    // 1/3/4/5; runs 3/5 carry surviving wall outliers; run 4 beats
+    // run 1 on split total. The verdict's done-bar: "the rule should
+    // pick run 4 or run 1, not run 6".
+    val r17 = Seq(
+      RunCand(1, "storm", 221.114, barPass = true, "run1", calMedian = 0.3191),
+      RunCand(2, "storm", 203.070, barPass = true, "run2", calMedian = 0.3981),
+      RunCand(3, "storm", 210.224, barPass = true, "run3", calMedian = 0.3743,
+        wallOutliers = 2),
+      RunCand(4, "storm", 199.054, barPass = true, "run4", calMedian = 0.3675),
+      RunCand(5, "storm", 215.880, barPass = true, "run5", calMedian = 0.3385,
+        wallOutliers = 2),
+      RunCand(6, "turbulent", 220.164, barPass = true, "run6", calMedian = 0.4526),
+      RunCand(7, "storm", 226.234, barPass = false, "run7", calMedian = 0.4076))
+    assert(selectCommitted(r17).map(_.seq) === Some(4))
+    // without run 4, run 1 (the other verdict-named choice) wins
+    assert(selectCommitted(r17.filterNot(_.seq == 4)).map(_.seq) === Some(1))
+  }
+
+  test("the compact stdout line is a parseable '{'-line carrying the contract") {
+    val line = Bench.compactBenchJson(
+      total = 124.5936, totalCpuBound = 93.2101, totalWallBound = 31.3841,
+      queries = Seq("q1_agg" -> 0.5116, "d_cluster" -> 3.2299),
+      streamRps = Seq("stream_market_spread_wire" -> 949622.4),
+      failed = Seq("x_bad"), sf = "/root/testdata/sf0.1", cpus = 32,
+      subsetJson = "false")
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(!line.contains("\n"))
+    // the original driver contract fields
+    assert(jsonField(line, "metric") === Some("total"))
+    assert(jsonField(line, "value") === Some("124.594"))
+    assert(jsonField(line, "unit") === Some("sec"))
+    assert(jsonField(line, "sf") === Some("/root/testdata/sf0.1"))
+    assert(jsonField(line, "cpus") === Some("32"))
+    // per-query seconds at 3 decimals; stream rows/s as integers
+    assert(line.contains(""""q1_agg":0.512"""))
+    assert(line.contains(""""d_cluster":3.230"""))
+    assert(line.contains(""""stream_market_spread_wire":949622"""))
+    assert(line.contains(""""failed":["x_bad"]"""))
+    assert(jsonField(line, "total_cpu_bound") === Some("93.210"))
+    assert(jsonField(line, "total_wall_bound") === Some("31.384"))
+    // no full-artifact blobs on stdout
+    assert(!line.contains("queries_detail") && !line.contains("stream_state"))
+    // a subset run marks itself
+    val sub = Bench.compactBenchJson(1.0, 1.0, 0.0, Seq("q1_agg" -> 1.0),
+      Nil, Nil, "sf", 8, subsetJson = "[\"q1_agg\"]")
+    assert(sub.contains(""""subset":["q1_agg"]"""))
+  }
+
+  test("the wire deployment cal gate is pinned at the quiet-host band edge") {
+    // 0.25-0.28 is the band the bar and the deployment number were
+    // measured at (WireBarRefCalSec 0.27); 0.30 admits normal jitter and
+    // rejects the r17 storm windows (0.34-0.45)
+    assert(Bench.WireDeploymentCalGateSec === 0.30)
   }
 
   test("empty candidate list selects nothing") {
@@ -229,7 +330,8 @@ class BenchSelectionSpec extends AnyFunSuite {
     // no explicit metric_version + usable split field = r15's v2
     val p = parseCand(cand)
     assert(p === Some(RunCand(3, "turbulent", 280.4, barPass = true,
-      "bench_out.json.run3", version = 2)))
+      "bench_out.json.run3", version = 2, calMedian = 0.391,
+      wallOutliers = 0)))
     // an r16 record carries the explicit tag
     val v3 = cand.replace(""""grade":"turbulent",""",
       """"grade":"turbulent","metric_version":3,""")
@@ -250,7 +352,8 @@ class BenchSelectionSpec extends AnyFunSuite {
     val old = cand.replace(""""normalized_split_sec":280.4,""", "")
       .replace(""""wire_bar_pass":true,""", "")
     assert(parseCand(old) === Some(RunCand(3, "turbulent", 298.2,
-      barPass = false, "bench_out.json.run3", version = 1)))
+      barPass = false, "bench_out.json.run3", version = 1,
+      calMedian = 0.391, wallOutliers = 0)))
     val zeroSplit = cand.replace(""""normalized_split_sec":280.4""",
       """"normalized_split_sec":0""")
     assert(parseCand(zeroSplit).map(_.normalizedSplit) === Some(298.2))

@@ -115,4 +115,34 @@ class PqCostExprSpec extends AnyFunSuite {
     val r = d.select(codes.as("c"), tables.as("t")).head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("codegen compiles on a NON-nullable array input (ADVICE r17: the " +
+      "isNull assignment is only emitted when the expression is nullable)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val bm = new PqBooksMatrix(books)
+    val in = ArrayType(DoubleType, containsNull = false)
+    val codes = PqCodes(BoundReference(0, in, nullable = false), bm)
+    val tables = PqCostTables(BoundReference(0, in, nullable = false), bm)
+    assert(!codes.nullable && !tables.nullable)
+    // GenerateUnsafeProjection THROWS on a Janino failure — unlike the
+    // query path, which would silently fall back to interpreted eval and
+    // hide exactly the defect this pins (the old code assigned ev.isNull,
+    // a variable nullSafeCodeGen never declares on this branch)
+    val proj = GenerateUnsafeProjection.generate(Seq(codes, tables))
+    val v = new GenericArrayData(
+      Array.tabulate(Sub * SubDim)(d => math.cos(d * 0.7)))
+    val row = proj(InternalRow(v))
+    assert(row.getArray(0).toLongArray() ===
+      codes.codes(v).asInstanceOf[ArrayData].toLongArray())
+    val expTables = tables.tables(v).asInstanceOf[ArrayData]
+    val gotTables = row.getArray(1)
+    (0 until Sub).foreach { m =>
+      assert(gotTables.getArray(m).toDoubleArray() ===
+        expTables.getArray(m).toDoubleArray())
+    }
+  }
 }

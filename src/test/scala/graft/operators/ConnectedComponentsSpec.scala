@@ -47,4 +47,39 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("did not converge"))
   }
+
+  test("the one-job RDD checksum equals the SQL xxhash64 decimal sum (r18)") {
+    // The convergence checksum moved from a per-alternation SQL
+    // aggregate (its own planning + partial→final exchange) to a
+    // shuffle-free fold over the round's persisted InternalRow RDD
+    // (VERDICT r17 next #5). Detection semantics must be IDENTICAL:
+    // both forms are exact sums, so equal multisets ⟺ equal checksums.
+    import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // include sign-heavy hashes and duplicate rows (multiset semantics)
+    val rows = Seq.fill(5000)((rnd.nextLong() % 1000, rnd.nextLong() % 1000)) ++
+      Seq((1L, 2L), (1L, 2L), (Long.MinValue, Long.MaxValue))
+    val df = rows.toDF("a", "b").repartition(7)
+    val (rdd, wrapped) = Caching.reuseWithHandle(df)
+    val (cnt, hi, lo) =
+      org.apache.spark.sql.GraftSqlBridge.xxhash64Checksum(rdd, wrapped.schema)
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+    val sqlCnt = r.getLong(0)
+    val sqlSum = r.getDecimal(1).toBigInteger
+    // reconstruct the 128-bit value: hi·2⁶⁴ + (lo as unsigned)
+    val got = java.math.BigInteger.valueOf(hi)
+      .shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    assert(cnt === sqlCnt)
+    assert(got === sqlSum)
+    rdd.unpersist()
+    // empty input: zero count, zero sum (the SQL form's null-sum case)
+    val (emptyRdd, emptyDf) =
+      Caching.reuseWithHandle(df.filter(lit(false)))
+    assert(org.apache.spark.sql.GraftSqlBridge.xxhash64Checksum(
+      emptyRdd, emptyDf.schema) === ((0L, 0L, 0L)))
+    emptyRdd.unpersist()
+  }
 }
